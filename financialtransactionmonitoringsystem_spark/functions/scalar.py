@@ -1,0 +1,218 @@
+"""Scalar function families (SURVEY.md §2.2).
+
+Reference parity: the reference's only scalar operations are string prefix
+matching (O6 ``request_with``, ``monitoring-service/src/main.rs:41-43``),
+path splitting (O7 ``get_id``, ``main.rs:45-47``) and JSON de/serialization
+(O4/O5).  ``q_fn_string`` / ``q_fn_json`` cover those; the other families
+are the engine's added breadth.
+
+All of these are built-in ``pyspark.sql.functions`` -- JVM-side, inside
+whole-stage codegen; no Python UDFs anywhere in the scalar path.
+
+Cross-engine determinism rules (learned once, applied everywhere):
+* Spark's ``floor``/``ceil`` return BIGINT, DuckDB's return DOUBLE -> cast
+  in the oracle.
+* Spark ``unix_timestamp`` floors to seconds -> DuckDB ``epoch_us(...) //
+  1_000_000`` (floor division), never ``CAST(epoch(...))`` which rounds.
+* Day-of-week conventions differ -> compare via date arithmetic on DATE.
+* Float folds must be sequential and double-typed on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from ..util import rnd, sql_round as R
+
+
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split / substring / prefix / regexp_extract / concat / case folding."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower(F.col("p_type")).alias("type_lc"),
+        F.upper(F.col("p_name")).alias("name_uc"),
+        F.substring(F.col("p_name"), 1, 5).alias("name5"),
+        F.split(F.col("p_name"), " ").getItem(1).alias("tok2"),
+        F.concat_ws("-", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        F.col("p_name").startswith("large").alias("is_large"),
+        F.regexp_extract(F.col("p_brand"), "([0-9]+)", 1).cast("long").alias("brand_num"),
+        F.length(F.col("p_name")).alias("name_len"),
+    )
+
+
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-8601 event-time derivations (SURVEY §1.2 temporal mapping)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "ts",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day_str"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("days_since"),
+    )
+
+
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        rnd(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        F.sqrt(F.col("l_quantity")).alias("sqrt_qty"),
+        F.pow(F.col("l_quantity"), 2).alias("qty_sq"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_extendedprice")).alias("price_floor"),
+        F.ceil(F.col("l_extendedprice")).alias("price_ceil"),
+        (F.col("l_orderkey") % 7).alias("mod7"),
+    )
+
+
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4/O5 JSON extraction (``main.rs:49-52``): typed path extraction,
+    missing-path -> NULL, matching serde's unknown/missing tolerance."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"),
+    )
+
+
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order functions over embeddings, folded sequentially in
+    double precision (bit-identical to the oracle's list_reduce)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dot_self = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    total = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(
+        "vec_id", "label",
+        F.size("embedding").alias("dim"),
+        rnd(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        rnd(total, 6).alias("sum_vals"),
+        rnd(F.sqrt(dot_self), 6).alias("l2_norm"),
+    )
+
+
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction/access -- the Go ``metadata map[string]string`` shape
+    (``user-service/main.go:16``)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "user").alias("m_user"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("m_keys"),
+    )
+
+
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE / coalesce / nullif: the credit->+ / debit->- signed-amount rule
+    from the transactions domain, applied to the events stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "event_type",
+        rnd(
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .when(F.col("event_type") == "error", -F.col("value"))
+            .otherwise(F.lit(0.0))).alias("signed_value"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("signup")), F.lit("NEW")).alias("type_or_new"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q_fn_string": """
+        SELECT p_partkey,
+               lower(p_type) AS type_lc,
+               upper(p_name) AS name_uc,
+               substring(p_name, 1, 5) AS name5,
+               split_part(p_name, ' ', 2) AS tok2,
+               concat_ws('-', p_brand, p_type) AS brand_type,
+               starts_with(p_name, 'large') AS is_large,
+               CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS BIGINT) AS brand_num,
+               CAST(length(p_name) AS INTEGER) AS name_len
+        FROM part
+    """,
+    "q_fn_date": """
+        SELECT event_id, ts,
+               CAST(year(ts) AS INTEGER) AS y,
+               CAST(month(ts) AS INTEGER) AS m,
+               CAST(day(ts) AS INTEGER) AS d,
+               CAST(hour(ts) AS INTEGER) AS h,
+               date_trunc('hour', ts) AS ts_hour,
+               strftime(ts, '%Y-%m-%d') AS day_str,
+               epoch_us(ts) // 1000000 AS epoch_s,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INTEGER) AS days_since
+        FROM events
+    """,
+    "q_fn_math": f"""
+        SELECT l_orderkey, l_linenumber,
+               {R("l_extendedprice / l_quantity")} AS unit_price,
+               sqrt(l_quantity) AS sqrt_qty,
+               power(l_quantity, 2) AS qty_sq,
+               abs(l_discount - 0.05) AS disc_dev,
+               CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+               CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+               l_orderkey % 7 AS mod7
+        FROM lineitem
+    """,
+    "q_fn_json": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               json_extract_string(props, '$.missing') AS missing_val,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket
+        FROM events
+    """,
+    "q_fn_array": f"""
+        SELECT vec_id, label,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               {R("CAST(embedding[1] AS DOUBLE)", 6)} AS first_val,
+               {R('''list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                 (a, b) -> a + b)''', 6)} AS sum_vals,
+               {R('''sqrt(list_reduce(list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                 (a, b) -> a + b))''', 6)} AS l2_norm
+        FROM embeddings
+    """,
+    "q_fn_map": """
+        SELECT event_id,
+               map(['type','user'], [event_type, CAST(user_id AS VARCHAR)])['type'][1] AS m_type,
+               map(['type','user'], [event_type, CAST(user_id AS VARCHAR)])['user'][1] AS m_user,
+               CAST(cardinality(map(['type','user'], [event_type, CAST(user_id AS VARCHAR)])) AS INTEGER) AS m_size,
+               array_to_string(list_sort(map_keys(map(['type','user'],
+                   [event_type, CAST(user_id AS VARCHAR)]))), ',') AS m_keys
+        FROM events
+    """,
+    "q_fn_cond": f"""
+        SELECT event_id, event_type,
+               {R('''CASE WHEN event_type = 'purchase' THEN value
+                          WHEN event_type = 'error' THEN -value
+                          ELSE 0.0 END''')} AS signed_value,
+               COALESCE(NULLIF(event_type, 'signup'), 'NEW') AS type_or_new
+        FROM events
+    """,
+}
+
+QUERIES = {
+    name: fn for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

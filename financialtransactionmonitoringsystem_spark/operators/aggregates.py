@@ -1,0 +1,246 @@
+"""Aggregation family (SURVEY.md §2.2).
+
+The reference has no aggregation at all (verified absence, SURVEY §2.1);
+this is the "monitoring" capability its name promises -- per-user spend,
+per-currency volume, fraud statistics.
+
+Scale notes: ``groupBy().agg()`` compiles to partial (map-side) + final
+aggregation automatically, so the shuffle carries pre-combined rows, not
+raw data.  Float aggregates are rounded at the final projection on both
+the Spark and oracle sides with the cross-engine-stable formula in
+``util.rnd`` (SURVEY §7 hard-part 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from ..util import rnd, sql_round as R
+
+
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        rnd(F.sum("l_quantity")).alias("sum_qty"),
+        rnd(F.avg("l_extendedprice")).alias("avg_price"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+def q_agg_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical per-group monitoring rollup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2002-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            rnd(F.sum("l_quantity")).alias("sum_qty"),
+            rnd(F.sum("l_extendedprice")).alias("sum_base_price"),
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("sum_disc_price"),
+            rnd(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")))).alias("sum_charge"),
+            rnd(F.avg("l_quantity")).alias("avg_qty"),
+            rnd(F.avg("l_extendedprice")).alias("avg_price"),
+            rnd(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             rnd(F.sum("o_totalprice")).alias("spend"))
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            rnd(F.sum_distinct(F.col("l_quantity"))).alias("sum_distinct_qty"),
+        )
+    )
+
+
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HLL++).  No exact oracle by nature; the
+    driver records a rows-only check.  A sanity test asserts relative
+    error vs the exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"))
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(rnd(F.sum("l_quantity")).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(rnd(F.sum("l_quantity")).alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gsets_lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               {R('SUM(l_quantity)')} AS sum_qty, COUNT(*) AS n
+        FROM __gsets_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion + exact interpolated percentiles.
+
+    Engines disagree at rounding boundaries when each uses its own
+    quantile implementation (interpolated medians of 2-decimal money land
+    exactly on .xx5).  Both sides therefore compute the same explicit
+    formula -- rank via row_number, linear interpolation at
+    ``q*(n-1)+1`` -- so the doubles are bit-identical before rounding.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    ranked = li.select("l_returnflag", F.col("l_extendedprice").alias("v")).withColumn(
+        "rn", F.row_number().over(W.partitionBy("l_returnflag").orderBy("v"))
+    ).withColumn("n", F.count(F.lit(1)).over(W.partitionBy("l_returnflag")))
+
+    def pct(q: str, alias: str):
+        lo = f"CAST(floor({q}*(n-1)+1) AS BIGINT)"
+        frac = f"({q}*(n-1)+1 - floor({q}*(n-1)+1))"
+        v_lo = f"MAX(CASE WHEN rn = {lo} THEN v END)"
+        v_hi = f"MAX(CASE WHEN rn = LEAST({lo}+1, n) THEN v END)"
+        return F.expr(R(f"{v_lo} + MAX({frac}) * ({v_hi} - {v_lo})")).alias(alias)
+
+    pcts = ranked.groupBy("l_returnflag").agg(
+        pct("5e-1", "median_price"), pct("9e-1", "p90_price"))
+    disp = li.groupBy("l_returnflag").agg(
+        rnd(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+        rnd(F.var_samp("l_quantity")).alias("var_qty"),
+    )
+    return disp.join(pcts, "l_returnflag").select(
+        "l_returnflag", "sd_price", "var_qty", "median_price", "p90_price")
+
+
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set with deterministic ordering, emitted as a joined string
+    so the value-hash is representation-stable across engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_mktsegment")
+        .agg(F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
+             F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def _pct_sql(q: str, alias: str) -> str:
+    lo = f"CAST(floor({q}*(n-1)+1) AS BIGINT)"
+    frac = f"({q}*(n-1)+1 - floor({q}*(n-1)+1))"
+    v_lo = f"MAX(CASE WHEN rn = {lo} THEN v END)"
+    v_hi = f"MAX(CASE WHEN rn = LEAST({lo}+1, n) THEN v END)"
+    return f"{R(f'{v_lo} + MAX({frac}) * ({v_hi} - {v_lo})')} AS {alias}"
+
+
+ORACLES: dict[str, str] = {
+    "q_agg_global": f"""
+        SELECT COUNT(*) AS n_rows, {R('SUM(l_quantity)')} AS sum_qty,
+               {R('AVG(l_extendedprice)')} AS avg_price,
+               MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship
+        FROM lineitem
+    """,
+    "q_agg_group": f"""
+        SELECT l_returnflag, l_linestatus,
+               {R('SUM(l_quantity)')} AS sum_qty,
+               {R('SUM(l_extendedprice)')} AS sum_base_price,
+               {R('SUM(l_extendedprice * (1 - l_discount))')} AS sum_disc_price,
+               {R('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))')} AS sum_charge,
+               {R('AVG(l_quantity)')} AS avg_qty,
+               {R('AVG(l_extendedprice)')} AS avg_price,
+               {R('AVG(l_discount)', 4)} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2002-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_agg_having": f"""
+        SELECT o_custkey, COUNT(*) AS n_orders, {R('SUM(o_totalprice)')} AS spend
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+    """,
+    "q_agg_distinct": f"""
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+               {R('SUM(DISTINCT l_quantity)')} AS sum_distinct_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_agg_rollup": f"""
+        SELECT l_returnflag, l_linestatus,
+               {R('SUM(l_quantity)')} AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_agg_cube": f"""
+        SELECT l_returnflag, l_linestatus,
+               {R('SUM(l_quantity)')} AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_agg_gsets": f"""
+        SELECT l_returnflag, l_linestatus,
+               {R('SUM(l_quantity)')} AS sum_qty, COUNT(*) AS n
+        FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q_agg_stats": f"""
+        WITH ranked AS (
+          SELECT l_returnflag, l_extendedprice AS v,
+                 row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+          FROM lineitem
+        ),
+        pcts AS (
+          SELECT l_returnflag, {_pct_sql('5e-1', 'median_price')}, {_pct_sql('9e-1', 'p90_price')}
+          FROM ranked GROUP BY l_returnflag
+        ),
+        disp AS (
+          SELECT l_returnflag,
+                 {R('stddev_samp(l_extendedprice)')} AS sd_price,
+                 {R('var_samp(l_quantity)')} AS var_qty
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT disp.l_returnflag, sd_price, var_qty, median_price, p90_price
+        FROM disp JOIN pcts ON disp.l_returnflag = pcts.l_returnflag
+    """,
+    "q_agg_collect": """
+        SELECT c_mktsegment,
+               array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations,
+               COUNT(*) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_mktsegment
+    """,
+}
+
+QUERIES = {
+    name: fn for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}
