@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with the ``noop`` sink (no
+driver collect, no output cost) so the measured time is the distributed
+plan, not a toPandas transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # relational spine
+    "q_agg_group",        # TPC-H Q1 shape: scan + group-agg
+    "q_join_multiway",    # 6-table join + agg (flagship)
+    "q_join_left",        # outer join + agg
+    "q_win_frame",        # running windows per user
+    "q_topk",             # TakeOrderedAndProject
+    "q_topk_per_group",   # window top-k
+    "q_dedup",            # keyed dedup via window
+    "q_join_asof",        # custom as-of join
+    "q_join_interval",    # bucketed interval join
+    "q_agg_rollup",       # grouping sets family
+    # LLM-pipeline extensions (registered in later milestones; skipped if absent)
+    "q_text_tokens",
+    "q_dedup_minhash",
+    "q_sim_cosine",
+    "q_stream_tumbling",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from financialtransactionmonitoringsystem_spark.session import get_spark
+    from financialtransactionmonitoringsystem_spark import queries as registry
+
+    spark = get_spark("fintxmon-bench", cpus=cpus)
+    qs = registry.all_queries()
+
+    # Warm the JVM / file listing once so per-query times measure the plans.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = qs.get(key)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+        "cpus": cpus,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,117 @@
+"""Batch twins of the streaming operators (SURVEY.md §2.2 "Streaming").
+
+Each streaming aggregation (tumbling/sliding/session window, threshold
+alerting) has a batch-mode equivalent over the same ``events`` table --
+identical Spark expressions, minus the watermark -- so the DuckDB oracle
+can verify the window semantics exactly.  The true streaming forms (with
+watermarks and incremental state) live in ``pipeline.py`` and are
+exercised by tests with the memory sink; their per-window results equal
+these batch twins when no data is late.
+
+Scale notes: windowed aggregations shuffle once on (window, key); Spark's
+``window()`` is a generated column, not an explode, for tumbling windows
+(sliding windows explode into window_count copies, which is the same cost
+DuckDB pays with unnest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from ..util import rnd, sql_round as R
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour volume per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value")).alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+    )
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window every 15 minutes: spend per window."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value")).alias("total"))
+        .select(F.col("w.start").alias("ws"), "n", "total")
+    )
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap.
+
+    Spark semantics: a session absorbs an event iff it arrives strictly
+    before ``last_ts + gap``; the session end is ``last_ts + gap``.  The
+    oracle replicates this with gaps-and-islands (``>= gap`` starts a new
+    session, matching the exclusive session end).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("total"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id", "n_events", "total")
+    )
+
+
+def q_stream_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fraud-style alert rule: flag (user, hour) buckets with at least 3
+    events or total value above 400 (velocity + threshold rules)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value")).alias("total"))
+        .filter((F.col("n") >= 3) | (F.col("total") > 400.0))
+        .select(F.col("w.start").alias("ws"), "user_id", "n", "total")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q_stream_tumbling": f"""
+        SELECT date_trunc('hour', ts) AS ws, event_type,
+               COUNT(*) AS n, {R('SUM(value)')} AS total
+        FROM events GROUP BY 1, 2
+    """,
+    "q_stream_sliding": f"""
+        SELECT make_timestamp(((epoch_us(ts) // 900000000) - i) * 900000000) AS ws,
+               COUNT(*) AS n, {R('SUM(value)')} AS total
+        FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+        GROUP BY 1
+    """,
+    "q_stream_session": f"""
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), g AS (
+          SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                     ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o
+        )
+        SELECT MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               user_id, COUNT(*) AS n_events, {R('SUM(value)')} AS total
+        FROM g GROUP BY user_id, sid
+    """,
+    "q_stream_flag": f"""
+        SELECT date_trunc('hour', ts) AS ws, user_id,
+               COUNT(*) AS n, {R('SUM(value)')} AS total
+        FROM events GROUP BY 1, 2
+        HAVING COUNT(*) >= 3 OR {R('SUM(value)')} > 400.0
+    """,
+}
+
+QUERIES = {
+    name: fn for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

@@ -1,0 +1,160 @@
+"""Structured Streaming pipelines: the reference's ingest/monitoring path
+(O1, ``monitoring-service/src/main.rs:79-89``) restated as incremental
+dataflow (SURVEY.md §3 E2).
+
+Design (holds at 100 TB / 1000 executors):
+* Source: file stream here (driver testdata); swap ``readStream.format``
+  for ``kafka`` in production -- every transformation below is
+  source-agnostic.
+* Event time + watermark bound all state: windowed aggs and streaming
+  dedup drop state older than the watermark, so state size is
+  O(keys x windows in the watermark horizon), not O(stream length) --
+  unlike the reference, which grows a process-local Vec forever
+  (``main.rs:25``) and loses it on restart (checkpointing replaces that).
+* ``foreachBatch`` compaction keeps a small serving table for point
+  lookups: the reference's O(n)-scan-per-request GET becomes a keyed
+  parquet table refreshed per micro-batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import EVENTS_RAW_SCHEMA
+from ..session import apply_runtime_confs
+from ..util import rnd
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as an unbounded stream (file source stand-in for
+    Kafka).  Same ns->us conversion as the batch loader.
+
+    The file stream source wants a *directory* to poll; the testdata
+    table is a single file, so it is staged into a scratch directory via
+    symlink.  A production deployment points this at a landing directory
+    or swaps the source for Kafka -- everything downstream is unchanged.
+    """
+    import os
+    import tempfile
+
+    apply_runtime_confs(spark)
+    stage = os.path.join(tempfile.gettempdir(),
+                         "fintxmon_stream_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    raw = (
+        spark.readStream
+        .schema(EVENTS_RAW_SCHEMA)
+        .parquet(stage)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of ``batch_twins.q_stream_tumbling``: late rows
+    beyond the watermark are dropped (append-only, no updates -- the
+    reference's own semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value")).alias("total"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total")
+    )
+
+
+def sliding_spend(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), rnd(F.sum("value")).alias("total"))
+        .select(F.col("w.start").alias("ws"), "n", "total")
+    )
+
+
+def session_per_user(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("total"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "user_id", "n_events", "total")
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming dedup on the event key within the watermark horizon --
+    the ingest invariant the reference lacks (duplicate ids are appended
+    unconditionally, ``main.rs:82-84``), with bounded state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+
+
+def threshold_alerts(events: DataFrame, threshold: float = 180.0) -> DataFrame:
+    """Stateless high-value alert (amount > threshold fraud rule)."""
+    return events.filter(F.col("value") > threshold).select(
+        "event_id", "user_id", "ts", "value",
+        F.lit("HIGH_VALUE").alias("alert"))
+
+
+def velocity_alerts(events: DataFrame, watermark: str = "10 minutes",
+                    max_per_hour: int = 3) -> DataFrame:
+    """Stateful velocity rule: more than N events per user per hour."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= max_per_hour)
+        .select(F.col("w.start").alias("ws"), "user_id", "n",
+                F.lit("VELOCITY").alias("alert"))
+    )
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
+    """Drive a streaming DataFrame to completion into a memory-sink table
+    (test/smoke harness: one availableNow pass over all input)."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def compact_latest_to(serving_dir: str, key: str = "event_id"):
+    """foreachBatch sink: maintain a compacted latest-row-per-key parquet
+    serving table, turning the reference's O(n) point lookup
+    (``main.rs:94-95``) into a keyed scan over a small table."""
+    from pyspark.sql import Window as W
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(serving_dir)
+            merged = existing.unionByName(batch_df)
+        except Exception:
+            merged = batch_df
+        w = W.partitionBy(key).orderBy(F.col("ts").desc())
+        latest = (merged.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") == 1).drop("__rn"))
+        latest.write.mode("overwrite").parquet(serving_dir + ".tmp")
+        spark.read.parquet(serving_dir + ".tmp").write.mode("overwrite").parquet(serving_dir)
+
+    return _sink
+
+
+def run_compaction(events: DataFrame, serving_dir: str, checkpoint_dir: str) -> None:
+    q = (
+        events.writeStream
+        .foreachBatch(compact_latest_to(serving_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

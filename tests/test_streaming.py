@@ -1,0 +1,82 @@
+"""Structured Streaming pipelines driven to completion with the memory
+sink (availableNow): streaming results must equal their batch twins when
+no data is late."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from financialtransactionmonitoringsystem_spark.streaming import batch_twins, pipeline
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return pipeline.stream_events(spark, sf_dir)
+
+
+def _table(spark, name):
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_equals_batch_twin(spark, sf_dir, events_stream):
+    pipeline.run_to_memory(pipeline.tumbling_counts(events_stream), "t_tumble", "complete")
+    got = {tuple(r) for r in _table(spark, "t_tumble").collect()}
+    want = {tuple(r) for r in batch_twins.q_stream_tumbling(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_sliding_stream_equals_batch_twin(spark, sf_dir, events_stream):
+    pipeline.run_to_memory(pipeline.sliding_spend(events_stream), "t_slide", "complete")
+    got = {tuple(r) for r in _table(spark, "t_slide").collect()}
+    want = {tuple(r) for r in batch_twins.q_stream_sliding(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_session_stream_equals_batch_twin(spark, sf_dir, events_stream):
+    pipeline.run_to_memory(pipeline.session_per_user(events_stream), "t_sess", "complete")
+    got = {tuple(r) for r in _table(spark, "t_sess").collect()}
+    want = {tuple(r) for r in batch_twins.q_stream_session(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup_removes_duplicates(spark, sf_dir, events_stream):
+    doubled = events_stream.unionByName(events_stream)
+    pipeline.run_to_memory(pipeline.dedup_stream(doubled), "t_dedup")
+    n_unique = _table(spark, "t_dedup").count()
+    n_source = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert n_unique == n_source
+
+
+def test_threshold_alerts(spark, sf_dir, events_stream):
+    pipeline.run_to_memory(pipeline.threshold_alerts(events_stream, 180.0), "t_alerts")
+    alerts = _table(spark, "t_alerts")
+    assert alerts.filter(F.col("value") <= 180.0).count() == 0
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    expected = load_table(spark, sf_dir, "events").filter(F.col("value") > 180.0).count()
+    assert alerts.count() == expected
+
+
+def test_velocity_alerts_match_flag_twin(spark, sf_dir, events_stream):
+    pipeline.run_to_memory(pipeline.velocity_alerts(events_stream, max_per_hour=3), "t_vel", "complete")
+    got = {(r.ws, r.user_id, r.n) for r in _table(spark, "t_vel").collect()}
+    twin = batch_twins.q_stream_flag(spark, sf_dir).filter(F.col("n") >= 3)
+    want = {(r.ws, r.user_id, r.n) for r in twin.collect()}
+    assert got == want
+
+
+def test_foreachbatch_compaction_point_lookup(spark, sf_dir, events_stream):
+    tmp = tempfile.mkdtemp(prefix="fintxmon_serving_")
+    try:
+        pipeline.run_compaction(events_stream, f"{tmp}/serving", f"{tmp}/ckpt")
+        serving = spark.read.parquet(f"{tmp}/serving")
+        n_keys = serving.select("event_id").distinct().count()
+        assert serving.count() == n_keys  # one row per key
+        one = serving.filter(F.col("event_id") == 7).collect()
+        assert len(one) == 1
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
