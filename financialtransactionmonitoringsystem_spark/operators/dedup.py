@@ -1,0 +1,272 @@
+"""Deduplication family over ``documents`` / ``embeddings`` (driver
+mandate: LLM-data-pipeline extensions; SURVEY.md §2.2).
+
+Also the ingest invariant the reference lacks: duplicate ids are appended
+unconditionally (``monitoring-service/src/main.rs:82-84``) -- dedup is an
+explicit operator here, not an ingest side effect.
+
+Five operators, from exact to fuzzy:
+
+=================  =========================================  ==========
+key                method                                     oracle
+=================  =========================================  ==========
+q_dedup_exact      hash-group on full text, keep-first        SQL
+q_dedup_ngram      exact token-set Jaccard, lang-blocked      SQL
+q_dedup_minhash    MinHash + LSH banding, verified            rows-only
+q_dedup_simhash    SimHash + chunk-blocked Hamming            rows-only
+q_dedup_embed      embedding-cosine near-dup, label-blocked   SQL
+=================  =========================================  ==========
+
+Scale notes (the testdata corpus is 500 docs; design is for 10^9):
+* exact: one shuffle on the text hash; keep-first via min-key aggregate.
+* ngram: the all-pairs compare is blocked (by ``lang`` here; by LSH
+  bucket at scale).  The oracle-checked query is the blocked-exact form;
+  at 10^9 docs you do NOT run it -- that is exactly what MinHash is for.
+* minhash: k=16 hash functions via xxhash64(token, seed_i), banded 4x4;
+  candidates = docs sharing a band bucket (equi-join on (band, hash) --
+  the quadratic compare never materializes); candidates are then
+  verified with exact Jaccard.  Deterministic (fixed seeds).
+* simhash: 48-bit signature; pigeonhole blocking on 4x12-bit chunks
+  guarantees recall for Hamming distance <= 3 without an O(n^2) join.
+* embed: cosine near-dup inside ``label`` blocks (IVF-style coarse
+  partition at scale), with the bit-identical sequential fold used by
+  all similarity operators.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from ..util import rnd, sql_round as R
+
+N_MINHASH = 16
+N_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 48
+SIMHASH_CHUNKS = 4  # 12 bits each; Hamming <= 3 guaranteed caught
+JACCARD_THRESHOLD = 0.8
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup keeping the first doc (lowest doc_id) per text."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("text").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def _tok_sets(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", "lang",
+        F.array_distinct(F.split("text", " ")).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+
+
+def _jaccard(a_toks: Column, b_toks: Column, na: Column, nb: Column) -> Column:
+    inter = F.size(F.array_intersect(a_toks, b_toks))
+    return inter.cast("double") / (na + nb - inter)
+
+
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs within a lang block.
+
+    This is the ground-truth form MinHash approximates; blocked so the
+    pair space is |block|^2, not |corpus|^2.
+    """
+    t = _tok_sets(load_table(spark, sf_dir, "documents"))
+    a = t.alias("a")
+    b = t.alias("b")
+    j = _jaccard(F.col("a.toks"), F.col("b.toks"), F.col("a.n_toks"), F.col("b.n_toks"))
+    return (
+        a.join(b, (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                rnd(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
+    """(doc_id, min_0..min_{k-1}): k min-hashes over the distinct token
+    set, using xxhash64(token, seed) as the hash family (deterministic)."""
+    toks = docs.select("doc_id", "lang",
+                       F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    mins = [F.min(F.xxhash64("tok", F.lit(i))).alias(f"min_{i}") for i in range(k)]
+    return toks.groupBy("doc_id", "lang").agg(*mins)
+
+
+def lsh_candidates(sig: DataFrame, n_bands: int = N_BANDS,
+                   k: int = N_MINHASH) -> DataFrame:
+    """Candidate pairs = docs agreeing on at least one LSH band.
+
+    The bands explode to (doc, band, band_hash) and candidates come from
+    an equi-join on (band, band_hash) -- no quadratic compare.
+    """
+    rows_per_band = k // n_bands
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(*[F.col(f"min_{b * rows_per_band + r}")
+                         for r in range(rows_per_band)]).alias("bh"),
+        )
+        for b in range(n_bands)
+    ])
+    exploded = sig.select("doc_id", "lang", F.explode(bands).alias("b")) \
+        .select("doc_id", "lang", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup detection: band-bucket candidates, then exact
+    Jaccard verification.  Probabilistic recall -> rows-only check; a
+    test asserts candidates are a subset of (and near-complete vs) the
+    exact q_dedup_ngram answer."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidates(minhash_signatures(docs))
+    t = _tok_sets(docs).select("doc_id", "toks", "n_toks")
+    a = t.alias("ta")
+    b = t.alias("tb")
+    j = _jaccard(F.col("ta.toks"), F.col("tb.toks"), F.col("ta.n_toks"), F.col("tb.n_toks"))
+    return (
+        cands.join(a, cands.doc_a == F.col("ta.doc_id"))
+        .join(b, cands.doc_b == F.col("tb.doc_id"))
+        .select("doc_a", "doc_b", rnd(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """Per-doc SimHash: sign-sum of token-hash bits."""
+    toks = docs.select("doc_id", "lang",
+                       F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_sums = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"s_{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy("doc_id", "lang").agg(*bit_sums)
+    sim = reduce(
+        lambda acc, j: acc + F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(0),
+        range(bits), F.lit(0).cast("long"))
+    return agg.select("doc_id", "lang", sim.alias("simhash"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 48-bit signatures, blocked by 12-bit
+    chunks (any pair within Hamming distance 3 shares a chunk), verified
+    with bit_count(xor) <= 3."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = simhash_signatures(docs)
+    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+    chunks = F.array(*[
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
+            .bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("cv"),
+        )
+        for c in range(SIMHASH_CHUNKS)
+    ])
+    ex = sig.select("doc_id", "lang", "simhash", F.explode(chunks).alias("c")) \
+        .select("doc_id", "lang", "simhash",
+                F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+    )
+
+
+def cosine_fold(a: Column, b: Column) -> Column:
+    """Cosine similarity as a sequential double fold -- bit-identical to
+    the DuckDB oracle's list_reduce (same op order, same types)."""
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+SQL_COSINE = """
+    list_reduce(list_transform(range(1, 65),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
+    / (sqrt(list_reduce(list_transform(range(1, 65),
+        i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
+     * sqrt(list_reduce(list_transform(range(1, 65),
+        i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))
+"""
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a label block
+    (IVF-style coarse blocking at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine_fold(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, (F.col("a.label") == F.col("b.label"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
+                F.col("a.label").alias("label"), rnd(cos, 6).alias("cos"))
+        .filter(F.col("cos") >= 0.35)
+    )
+
+
+_J_SQL = """CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+            / (a.n_toks + b.n_toks - len(list_intersect(a.toks, b.toks)))"""
+
+ORACLES: dict[str, str] = {
+    "q_dedup_exact": """
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn = 1
+    """,
+    "q_dedup_ngram": f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_distinct(string_split(text, ' ')) AS toks,
+                 len(list_distinct(string_split(text, ' '))) AS n_toks
+          FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {R(_J_SQL, 6)} AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE {R(_J_SQL, 6)} >= {JACCARD_THRESHOLD}
+    """,
+    "q_dedup_embed": f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+               {R(SQL_COSINE.format(a='a.embedding', b='b.embedding'), 6)} AS cos
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {R(SQL_COSINE.format(a='a.embedding', b='b.embedding'), 6)} >= 0.35
+    """,
+}
+
+QUERIES = {
+    name: fn for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

@@ -1,0 +1,175 @@
+"""Similarity search over the ``embeddings`` table (driver mandate:
+LLM-data-pipeline extensions; SURVEY.md §2.2).
+
+Three tiers:
+
+=================   ==============================================  ======
+key                 method                                          oracle
+=================   ==============================================  ======
+q_sim_cosine        brute-force cosine top-k (ground truth)         SQL
+q_sim_knn_per_label block-local top-k then merge (REPOSE-style      SQL
+                    partition-then-merge; PAPERS.md ICDE'21)
+q_sim_lsh           sign-LSH bucketed ANN (the scale path)          SQL
+=================   ==============================================  ======
+
+Scale notes:
+* Query set broadcasts (it is small by construction); the corpus side
+  never shuffles -- each partition scores its vectors against the
+  broadcast queries and keeps a local top-k, and only k rows per
+  partition reach the final merge (window over (query, rank)).
+* Cosine is a sequential double fold (``dedup.cosine_fold``) so Spark
+  and DuckDB produce bit-identical doubles -> identical rankings.
+* The LSH variant trades recall for a bucket equi-join: vectors only
+  compare within their sign-pattern bucket.  A test quantifies recall
+  against the brute-force ground truth.
+* At 10^9 vectors the same plan holds: bucket (or IVF centroid) becomes
+  the shuffle key, per-bucket top-k stays partition-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from ..util import rnd, sql_round as R
+from .dedup import SQL_COSINE, cosine_fold
+
+N_QUERIES = 10
+TOP_K = 10
+LSH_SIGN_DIMS = 4  # 16 buckets; multi-probe Hamming<=1 -> 5 probes/query
+
+
+def _queries_and_corpus(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    return F.broadcast(queries), emb
+
+
+def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k per query vector (the exact baseline)."""
+    queries, emb = _queries_and_corpus(spark, sf_dir)
+    cos = cosine_fold(F.col("q_emb"), F.col("embedding"))
+    scored = (
+        queries.join(emb, F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", rnd(cos, 6).alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+    )
+
+
+def q_sim_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors per query within its label block: the
+    partition-then-merge shape (block-local top-k, then global rank)."""
+    queries, emb = _queries_and_corpus(spark, sf_dir)
+    cos = cosine_fold(F.col("q_emb"), F.col("embedding"))
+    scored = (
+        queries.join(emb, (F.col("q_label") == F.col("label"))
+                     & (F.col("q_id") != F.col("vec_id")))
+        .select("q_id", F.col("label"), "vec_id", rnd(cos, 6).alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+def sign_bucket(col) -> "F.Column":
+    """Deterministic sign-LSH bucket: bit j set iff embedding[j] > 0
+    (hyperplane LSH with axis-aligned planes -- data-independent and
+    SQL-expressible; random hyperplanes are a seed swap away)."""
+    b = F.lit(0)
+    for j in range(LSH_SIGN_DIMS):
+        b = b + F.when(F.element_at(col, j + 1) > 0, F.lit(1 << j)).otherwise(0)
+    return b
+
+
+def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via sign-LSH with multi-probe: each query probes its own
+    bucket plus all buckets at Hamming distance 1 (5 probes for 4 bits),
+    scores only those candidates, keeps top-3.
+
+    Spark side explodes the probe set so the candidate join is a plain
+    equi-join on the bucket id -- the shape that scales (bucket becomes
+    the shuffle/partition key at 10^9 vectors).  Recall < 1 by design
+    (quantified in tests vs q_sim_cosine).
+    """
+    queries, emb = _queries_and_corpus(spark, sf_dir)
+    probes = F.array(*[
+        sign_bucket(F.col("q_emb")).bitwiseXOR(F.lit(m))
+        for m in [0] + [1 << j for j in range(LSH_SIGN_DIMS)]
+    ])
+    q = queries.withColumn("q_bucket", sign_bucket(F.col("q_emb"))) \
+        .withColumn("probe", F.explode(probes))
+    e = emb.withColumn("bucket", sign_bucket(F.col("embedding")))
+    cos = cosine_fold(F.col("q_emb"), F.col("embedding"))
+    scored = (
+        q.join(e, (F.col("probe") == F.col("bucket"))
+               & (F.col("q_id") != F.col("vec_id")))
+        .select("q_id", "q_bucket", "vec_id", rnd(cos, 6).alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_COS = SQL_COSINE.format(a="q.embedding", b="e.embedding")
+
+_SIGN_BUCKET = " + ".join(
+    f"(CASE WHEN {{t}}.embedding[{j + 1}] > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(LSH_SIGN_DIMS)
+)
+
+ORACLES: dict[str, str] = {
+    "q_sim_cosine": f"""
+        SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+                 {R(_COS, 6)} AS cos,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {R(_COS, 6)} DESC, e.vec_id ASC) AS rn
+          FROM embeddings q JOIN embeddings e ON q.vec_id != e.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= {TOP_K}
+    """,
+    "q_sim_knn_per_label": f"""
+        SELECT q_id, label, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT q.vec_id AS q_id, e.label AS label, e.vec_id AS vec_id,
+                 {R(_COS, 6)} AS cos,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {R(_COS, 6)} DESC, e.vec_id ASC) AS rn
+          FROM embeddings q JOIN embeddings e
+            ON q.label = e.label AND q.vec_id != e.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= 5
+    """,
+    "q_sim_lsh": f"""
+        SELECT q_id, q_bucket, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT q.vec_id AS q_id,
+                 {_SIGN_BUCKET.format(t='q')} AS q_bucket,
+                 e.vec_id AS vec_id,
+                 {R(_COS, 6)} AS cos,
+                 row_number() OVER (PARTITION BY q.vec_id
+                                    ORDER BY {R(_COS, 6)} DESC, e.vec_id ASC) AS rn
+          FROM embeddings q JOIN embeddings e
+            ON bit_count(xor(CAST({_SIGN_BUCKET.format(t='q')} AS BIGINT),
+                             CAST({_SIGN_BUCKET.format(t='e')} AS BIGINT))) <= 1
+           AND q.vec_id != e.vec_id
+          WHERE q.vec_id < {N_QUERIES}
+        ) WHERE rn <= 3
+    """,
+}
+
+QUERIES = {
+    name: fn for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

@@ -1,0 +1,178 @@
+"""Text-analysis operators over the ``documents`` table (driver mandate:
+LLM-data-pipeline extensions; SURVEY.md §2.2).
+
+All pure built-in functions (split/explode/filter/aggregate higher-order
+fns) -- no Python UDFs, so the whole family stays in whole-stage codegen.
+
+Scale notes: token explode + groupBy is the canonical map-side-combinable
+shape (partial counts per partition before the shuffle).  Per-document
+metrics are narrow projections with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from ..util import rnd, sql_round as R
+
+# Deliberately small English stopword list -- the language-ID heuristic
+# needs a deterministic, SQL-expressible marker set, not linguistic truth.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+_SW = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+
+def _toks(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 tokens by frequency (tokenize -> explode -> count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_toks()).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(50)
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, source): the dataset-card rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            rnd(F.avg("n_chars")).alias("avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex token classes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_toks()).alias("n_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[a-z]+")).alias("n_word_tokens"),
+        F.regexp_count(F.col("text"), F.lit("[0-9]+")).alias("n_num_tokens"),
+        F.size(F.array_distinct(_toks())).alias("n_unique"),
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language scoring: fraction of tokens in an English
+    stopword list; classify 'en' above a threshold.  (A real system uses
+    char n-gram profiles; the operator shape -- per-doc token-level
+    scoring against a broadcast marker set -- is identical.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    sw_hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
+    ratio = sw_hits.cast("double") / F.size(toks)
+    return docs.select(
+        "doc_id", "lang",
+        rnd(ratio, 4).alias("stopword_ratio"),
+        F.when(ratio > 0.15, "en").otherwise("unk").alias("pred_lang"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length, type-token ratio, mean token length,
+    digit ratio, and a composite keep/drop flag (the pretraining-filter
+    shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    # single-spaced text: total token chars = length - (n_tokens - 1)
+    avg_tok_len = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
+    digit_ratio = F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double") / F.length("text")
+    keep = (n_tokens >= 20) & (ttr > 0.2)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        rnd(ttr, 4).alias("ttr"),
+        rnd(avg_tok_len, 4).alias("avg_tok_len"),
+        rnd(digit_ratio, 4).alias("digit_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over the sorted distinct token set
+    (an order-insensitive content signature; the planted near-duplicates
+    in the corpus collide here)."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(_toks())))
+    fp = F.md5(canon)
+    return docs.select(
+        "doc_id",
+        fp.alias("fp"),
+        F.substring(fp, 1, 8).alias("fp_bucket"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q_text_tokens": """
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        WHERE length(tok) > 0
+        GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50
+    """,
+    "q_text_stats": f"""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               {R('AVG(n_chars)')} AS avg_chars,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang, source
+    """,
+    "q_text_tokencount": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_word_tokens,
+               CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_num_tokens,
+               CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_unique
+        FROM documents
+    """,
+    "q_text_langid": f"""
+        SELECT doc_id, lang,
+               {R(f"CAST(len(list_filter(string_split(text,' '), x -> x IN ({_SW}))) AS DOUBLE)"
+                  " / len(string_split(text,' '))", 4)} AS stopword_ratio,
+               CASE WHEN CAST(len(list_filter(string_split(text,' '), x -> x IN ({_SW}))) AS DOUBLE)
+                         / len(string_split(text,' ')) > 0.15
+                    THEN 'en' ELSE 'unk' END AS pred_lang
+        FROM documents
+    """,
+    "q_text_quality": f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 len(string_split(text,' ')) AS n_tokens,
+                 len(list_distinct(string_split(text,' '))) AS n_unique
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               {R('CAST(n_unique AS DOUBLE) / n_tokens', 4)} AS ttr,
+               {R('CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens', 4)} AS avg_tok_len,
+               {R("CAST(len(regexp_extract_all(text,'[0-9]')) AS DOUBLE) / length(text)", 4)} AS digit_ratio,
+               (n_tokens >= 20 AND CAST(n_unique AS DOUBLE) / n_tokens > 0.2) AS keep
+        FROM t
+    """,
+    "q_text_fingerprint": """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp,
+               substring(md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')), 1, 8) AS fp_bucket
+        FROM documents
+    """,
+}
+
+QUERIES = {
+    name: fn for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

@@ -1,0 +1,89 @@
+"""Semantic tests for the LLM-pipeline operators beyond the oracle gate:
+LSH recall vs exact ground truth, fingerprint collisions on planted
+near-duplicates, multimodal plumbing shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from financialtransactionmonitoringsystem_spark.operators import (
+    dedup, multimodal, similarity, text)
+
+
+def test_fingerprint_collides_on_planted_near_dups(spark, sf_dir):
+    """The corpus plants token-set-identical docs; the order-insensitive
+    fingerprint must collide exactly for those."""
+    fp = text.q_text_fingerprint(spark, sf_dir)
+    dup_groups = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+                  .filter(F.col("c") > 1).count())
+    assert dup_groups > 0
+
+
+def test_minhash_candidates_subset_of_exact(spark, sf_dir):
+    exact = {(r.doc_a, r.doc_b)
+             for r in dedup.q_dedup_ngram(spark, sf_dir).collect()}
+    mh = {(r.doc_a, r.doc_b)
+          for r in dedup.q_dedup_minhash(spark, sf_dir).collect()}
+    assert mh <= exact                 # verification step guarantees precision
+    assert exact, "corpus should contain near-duplicate pairs"
+    recall = len(mh) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall:.2f} too low for j>=0.8 pairs"
+
+
+def test_simhash_finds_near_dups(spark, sf_dir):
+    pairs = dedup.q_dedup_simhash(spark, sf_dir)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    exact = {(r.doc_a, r.doc_b)
+             for r in dedup.q_dedup_ngram(spark, sf_dir).collect()}
+    # token-set-identical docs have identical simhash -> hamming 0
+    assert got & exact
+
+
+def test_lsh_similarity_recall(spark, sf_dir):
+    exact = similarity.q_sim_cosine(spark, sf_dir).filter(F.col("rn") <= 3)
+    ann = similarity.q_sim_lsh(spark, sf_dir)
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    a = {(r.q_id, r.vec_id) for r in ann.collect()}
+    recall = len(e & a) / len(e)
+    # sign-LSH over random unit vectors: recall is partial by design,
+    # but must find a meaningful fraction and always return something.
+    assert a and recall >= 0.2, f"ANN recall {recall:.2f}"
+
+
+def test_knn_per_label_agrees_with_bruteforce_on_same_label(spark, sf_dir):
+    knn = similarity.q_sim_knn_per_label(spark, sf_dir)
+    brute = similarity.q_sim_cosine(spark, sf_dir)
+    k = knn.filter(F.col("q_id") == 0).orderBy("rn").collect()
+    assert len(k) == 5 and all(k[i].cos >= k[i + 1].cos for i in range(4))
+    # per-label top-1 must appear in global ranking with cos <= global top-1
+    b_top = brute.filter((F.col("q_id") == 0) & (F.col("rn") == 1)).collect()[0]
+    assert k[0].cos <= b_top.cos
+
+
+def test_multimodal_feature_shape(spark, sf_dir):
+    feats = multimodal.q_mm_features(spark, sf_dir)
+    rows = feats.collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert all(r.width == 4 and r.height == 4 and 0.0 <= r.mean_px <= 1.0 for r in rows)
+    # deterministic across invocations
+    again = multimodal.q_mm_features(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_frame_sampling_fanout(spark, sf_dir):
+    from financialtransactionmonitoringsystem_spark.operators.multimodal import (
+        FRAME_SCHEMA, sample_frames, with_binary_content)
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = with_binary_content(load_table(spark, sf_dir, "documents"))
+    frames = docs.mapInPandas(sample_frames, FRAME_SCHEMA)
+    n_docs = docs.count()
+    assert frames.count() == n_docs * 4  # 16 md5 bytes, every 5th -> 4 frames
+    assert frames.groupBy("doc_id").count().filter(F.col("count") != 4).count() == 0
+
+
+def test_decode_image_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"not-an-image")
