@@ -81,7 +81,7 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     t = _tok_sets(load_table(spark, sf_dir, "documents"))
     a = t.alias("a")
-    b = t.alias("b")
+    b = F.broadcast(t).alias("b")
     j = _jaccard(F.col("a.toks"), F.col("b.toks"), F.col("a.n_toks"), F.col("b.n_toks"))
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))
@@ -137,7 +137,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact q_dedup_ngram answer."""
     docs = load_table(spark, sf_dir, "documents")
     cands = lsh_candidates(minhash_signatures(docs))
-    t = _tok_sets(docs).select("doc_id", "toks", "n_toks")
+    t = F.broadcast(_tok_sets(docs).select("doc_id", "toks", "n_toks"))
     a = t.alias("ta")
     b = t.alias("tb")
     j = _jaccard(F.col("ta.toks"), F.col("tb.toks"), F.col("ta.n_toks"), F.col("tb.n_toks"))
@@ -184,7 +184,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "simhash",
                 F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
     a = ex.alias("a")
-    b = ex.alias("b")
+    b = F.broadcast(ex).alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
@@ -223,7 +223,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (IVF-style coarse blocking at scale)."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.alias("a")
-    b = emb.alias("b")
+    b = F.broadcast(emb).alias("b")
     cos = cosine_fold(F.col("a.embedding"), F.col("b.embedding"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))

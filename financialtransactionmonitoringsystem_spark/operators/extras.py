@@ -1,0 +1,157 @@
+"""SQL-surface extras beyond the SURVEY.md §2.2 core inventory: pivot /
+unpivot, scalar and correlated subqueries, CTEs, and RANGE window frames.
+
+These exercise Catalyst paths the core inventory doesn't (subquery
+decorrelation, pivot rewrite to CASE aggregation) and complete the
+"a user of the reference could run every query they run today" surface
+for SQL-first users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table, register_views
+from ..util import rnd, sql_round as R
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event values to one column per type (rewrites to a CASE
+    aggregation -- one shuffle, no per-value scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    pivoted = (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.sum("value"))
+    )
+    return pivoted.select(
+        "user_id",
+        *[rnd(F.coalesce(F.col(t), F.lit(0.0))).alias(t) for t in EVENT_TYPES],
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) wide measures to long form via stack()."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.expr("stack(2, 'totalprice', o_totalprice, "
+               "'custkey', CAST(o_custkey AS DOUBLE)) AS (measure, val)"),
+    )
+
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (planned as a broadcast of one row)."""
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql(f"""
+        SELECT c_custkey, c_name, {R('c_acctbal')} AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) * 1.5
+    """)
+
+
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated IN/EXISTS-style subquery: orders larger than twice the
+    customer's average order (Catalyst decorrelates to a join)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(f"""
+        SELECT o_orderkey, o_custkey, {R('o_totalprice')} AS totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """)
+
+
+def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE pipeline: per-customer spend -> nation rollup of big spenders."""
+    register_views(spark, sf_dir, ("customer", "orders", "nation"))
+    return spark.sql(f"""
+        WITH spend AS (
+          SELECT o_custkey, SUM(o_totalprice) AS total
+          FROM orders GROUP BY o_custkey
+        ),
+        big AS (
+          SELECT c_custkey, c_nationkey, total
+          FROM customer JOIN spend ON c_custkey = o_custkey
+          WHERE total > 300000.0
+        )
+        SELECT n_name, COUNT(*) AS n_big_spenders, {R('SUM(total)')} AS total_spend
+        FROM big JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """)
+
+
+def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame on a numeric ordering: count of orders within 5000 of
+    each order's price (value-based frame, not row-based)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (W.partitionBy("o_orderstatus").orderBy("o_totalprice")
+         .rangeBetween(-5000, 0))
+    return orders.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_5000_below"),
+        # SUM of 2-decimal money is exactly recoverable by rounding; AVG is
+        # not (engines differ in frame summation order at the .xx5 boundary)
+        rnd(F.sum("o_totalprice").over(w)).alias("sum_nearby"),
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q_pivot": f"""
+        SELECT user_id,
+               {R("COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0.0)")} AS click,
+               {R("COALESCE(SUM(CASE WHEN event_type = 'error' THEN value END), 0.0)")} AS error,
+               {R("COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0)")} AS purchase,
+               {R("COALESCE(SUM(CASE WHEN event_type = 'signup' THEN value END), 0.0)")} AS signup,
+               {R("COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0.0)")} AS view
+        FROM events GROUP BY user_id
+    """,
+    "q_unpivot": """
+        SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS val FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS val FROM orders
+    """,
+    "q_subquery_scalar": f"""
+        SELECT c_custkey, c_name, {R('c_acctbal')} AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) * 1.5
+    """,
+    "q_subquery_in": f"""
+        SELECT o_orderkey, o_custkey, {R('o_totalprice')} AS totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """,
+    "q_cte": f"""
+        WITH spend AS (
+          SELECT o_custkey, SUM(o_totalprice) AS total
+          FROM orders GROUP BY o_custkey
+        ),
+        big AS (
+          SELECT c_custkey, c_nationkey, total
+          FROM customer JOIN spend ON c_custkey = o_custkey
+          WHERE total > 300000.0
+        )
+        SELECT n_name, COUNT(*) AS n_big_spenders, {R('SUM(total)')} AS total_spend
+        FROM big JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "q_win_range": f"""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               COUNT(*) OVER w AS n_within_5000_below,
+               {R('SUM(o_totalprice) OVER w')} AS sum_nearby
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                     RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+    """,
+}
+
+QUERIES = {
+    name: fn for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

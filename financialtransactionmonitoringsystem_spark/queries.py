@@ -20,7 +20,8 @@ _MODULES = [relational, aggregates, windows, setops, topk, scalar]
 # Extended modules land as milestones complete; import-guarded so a broken
 # module never takes down the whole registry during development.
 for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
-              "operators.similarity", "operators.multimodal"):
+              "operators.similarity", "operators.multimodal",
+              "operators.extras"):
     try:
         import importlib
 

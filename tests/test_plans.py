@@ -1,0 +1,79 @@
+"""Physical-plan contract tests: the scale properties SURVEY.md §4.2
+promises must be visible in the plans, not just intended.
+
+A failure here means a plan regression (lost pushdown, accidental
+cartesian, un-broadcast dimension join) even if answers are still right.
+"""
+
+from __future__ import annotations
+
+from financialtransactionmonitoringsystem_spark.operators import relational, topk, aggregates
+from financialtransactionmonitoringsystem_spark.plans import inspect as P
+
+
+def test_point_lookup_pushes_equality_into_scan(spark, sf_dir):
+    """The reference point lookup is O(n) per request (main.rs:95); ours
+    must push the predicate to parquet (row-group skipping)."""
+    df = relational.q_point_lookup(spark, sf_dir)
+    pf = P.pushed_filters(df)
+    assert "EqualTo(o_orderkey,42)" in pf, pf
+
+
+def test_range_filter_pushes_bounds(spark, sf_dir):
+    df = relational.q_filter_range(spark, sf_dir)
+    pf = P.pushed_filters(df)
+    assert "GreaterThanOrEqual(l_quantity,10" in pf and "LessThan(l_quantity,25" in pf, pf
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = relational.q_scan_prune(spark, sf_dir)
+    rs = P.read_schema(df)
+    assert "l_orderkey" in rs and "l_extendedprice" in rs
+    assert "l_comment" not in rs and "l_shipdate" not in rs and "l_quantity" not in rs, rs
+
+
+def test_multiway_join_broadcasts_dims_no_cartesian(spark, sf_dir):
+    df = relational.q_join_multiway(spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    assert not P.has_cartesian(df)
+
+
+def test_explicit_broadcast_join_has_no_shuffle_join(spark, sf_dir):
+    df = relational.q_join_broadcast(spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    assert not P.has_sort_merge_join(df)
+
+
+def test_topk_compiles_to_take_ordered(spark, sf_dir):
+    df = topk.q_topk(spark, sf_dir)
+    assert P.has_take_ordered(df)
+
+
+def test_group_agg_is_partial_before_shuffle(spark, sf_dir):
+    df = aggregates.q_agg_group(spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.n_shuffles(df) <= 1, P.plan_str(df, "simple")
+
+
+def test_interval_join_is_equi_not_cartesian(spark, sf_dir):
+    """The bucketed interval join must not degrade to a cartesian/
+    nested-loop product."""
+    df = relational.q_join_interval(spark, sf_dir)
+    assert not P.has_cartesian(df)
+
+
+def test_asof_join_single_shuffle_per_side(spark, sf_dir):
+    """The union+window as-of join should cost one hash partition on the
+    key (plus local sorts), never a range cross-product."""
+    df = relational.q_join_asof(spark, sf_dir)
+    assert not P.has_cartesian(df)
+    assert P.n_shuffles(df) <= 2, P.plan_str(df, "simple")
+
+
+def test_scan_all_has_no_shuffle(spark, sf_dir):
+    df = relational.q_scan_all(spark, sf_dir)
+    assert P.n_shuffles(df) == 0
+
+
+def test_codegen_present_in_hot_paths(spark, sf_dir):
+    assert P.wholestage_codegen_ids(aggregates.q_agg_group(spark, sf_dir)) >= 1
