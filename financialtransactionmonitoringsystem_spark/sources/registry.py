@@ -1,0 +1,82 @@
+"""Source/sink registry: the engine's I/O surface beyond the default
+parquet path (SURVEY.md §2.2 "Scans / sources / sinks").
+
+Parquet is the canonical columnar format (pushdown + pruning + vectorized
+reader); CSV/JSON exist for ingest interchange and always take an explicit
+schema (inference is a full extra pass and non-deterministic types at
+scale).  Connector formats that need extra jars (Delta/Iceberg/Kafka/JDBC
+drivers) are import-gated and raise a clear error in this environment.
+
+Writes: ``write_partitioned`` demonstrates the layout the 100 TB tx table
+wants -- hive-partitioned by event date so date-ranged monitoring queries
+get static + dynamic partition pruning for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+READERS = ("parquet", "orc", "json", "csv")
+
+
+def read_table(spark: SparkSession, fmt: str, path: str,
+               schema: T.StructType | str | None = None,
+               **options) -> DataFrame:
+    if fmt not in READERS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {READERS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("json", "csv"):
+        raise ValueError(f"{fmt} requires an explicit schema (no inference at scale)")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path)
+
+
+def write_table(df: DataFrame, fmt: str, path: str, mode: str = "overwrite",
+                **options) -> None:
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    df.write.format(fmt).mode(mode).options(**options).save(path)
+
+
+def write_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
+                      mode: str = "overwrite") -> None:
+    """Write hive-partitioned by event date: the layout that makes
+    date-range predicates prune partitions at any scale."""
+    (df.withColumn("dt", F.to_date(F.col(ts_col)))
+       .write.partitionBy("dt").mode(mode).parquet(path))
+
+
+def read_kafka(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
+    """Kafka streaming source (production ingest; the jar is not in this
+    environment, so this raises with instructions rather than failing
+    deep inside Spark)."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap)
+            .option("subscribe", topic)
+            .load()
+        )
+    except Exception as exc:  # pragma: no cover - jar absent here
+        raise NotImplementedError(
+            "kafka source requires the spark-sql-kafka package on the "
+            "classpath (--packages org.apache.spark:spark-sql-kafka-0-10_2.13)"
+        ) from exc
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
+    """JDBC source (reference's 'move this to Redis or TigerBeetle'
+    durability note, main.rs:24 -- a real DB behind JDBC is the Spark
+    answer).  Driver jars are not in this environment."""
+    try:
+        return spark.read.format("jdbc").option("url", url) \
+            .option("dbtable", table).options(**options).load()
+    except Exception as exc:  # pragma: no cover - driver absent here
+        raise NotImplementedError(
+            "jdbc source requires a database driver jar on the classpath"
+        ) from exc

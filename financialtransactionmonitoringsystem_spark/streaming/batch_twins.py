@@ -73,7 +73,44 @@ def q_stream_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the custom stateful operator
+    (``stateful.balance_alerts_stateful``): the first event at which each
+    user's running total crosses the threshold.
+
+    The running sum is an ordered sequential fold on both engines
+    (window ROWS UNBOUNDED PRECEDING), so totals are bit-identical to
+    the streaming operator's per-key accumulation.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    running = ev.select("user_id", "ts",
+                        F.sum("value").over(w).alias("total"))
+    crossed = running.filter(F.col("total") >= 1000.0)
+    w2 = W.partitionBy("user_id").orderBy("ts")
+    return (
+        crossed.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", rnd(F.col("total")).alias("total"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_stream_state": f"""
+        WITH r AS (
+          SELECT user_id, ts,
+                 SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS total
+          FROM events
+        ), c AS (
+          SELECT user_id, ts, total,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          FROM r WHERE total >= 1000.0
+        )
+        SELECT user_id, ts, {R('total')} AS total FROM c WHERE rn = 1
+    """,
     "q_stream_tumbling": f"""
         SELECT date_trunc('hour', ts) AS ws, event_type,
                COUNT(*) AS n, {R('SUM(value)')} AS total

@@ -1,0 +1,62 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``:
+the balance-crossing fraud rule (alert the first time a user's cumulative
+value crosses a threshold).
+
+This is the operator class Spark's built-in windowed aggregations cannot
+express: the alert depends on an *ordered running reduction* per key, not
+a windowed fold -- the reference's "monitoring" ambition made concrete.
+
+State design (scale contract):
+* One row of state per user (the running total): O(keys), not O(events).
+* State lives in the state store (checkpointed, partitioned by key);
+  each micro-batch touches only the keys present in that batch.
+* Rows within a batch are sorted by event time in the worker; cross-batch
+  order is the source's responsibility (in-order per key, e.g. Kafka
+  partition-by-user).  ``batch_twins.q_stream_state`` is the batch-mode
+  ground truth the streaming form is tested against.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = "user_id bigint, ts timestamp, total double"
+STATE_SCHEMA = "total double"
+DEFAULT_THRESHOLD = 1000.0
+
+
+def _crossings(threshold: float):
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        total = state.get[0] if state.exists else 0.0
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, v in zip(pdf["ts"], pdf["value"]):
+                prev = total
+                total = total + float(v)
+                if prev < threshold <= total:
+                    rows.append((key[0], ts, total))
+        state.update((total,))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "ts", "total"])
+
+    return fn
+
+
+def balance_alerts_stateful(events: DataFrame,
+                            threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+    """Streaming: emit (user_id, ts, total) at the first event where the
+    user's cumulative value reaches ``threshold``."""
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _crossings(threshold), OUT_SCHEMA, STATE_SCHEMA,
+            "append", GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -80,3 +80,18 @@ def test_foreachbatch_compaction_point_lookup(spark, sf_dir, events_stream):
         assert len(one) == 1
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_balance_alerts_match_batch_twin(spark, sf_dir, events_stream):
+    """applyInPandasWithState crossing alerts == batch running-sum twin."""
+    from financialtransactionmonitoringsystem_spark.streaming import stateful
+    from financialtransactionmonitoringsystem_spark.util import rnd
+
+    pipeline.run_to_memory(
+        stateful.balance_alerts_stateful(events_stream), "t_state")
+    got = {(r.user_id, r.ts, r.total) for r in
+           spark.sql("SELECT user_id, ts, total FROM t_state")
+           .select("user_id", "ts", rnd(F.col("total")).alias("total")).collect()}
+    want = {(r.user_id, r.ts, r.total) for r in
+            batch_twins.q_stream_state(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
