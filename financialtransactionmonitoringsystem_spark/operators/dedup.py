@@ -105,8 +105,15 @@ def lsh_candidates(sig: DataFrame, n_bands: int = N_BANDS,
                    k: int = N_MINHASH) -> DataFrame:
     """Candidate pairs = docs agreeing on at least one LSH band.
 
-    The bands explode to (doc, band, band_hash) and candidates come from
-    an equi-join on (band, band_hash) -- no quadratic compare.
+    Bands explode to (doc, band, band_hash); candidates come from an
+    equi-join of that table with itself on (lang, band, band_hash).  The
+    band table is persisted first: it is O(|docs| * n_bands) -- tiny next
+    to the token explode that produced it -- and without the persist the
+    self-join recomputes the whole signature aggregation for both sides
+    (spark.ml's MinHashLSH caches at the same point).  A
+    collect_list-per-bucket pair expansion was tried and is worse under
+    bucket skew: one 1000-doc bucket becomes a single row holding a
+    500k-struct array built by one task.
     """
     rows_per_band = k // n_bands
     bands = F.array(*[
@@ -118,7 +125,8 @@ def lsh_candidates(sig: DataFrame, n_bands: int = N_BANDS,
         for b in range(n_bands)
     ])
     exploded = sig.select("doc_id", "lang", F.explode(bands).alias("b")) \
-        .select("doc_id", "lang", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+        .select("doc_id", "lang", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")) \
+        .persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -147,6 +155,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", rnd(j, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md §2.2's `q_dedup_fuzzy` key: the canonical fuzzy near-dup
+    operator is MinHash+LSH with exact-Jaccard verification (probabilistic
+    recall -> rows-only check; `q_dedup_ngram` is the oracle-checked exact
+    ground truth of the same predicate)."""
+    return q_dedup_minhash(spark, sf_dir)
 
 
 def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -180,11 +196,15 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for c in range(SIMHASH_CHUNKS)
     ])
+    # Persist the chunk table (O(|docs| * chunks)) so the self-join does
+    # not recompute the 48 bit-sum aggregates for both sides -- same
+    # pattern as lsh_candidates.
     ex = sig.select("doc_id", "lang", "simhash", F.explode(chunks).alias("c")) \
         .select("doc_id", "lang", "simhash",
-                F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+                F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv")) \
+        .persist()
     a = ex.alias("a")
-    b = F.broadcast(ex).alias("b")
+    b = ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))

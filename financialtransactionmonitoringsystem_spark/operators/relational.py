@@ -297,11 +297,14 @@ def interval_join_bucketed(left: DataFrame, right: DataFrame, key: str,
     lb = left.withColumn("__lb", (F.unix_timestamp(F.col(left_ts)) / interval_s).cast("long"))
     rb = right.withColumn("__rb", (F.unix_timestamp(F.col(right_ts)) / interval_s).cast("long"))
     expanded = lb.withColumn("__probe", F.explode(F.array(F.col("__lb"), F.col("__lb") + 1)))
+    # Rename the right key so the self-join condition references two
+    # distinct attributes (avoids ambiguous-self-join resolution).
+    rb = rb.withColumnRenamed(key, "__rkey")
     joined = expanded.join(
         rb,
-        (expanded[key] == rb[key]) & (expanded.__probe == rb.__rb),
+        (F.col(key) == F.col("__rkey")) & (F.col("__probe") == F.col("__rb")),
         "inner",
-    ).drop(rb[key])
+    ).drop("__rkey")
     return joined.filter(
         (F.col(right_ts) >= F.col(left_ts))
         & (F.col(right_ts) < F.col(left_ts) + F.expr(f"INTERVAL {interval_s} SECOND"))
