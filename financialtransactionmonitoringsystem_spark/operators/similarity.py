@@ -123,6 +123,65 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IVF_NLIST = 16
+IVF_NPROBE = 4  # scans ~nprobe/nlist of the corpus; recall@3 ~0.65 on testdata
+
+
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via an IVF (inverted-file) index: a KMeans coarse quantizer
+    assigns every corpus vector to one of ``IVF_NLIST`` centroid cells;
+    each query probes its ``IVF_NPROBE`` nearest cells and scores only
+    those candidates.  Top-3 per query.
+
+    Scale shape: the cell id is the shuffle/partition key -- at 10^9
+    vectors each cell is a partition-pruned slice and a query touches
+    nprobe/nlist of the corpus.  Training samples the corpus (here: all
+    of it); assignment is a broadcast of the tiny model.  Probabilistic
+    recall (quantified in tests vs q_sim_cosine) -> rows-only check.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    feat = emb.withColumn(
+        "features", array_to_vector(F.col("embedding").cast("array<double>")))
+    model = KMeans(k=IVF_NLIST, seed=42, maxIter=8).fit(feat)
+    corpus = model.transform(feat).select(
+        "vec_id", "embedding", F.col("prediction").alias("cell"))
+
+    # Centroid table (nlist rows) -> declarative query-to-cell probing:
+    # rank cells by L2 distance per query, keep the nprobe nearest.
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>")
+    queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+    d2 = F.aggregate(
+        F.zip_with(F.col("q_emb").cast("array<double>"), F.col("center"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    wq = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
+    probes = (
+        F.broadcast(queries).crossJoin(F.broadcast(centers))
+        .select("q_id", "q_emb", "cell", d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= IVF_NPROBE)
+        .select("q_id", "q_emb", "cell")
+    )
+
+    cos = cosine_fold(F.col("q_emb"), F.col("embedding"))
+    scored = (
+        F.broadcast(probes).join(
+            corpus, (probes.cell == corpus.cell) & (F.col("q_id") != F.col("vec_id")))
+        .select("q_id", "vec_id", rnd(cos, 6).alias("cos"))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
 _COS = SQL_COSINE.format(a="q.embedding", b="e.embedding")
 
 _SIGN_BUCKET = " + ".join(

@@ -87,3 +87,41 @@ def test_frame_sampling_fanout(spark, sf_dir):
 def test_decode_image_stub_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"not-an-image")
+
+
+def test_ivf_similarity_recall(spark, sf_dir):
+    """IVF (KMeans coarse quantizer, nprobe probing) finds a meaningful
+    fraction of the exact top-3 while scanning ~nprobe/nlist of the corpus."""
+    exact = similarity.q_sim_cosine(spark, sf_dir).filter(F.col("rn") <= 3)
+    ann = similarity.q_sim_ivf(spark, sf_dir)
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    a = {(r.q_id, r.vec_id) for r in ann.collect()}
+    recall = len(e & a) / len(e)
+    assert len(a) == len(e) and recall >= 0.45, f"IVF recall {recall:.2f}"
+
+
+def test_salted_ops_match_unsalted(spark, sf_dir):
+    """Salted two-phase agg and salted join are pure physical rewrites:
+    results are identical to the direct plans."""
+    from financialtransactionmonitoringsystem_spark.operators import skew
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+    from financialtransactionmonitoringsystem_spark.util import rnd
+
+    ev = load_table(spark, sf_dir, "events")
+    direct = {(r.user_id, r.n_events, r.total_value) for r in
+              ev.groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   rnd(F.sum("value")).alias("total_value")).collect()}
+    salted = {(r.user_id, r.n_events, r.total_value) for r in
+              skew.q_agg_salted(spark, sf_dir).collect()}
+    assert salted == direct and len(salted) > 0
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = ev.join(cust, ev.user_id == cust.c_custkey)
+    direct_j = {(r.c_mktsegment, r.n_events, r.total_value) for r in
+                plain.groupBy("c_mktsegment")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     rnd(F.sum("value")).alias("total_value")).collect()}
+    salted_j = {(r.c_mktsegment, r.n_events, r.total_value) for r in
+                skew.q_join_salted(spark, sf_dir).collect()}
+    assert salted_j == direct_j and len(salted_j) > 0
