@@ -51,6 +51,18 @@ def write_partitioned(df: DataFrame, path: str, ts_col: str = "ts",
        .write.partitionBy("dt").mode(mode).parquet(path))
 
 
+def write_bucketed(df: DataFrame, table: str, path: str, key: str,
+                   n_buckets: int = 8, mode: str = "overwrite") -> None:
+    """Write as a bucketed (hash-partitioned-on-disk) table: both sides of
+    a recurring equi-join bucketed on the join key by the same bucket
+    count join with NO shuffle exchange -- the co-located join layout for
+    fact tables too big to broadcast.  ``sortBy`` additionally lets the
+    sort-merge join skip its per-bucket sort when each bucket is one file.
+    """
+    (df.write.bucketBy(n_buckets, key).sortBy(key)
+       .option("path", path).mode(mode).format("parquet").saveAsTable(table))
+
+
 def read_kafka(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
     """Kafka streaming source (production ingest; the jar is not in this
     environment, so this raises with instructions rather than failing

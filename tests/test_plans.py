@@ -77,3 +77,13 @@ def test_scan_all_has_no_shuffle(spark, sf_dir):
 
 def test_codegen_present_in_hot_paths(spark, sf_dir):
     assert P.wholestage_codegen_ids(aggregates.q_agg_group(spark, sf_dir)) >= 1
+
+
+def test_salted_join_is_shuffle_join_no_cartesian(spark, sf_dir):
+    """The salted join must stay an equi (sort-merge/shuffle-hash) join on
+    (key, salt): no cartesian blow-up, no broadcast (the hint forces the
+    shuffle path salting exists for)."""
+    from financialtransactionmonitoringsystem_spark.operators import skew
+    df = skew.q_join_salted(spark, sf_dir)
+    assert not P.has_cartesian(df)
+    assert P.has_sort_merge_join(df) or "ShuffledHashJoin" in P.plan_str(df)

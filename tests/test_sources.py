@@ -52,3 +52,20 @@ def test_unavailable_connectors_raise_cleanly(spark):
         registry.read_kafka(spark, "localhost:9092", "tx")
     with pytest.raises(NotImplementedError, match="driver"):
         registry.read_jdbc(spark, "jdbc:postgresql://x/y", "t")
+
+
+def test_bucketed_tables_join_without_shuffle(spark, events, tmp_path_factory):
+    """Two tables bucketed on the join key by the same bucket count
+    sort-merge-join with no shuffle exchange (co-located join layout)."""
+    base = tmp_path_factory.mktemp("bucketed")
+    ev = events.select("event_id", "user_id", "value")
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    registry.write_bucketed(ev, "ev_b", str(base / "ev"), "user_id")
+    registry.write_bucketed(per_user, "pu_b", str(base / "pu"), "user_id")
+    try:
+        joined = spark.table("ev_b").join(spark.table("pu_b"), "user_id")
+        assert P.n_shuffles(joined) == 0, P.plan_str(joined)
+        assert joined.count() == ev.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_b")
+        spark.sql("DROP TABLE IF EXISTS pu_b")

@@ -95,3 +95,22 @@ def test_stateful_balance_alerts_match_batch_twin(spark, sf_dir, events_stream):
     want = {(r.user_id, r.ts, r.total) for r in
             batch_twins.q_stream_state(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def test_update_mode_velocity_alerts(spark, sf_dir, events_stream):
+    """Update output mode: with a single availableNow batch the updated
+    rows are exactly the final windowed-agg alert set."""
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    pipeline.run_to_memory(
+        pipeline.velocity_alerts(events_stream, max_per_hour=2), "t_vel_upd", "update")
+    got = {(r.ws, r.user_id, r.n) for r in _table(spark, "t_vel_upd").collect()}
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select(F.col("w.start").alias("ws"), "user_id", "n")
+    )
+    want = {(r.ws, r.user_id, r.n) for r in batch.collect()}
+    assert got == want and len(got) > 0
