@@ -68,6 +68,9 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
         "spark.sql.adaptive.enabled",
         "spark.sql.adaptive.coalescePartitions.enabled",
         "spark.sql.adaptive.skewJoin.enabled",
+        # runtime-settable: a vanilla session defaults to 200 shuffle
+        # partitions, which is pure task overhead at test scale.
+        "spark.sql.shuffle.partitions",
     ):
         spark.conf.set(key, DEFAULT_CONFS.get(key, "true"))
     return spark
