@@ -156,6 +156,32 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches built-ins, Spark 3.5+):
+    per-event-type sketches of the active-user set, plus an ALL row whose
+    sketch is the *union-merge* of the per-type sketches.
+
+    The mergeable-sketch shape is what makes 100 TB distinct-counting one
+    pass: sketch per partition/day/type, then any rollup is a cheap
+    ``hll_union_agg`` over sketch blobs instead of a re-scan.  Estimates
+    are approximate and sketch bytes engine-specific -> rows-only check
+    (the survey's q_agg_approx note); a test bounds the error vs exact
+    countDistinct and asserts the merge is lossless.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per_type.agg(
+        F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"), "sk")
+    return (
+        per_type.unionByName(merged)
+        .select("event_type",
+                F.hll_sketch_estimate("sk").alias("n_users_est"))
+        .orderBy("event_type")
+    )
+
+
 def _pct_sql(q: str, alias: str) -> str:
     lo = f"CAST(floor({q}*(n-1)+1) AS BIGINT)"
     frac = f"({q}*(n-1)+1 - floor({q}*(n-1)+1))"

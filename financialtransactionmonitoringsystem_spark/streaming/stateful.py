@@ -60,3 +60,54 @@ def balance_alerts_stateful(events: DataFrame,
             "append", GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def balance_alerts_tws(events: DataFrame,
+                       threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
+    """The same crossing rule on ``transformWithStateInPandas`` (Spark
+    4's successor stateful API: typed state variables on a processor
+    object, composable state per key, timers).  Semantics identical to
+    ``balance_alerts_stateful`` -- tested against the same batch twin.
+
+    Environment note: this API needs the ``protobuf`` package in the
+    Python workers (its state protocol is proto-serialized).  Where
+    protobuf is absent the test skips, like the Kafka/JDBC connectors;
+    ``balance_alerts_stateful`` is the dependency-free form.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _CrossingProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", STATE_SCHEMA)
+
+        def handleInputRows(self, key: tuple, rows: Iterator[pd.DataFrame],
+                            timerValues) -> Iterator[pd.DataFrame]:
+            total = self._total.get()[0] if self._total.exists() else 0.0
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                for ts, v in zip(pdf["ts"], pdf["value"]):
+                    prev = total
+                    total = total + float(v)
+                    if prev < threshold <= total:
+                        out.append((key[0], ts, total))
+            self._total.update((total,))
+            if out:
+                yield pd.DataFrame(out, columns=["user_id", "ts", "total"])
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_CrossingProcessor(),
+            outputStructType=OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

@@ -35,3 +35,25 @@ def test_rows_only_queries_run(key, spark, sf_dir):
     n2 = ALL[key](spark, sf_dir).count()
     assert n1 == n2
     assert n1 >= 0
+
+
+def test_hll_sketch_estimates_bounded_error_and_lossless_merge(spark, sf_dir):
+    """HLL estimates within 5% of exact; union-of-sketches == sketch of union."""
+    from pyspark.sql import functions as F
+
+    from financialtransactionmonitoringsystem_spark.operators import aggregates
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    est = {r.event_type: r.n_users_est
+           for r in aggregates.q_agg_hll(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    exact["ALL"] = ev.select("user_id").distinct().count()
+    assert set(est) == set(exact) | {"ALL"}
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")).first().n
+    assert est["ALL"] == direct

@@ -114,3 +114,21 @@ def test_update_mode_velocity_alerts(spark, sf_dir, events_stream):
     )
     want = {(r.ws, r.user_id, r.n) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_tws_balance_alerts_match_batch_twin(spark, sf_dir, events_stream):
+    """transformWithStateInPandas (Spark 4 stateful API) == batch twin."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState needs protobuf in the Python workers")
+    from financialtransactionmonitoringsystem_spark.streaming import stateful
+    from financialtransactionmonitoringsystem_spark.util import rnd
+
+    pipeline.run_to_memory(
+        stateful.balance_alerts_tws(events_stream), "t_tws")
+    got = {(r.user_id, r.ts, r.total) for r in
+           spark.sql("SELECT user_id, ts, total FROM t_tws")
+           .select("user_id", "ts", rnd(F.col("total")).alias("total")).collect()}
+    want = {(r.user_id, r.ts, r.total) for r in
+            batch_twins.q_stream_state(spark, sf_dir).collect()}
+    assert got == want and len(got) > 0
