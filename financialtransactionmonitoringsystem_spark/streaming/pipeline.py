@@ -115,6 +115,49 @@ def velocity_alerts(events: DataFrame, watermark: str = "10 minutes",
     )
 
 
+def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension.  The static side is re-read per micro-batch (picking up
+    dim updates) and broadcast by Catalyst at dim size -- no stream-side
+    state at all."""
+    dim = customers.select(F.col("c_custkey").alias("user_id"),
+                           "c_name", "c_mktsegment")
+    return events.join(dim, "user_id", "left")
+
+
+def purchases_with_errors(events: DataFrame,
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: each purchase paired with error
+    events by the same user in the following 30 minutes (the streaming
+    twin of ``relational.q_join_interval``).
+
+    Both sides are watermarked and the join condition bounds event time
+    on both sides, so the state store holds only the 30-minute horizon
+    per side -- the unbounded-state stream-stream join is rejected by
+    Spark outright.
+    """
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("p_event_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("e_user_id"),
+                F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", watermark)
+    )
+    return purchases.join(
+        errors,
+        (F.col("p_user_id") == F.col("e_user_id"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("p_event_id", F.col("p_user_id").alias("user_id"), "p_ts", "e_ts")
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming DataFrame to completion into a memory-sink table
     (test/smoke harness: one availableNow pass over all input)."""

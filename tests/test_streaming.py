@@ -132,3 +132,39 @@ def test_tws_balance_alerts_match_batch_twin(spark, sf_dir, events_stream):
     want = {(r.user_id, r.ts, r.total) for r in
             batch_twins.q_stream_state(spark, sf_dir).collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_static_join_enriches_events(spark, sf_dir, events_stream):
+    """Stream-static join: every event carries its customer dim row."""
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    pipeline.run_to_memory(
+        pipeline.enrich_with_customers(events_stream, cust), "t_enrich")
+    got = _table(spark, "t_enrich")
+    ev = load_table(spark, sf_dir, "events")
+    assert got.count() == ev.count()
+    joined = ev.join(cust, ev.user_id == cust.c_custkey, "left")
+    assert (got.filter(F.col("c_name").isNotNull()).count()
+            == joined.filter(F.col("c_name").isNotNull()).count())
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream):
+    """Stream-stream interval join == the batch interval-join pair set."""
+    from financialtransactionmonitoringsystem_spark.operators.relational import (
+        interval_join_bucketed)
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    pipeline.run_to_memory(
+        pipeline.purchases_with_errors(events_stream), "t_ss_join")
+    got = {(r.p_event_id, r.user_id, r.p_ts, r.e_ts) for r in
+           _table(spark, "t_ss_join").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("p_ts"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("e_ts"))
+    pairs = interval_join_bucketed(purchases, errors, "user_id", "p_ts", "e_ts", 1800)
+    want = {(r.event_id, r.user_id, r.p_ts, r.e_ts) for r in pairs.collect()}
+    assert got == want and len(got) > 0
