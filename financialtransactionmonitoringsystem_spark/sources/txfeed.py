@@ -96,8 +96,10 @@ class _FeedBatchReader(DataSourceReader):
 
 class _FeedStreamReader(SimpleDataSourceStreamReader):
     """Offset = number of rows emitted so far; each micro-batch emits up
-    to ``rowsperbatch`` new rows (bounded by ``maxrows`` so availableNow
-    terminates)."""
+    to ``rowsperbatch`` new rows until ``maxrows``, then empty batches.
+    Note: ``availableNow`` performs a single ``read()`` for simple stream
+    readers -- drive multiple micro-batches with a processing-time
+    trigger (see tests)."""
 
     def __init__(self, options: dict):
         self.per_batch = int(options.get("rowsperbatch", 100))
