@@ -133,22 +133,49 @@ class TransactionFeedDataSource(DataSource):
         return _FeedStreamReader(self.options)
 
 
+N_FEED_ROWS = 1000
+
+
 def q_ingest_feed(spark, sf_dir: str):
-    """Driver-registry entry (rows-only): read 1000 reference-shaped
-    transactions through the custom Python DataSource and aggregate per
-    currency -- proves the source end-to-end in any session.  ``sf_dir``
-    is unused (the feed is synthetic by design)."""
+    """Read 1000 reference-shaped transactions through the custom Python
+    DataSource and aggregate per currency -- proves the source end to end
+    in any session.  ``sf_dir`` is unused (the feed is synthetic by
+    design).
+
+    Oracle: the feed is deterministic, so the expected aggregate is
+    computed by running the same generator single-process in plain Python
+    and emitted as a VALUES literal -- the check pins the *distributed*
+    execution (partitioning, no dropped/duplicated ranges) against the
+    sequential reference.  Sums are in integer cents (amounts have
+    exactly 2 decimals) so both engines aggregate exactly.
+    """
     from pyspark.sql import functions as F
 
     spark.dataSource.register(TransactionFeedDataSource)
-    df = spark.read.format("txfeed").option("rows", 1000) \
+    df = spark.read.format("txfeed").option("rows", N_FEED_ROWS) \
         .option("numPartitions", 8).load()
     return (
         df.groupBy("currency")
         .agg(F.count(F.lit(1)).alias("n_tx"),
-             F.round(F.sum("amount"), 2).alias("total_amount"))
+             F.sum(F.round(F.col("amount") * 100).cast("long"))
+             .alias("total_cents"))
         .orderBy("currency")
     )
 
 
+def _feed_oracle_sql() -> str:
+    agg: dict[str, list[int]] = {}
+    for i in range(N_FEED_ROWS):
+        row = _tx(42, i)
+        cur, amount = row[3], row[2]
+        n, cents = agg.get(cur, (0, 0))
+        agg[cur] = (n + 1, cents + round(amount * 100))
+    values = ", ".join(
+        f"('{cur}', CAST({n} AS BIGINT), CAST({cents} AS BIGINT))"
+        for cur, (n, cents) in sorted(agg.items()))
+    return (f"SELECT * FROM (VALUES {values}) "
+            f"AS t(currency, n_tx, total_cents) ORDER BY currency")
+
+
 QUERIES = {"q_ingest_feed": q_ingest_feed}
+ORACLES = {"q_ingest_feed": _feed_oracle_sql()}
