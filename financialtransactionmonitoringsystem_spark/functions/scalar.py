@@ -139,7 +139,39 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-money arithmetic on DecimalType(18,2) -- the production
+    variant of the reference's float64 money (``main.go:13``/``main.rs:11``;
+    SURVEY.md §1.2 note).  All sums/products are exact in decimal; the
+    final cast to double only converts the already-exact result, so both
+    engines agree bit-for-bit with no rounding formula at all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.sum(price).alias("__sp"),
+             F.sum(price * (one - disc)).alias("__sr"),
+             F.count(F.lit(1)).alias("n"))
+        .select("l_returnflag",
+                F.col("__sp").cast("double").alias("sum_price"),
+                F.col("__sr").cast("double").alias("sum_revenue"),
+                "n")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_fn_decimal": """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+                    AS DOUBLE) AS sum_revenue,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q_fn_string": """
         SELECT p_partkey,
                lower(p_type) AS type_lc,

@@ -283,6 +283,62 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join_forward(left: DataFrame, right: DataFrame, key: str,
+                      left_ts: str, right_ts: str,
+                      right_cols: list[str]) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row with
+    ``right.ts >= left.ts`` within the key (pandas ``merge_asof
+    direction='forward'`` semantics; the "next fill after the order"
+    shape in market data).
+
+    Same union+window plan as the backward form, mirrored: descending
+    timestamp order with ``last(..., ignorenulls)`` carries the nearest
+    *future* right row backward.  One shuffle on the key.
+    """
+    lt = left.withColumnRenamed(left_ts, "__ts") if left_ts != "__ts" else left
+    rt = right.withColumnRenamed(right_ts, "__ts") if right_ts != "__ts" else right
+    carried = [f"__r_{c}" for c in right_cols]
+    l_tagged = lt.withColumn("__side", F.lit(1))
+    for c, rc in zip(right_cols, carried):
+        l_tagged = l_tagged.withColumn(rc, F.lit(None).cast(rt.schema[c].dataType))
+    r_tagged = rt.select(
+        F.col(key), F.col("__ts"), F.lit(2).alias("__side"),
+        *[F.col(c).alias(rc) for c, rc in zip(right_cols, carried)],
+    )
+    for c in [c for c in l_tagged.columns if c not in carried]:
+        if c not in {key, "__ts", "__side"} and c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(l_tagged.schema[c].dataType))
+    unioned = l_tagged.unionByName(r_tagged)
+    # Descending ts; right rows (__side=2) sort before left at ties so an
+    # exact-timestamp match counts (>= semantics).
+    w = (W.partitionBy(key).orderBy(F.col("__ts").desc(), F.col("__side").desc())
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    filled = unioned
+    for rc in carried:
+        filled = filled.withColumn(rc, F.last(rc, ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1).drop("__side")
+    for c, rc in zip(right_cols, carried):
+        out = out.withColumnRenamed(rc, f"r_{c}")
+    return out.withColumnRenamed("__ts", left_ts)
+
+
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each signup matched to the user's next
+    purchase at-or-after it (time-to-first-purchase shape)."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value")
+    out = asof_join_forward(signups, purchases, "user_id", "ts", "ts",
+                            ["event_id", "value"])
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("r_event_id").alias("next_purchase_id"),
+        rnd(F.col("r_value")).alias("next_purchase_value"),
+    )
+
+
 def interval_join_bucketed(left: DataFrame, right: DataFrame, key: str,
                            left_ts: str, right_ts: str,
                            interval_s: int) -> DataFrame:
@@ -327,6 +383,17 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_join_asof_fwd": f"""
+        WITH s AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'signup'),
+             p AS (SELECT user_id, ts, event_id, value FROM events
+                   WHERE event_type = 'purchase')
+        SELECT s.event_id, s.user_id, s.ts,
+               arg_min(p.event_id, p.ts) AS next_purchase_id,
+               {R('arg_min(p.value, p.ts)')} AS next_purchase_value
+        FROM s LEFT JOIN p ON p.user_id = s.user_id AND p.ts >= s.ts
+        GROUP BY s.event_id, s.user_id, s.ts
+    """,
     "q_scan_all": "SELECT * FROM lineitem",
     "q_scan_prune": "SELECT l_orderkey, l_extendedprice FROM lineitem",
     "q_ingest_json": """

@@ -82,3 +82,34 @@ def test_interval_join_matches_duckdb(spark, left, right, interval):
 
     norm = lambda df: sorted((int(r.lv), int(r.rv)) for r in df.itertuples())
     assert norm(got) == norm(want)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(left=pairs, right=pairs)
+def test_asof_forward_matches_duckdb(spark, left, right):
+    from financialtransactionmonitoringsystem_spark.operators.relational import (
+        asof_join_forward)
+
+    lrows = [(k, t, 100 + i) for i, (k, t) in enumerate(sorted(left))]
+    rrows = [(k, t, 200 + i) for i, (k, t) in enumerate(sorted(right))]
+    ldf = _mk(spark, lrows, ["k", "ts", "lv"])
+    rdf = _mk(spark, rrows, ["k", "ts", "rv"])
+    got = asof_join_forward(ldf, rdf, "k", "ts", "ts", ["rv"]) \
+        .select("k", "ts", "lv", "r_rv").toPandas()
+
+    con = duckdb.connect()
+    con.register("l", pd.DataFrame(lrows, columns=["k", "ts", "lv"]))
+    con.register("r", pd.DataFrame(rrows, columns=["k", "ts", "rv"]))
+    # forward as-of: earliest right with r.ts >= l.ts per key
+    want = con.execute("""
+        SELECT l.k, l.ts, l.lv, arg_min(r.rv, r.ts) AS r_rv
+        FROM l LEFT JOIN r ON l.k = r.k AND r.ts >= l.ts
+        GROUP BY l.k, l.ts, l.lv
+    """).df()
+    con.close()
+
+    norm = lambda df: sorted(
+        (int(r.k), int(r.ts), int(r.lv), None if pd.isna(r.r_rv) else int(r.r_rv))
+        for r in df.itertuples())
+    assert norm(got) == norm(want)
