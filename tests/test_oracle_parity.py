@@ -57,3 +57,38 @@ def test_hll_sketch_estimates_bounded_error_and_lossless_merge(spark, sf_dir):
     direct = ev.agg(
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("n")).first().n
     assert est["ALL"] == direct
+
+
+EXPECTED_KEYS = {
+    "q_agg_approx", "q_agg_collect", "q_agg_cube", "q_agg_distinct",
+    "q_agg_global", "q_agg_group", "q_agg_gsets", "q_agg_having",
+    "q_agg_hll", "q_agg_rollup", "q_agg_salted", "q_agg_stats", "q_cte",
+    "q_dedup", "q_dedup_embed", "q_dedup_exact", "q_dedup_fuzzy",
+    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_except",
+    "q_filter_compound", "q_filter_null", "q_filter_range", "q_fn_array",
+    "q_fn_cond", "q_fn_date", "q_fn_decimal", "q_fn_json", "q_fn_map",
+    "q_fn_math", "q_fn_string", "q_ingest_feed", "q_ingest_json",
+    "q_intersect", "q_join_anti", "q_join_asof", "q_join_asof_fwd",
+    "q_join_broadcast", "q_join_full", "q_join_inner", "q_join_interval",
+    "q_join_left", "q_join_multiway", "q_join_salted", "q_join_semi",
+    "q_join_theta", "q_mm_features", "q_mm_meta", "q_pivot",
+    "q_point_lookup", "q_project_compute", "q_scan_all", "q_scan_prune",
+    "q_sim_cosine", "q_sim_ivf", "q_sim_knn_per_label", "q_sim_lsh",
+    "q_sort_multi", "q_stream_flag", "q_stream_session", "q_stream_sliding",
+    "q_stream_state", "q_stream_tumbling", "q_subquery_in",
+    "q_subquery_scalar", "q_text_fingerprint", "q_text_langid",
+    "q_text_quality", "q_text_stats", "q_text_tokencount", "q_text_tokens",
+    "q_topk", "q_topk_per_group", "q_union", "q_unpivot", "q_win_frame",
+    "q_win_lag", "q_win_ntile", "q_win_range", "q_win_rank",
+}
+
+
+def test_registry_is_complete():
+    """queries.py import-guards extension modules; this pins the full key
+    set so a silently-failing module import fails CI loudly instead of
+    shrinking the registry."""
+    import __spark_entry__ as E
+
+    got = set(E.queries())
+    missing = EXPECTED_KEYS - got
+    assert not missing, f"registry lost keys (broken module import?): {sorted(missing)}"
