@@ -60,16 +60,32 @@ def q_ingest_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------------- filters ----
 
 
-def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3 point lookup: equality filter + first match by key order.
+def first_match(df: DataFrame, pred, *tiebreak: str) -> DataFrame:
+    """Deterministic first-match: filter + ORDER BY a real tiebreaker.
 
-    The reference scans linearly and returns the first row whose id
-    matches (``main.rs:94-95``, ``main.go:66-74``); under Catalyst the
-    equality predicate is pushed into the parquet scan.  ``orderBy`` makes
-    the first-match choice deterministic under duplicates (SURVEY §2.1).
+    The tiebreaker columns must NOT be pinned to a constant by the
+    predicate (ordering by the filtered key is a no-op under duplicate
+    keys); callers pass the ingest-sequence column(s) of the table.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.filter(F.col("o_orderkey") == 42).orderBy("o_orderkey").limit(1)
+    return df.filter(pred).orderBy(*tiebreak).limit(1)
+
+
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 point lookup: equality filter + first match in ingest order.
+
+    The reference scans linearly and returns the FIRST row whose id
+    matches (``main.rs:94-95``, ``main.go:66-74``) -- under duplicate
+    keys the winner is the earliest-ingested row.  ``lineitem`` genuinely
+    has duplicate ``l_orderkey`` rows (4-6 per key in testdata) and its
+    ingest sequence within a key is ``l_linenumber``, so the
+    deterministic twin of "first match in ingest order" orders by that
+    tiebreaker -- not by the filtered key, which the predicate pins to a
+    constant.  Catalyst still pushes the equality into the parquet scan
+    (row-group + page skipping): sub-linear where the reference is O(n)
+    per request.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return first_match(li, F.col("l_orderkey") == 42, "l_linenumber")
 
 
 def q_filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -402,7 +418,8 @@ ORACLES: dict[str, str] = {
                '{"event_id":' || event_id || ',"k":' || json_extract_string(props, '$.k') || '}' AS echo
         FROM events
     """,
-    "q_point_lookup": "SELECT * FROM orders WHERE o_orderkey = 42",
+    "q_point_lookup":
+        "SELECT * FROM lineitem WHERE l_orderkey = 42 ORDER BY l_linenumber LIMIT 1",
     "q_filter_range": """
         SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         FROM lineitem

@@ -16,7 +16,7 @@ def test_point_lookup_pushes_equality_into_scan(spark, sf_dir):
     must push the predicate to parquet (row-group skipping)."""
     df = relational.q_point_lookup(spark, sf_dir)
     pf = P.pushed_filters(df)
-    assert "EqualTo(o_orderkey,42)" in pf, pf
+    assert "EqualTo(l_orderkey,42)" in pf, pf
 
 
 def test_range_filter_pushes_bounds(spark, sf_dir):
@@ -77,6 +77,25 @@ def test_scan_all_has_no_shuffle(spark, sf_dir):
 
 def test_codegen_present_in_hot_paths(spark, sf_dir):
     assert P.wholestage_codegen_ids(aggregates.q_agg_group(spark, sf_dir)) >= 1
+
+
+def test_dedup_verify_joins_never_force_broadcast(spark, sf_dir):
+    """Round-2 VERDICT #2: with stats-driven broadcasting disabled, the
+    minhash-verify and embed near-dup plans must contain no
+    BroadcastExchange at all -- proving no hint ships the corpus token /
+    embedding table to every executor (OOM at 10^9 docs).  A stats-driven
+    broadcast chosen by Catalyst at test scale would reverse itself as the
+    stats grow; a hint would not, so hints are what this test bans."""
+    from financialtransactionmonitoringsystem_spark.operators import dedup
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in (dedup.q_dedup_minhash, dedup.q_dedup_embed):
+            plan = P.plan_str(q(spark, sf_dir), "simple")
+            assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_salted_join_is_shuffle_join_no_cartesian(spark, sf_dir):
