@@ -110,6 +110,28 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    # fake_decode is md5-derived and DuckDB has md5(): rebuild the digest
+    # bytes from hex pairs and reproduce width/height/n_bytes/mean_px
+    # exactly (round-2 VERDICT "Next round" #5 -- graduates the key from
+    # rows-only to hash-match).  mean_px: int sum <= 4080, /16 is exact in
+    # double, then one IEEE division by 255 -- bit-identical both engines.
+    # 2.55e2 (not 255.0): bare decimals parse as DECIMAL in DuckDB.
+    "q_mm_features": """
+        WITH b AS (
+          SELECT doc_id, md5(text) AS h,
+                 CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(4 AS INTEGER) AS width,
+               CAST(4 AS INTEGER) AS height,
+               n_bytes,
+               CAST(list_reduce(list_transform(range(0, 16), i ->
+                     (strpos('0123456789abcdef', substr(h, i*2 + 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef', substr(h, i*2 + 2, 1)) - 1)),
+                   (x, y) -> x + y) AS DOUBLE) / 16 / 2.55e2 AS mean_px
+        FROM b
+    """,
     "q_mm_meta": """
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

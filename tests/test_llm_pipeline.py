@@ -100,6 +100,22 @@ def test_ivf_similarity_recall(spark, sf_dir):
     assert len(a) == len(e) and recall >= 0.45, f"IVF recall {recall:.2f}"
 
 
+def test_ivf_query_path_never_refits(spark, sf_dir, monkeypatch):
+    """Round-2 VERDICT #3: the quantizer fit belongs to the persisted
+    index build, not the query.  With the index on disk and KMeans.fit
+    poisoned, the probe must still succeed."""
+    from pyspark.ml.clustering import KMeans
+
+    similarity.build_ivf_index(spark, sf_dir)  # idempotent: no-op if built
+    similarity._IVF_CACHE.clear()  # force the disk-read path
+
+    def _boom(self, dataset):
+        raise AssertionError("KMeans.fit called in the query path")
+
+    monkeypatch.setattr(KMeans, "fit", _boom)
+    assert similarity.q_sim_ivf(spark, sf_dir).count() > 0
+
+
 def test_salted_ops_match_unsalted(spark, sf_dir):
     """Salted two-phase agg and salted join are pure physical rewrites:
     results are identical to the direct plans."""

@@ -82,6 +82,48 @@ def test_foreachbatch_compaction_point_lookup(spark, sf_dir, events_stream):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_compaction_rewrites_only_touched_buckets(spark):
+    """Round-2 VERDICT #4: compaction must be O(batch), not O(table).
+    A micro-batch touching one key bucket must leave every other bucket's
+    files byte-for-byte alone (same paths, same mtimes), while the
+    touched key serves the new latest row."""
+    import datetime
+    import glob
+    import os
+
+    schema = "event_id bigint, ts timestamp, value double"
+    tmp = tempfile.mkdtemp(prefix="fintxmon_bucketed_")
+    serving = f"{tmp}/serving"
+    try:
+        sink = pipeline.compact_latest_to(serving, key="event_id", n_buckets=4)
+        t0 = datetime.datetime(2025, 1, 1)
+        sink(spark.createDataFrame(
+            [(i, t0, float(i)) for i in range(16)], schema), 0)
+
+        def listing():
+            return {p: os.path.getmtime(p)
+                    for p in glob.glob(f"{serving}/__kb=*/*.parquet")}
+
+        before = listing()
+        sink(spark.createDataFrame(
+            [(3, t0 + datetime.timedelta(hours=1), 99.0)], schema), 1)
+        after = listing()
+
+        kb3 = (spark.read.parquet(serving)
+               .filter(F.col("event_id") == 3).select("__kb").first()["__kb"])
+        untouched = {p: t for p, t in before.items() if f"__kb={kb3}/" not in p}
+        assert untouched, "test needs at least one untouched bucket"
+        for p, t in untouched.items():
+            assert p in after and after[p] == t, f"untouched bucket rewritten: {p}"
+        assert any(p not in before for p in after), "touched bucket not rewritten"
+
+        got = pipeline.serving_lookup(spark, serving, 3, n_buckets=4).collect()
+        assert len(got) == 1 and got[0].value == 99.0
+        assert spark.read.parquet(serving).count() == 16  # still 1 row/key
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_stateful_balance_alerts_match_batch_twin(spark, sf_dir, events_stream):
     """applyInPandasWithState crossing alerts == batch running-sum twin."""
     from financialtransactionmonitoringsystem_spark.streaming import stateful
