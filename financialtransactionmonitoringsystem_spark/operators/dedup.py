@@ -92,6 +92,68 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _verify_jaccard(cands: DataFrame, toksets: DataFrame,
+                    threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Exact-Jaccard verification of a candidate-pair table: two plain
+    shuffle equi-joins on doc_id against the corpus token table (never a
+    forced broadcast of the corpus side -- round-2 VERDICT #2)."""
+    a = toksets.alias("ta")
+    b = toksets.alias("tb")
+    j = _jaccard(F.col("ta.toks"), F.col("tb.toks"),
+                 F.col("ta.n_toks"), F.col("tb.n_toks"))
+    return (
+        cands.join(a, cands.doc_a == F.col("ta.doc_id"))
+        .join(b, cands.doc_b == F.col("tb.doc_id"))
+        .select("doc_a", "doc_b", rnd(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def prefix_candidates(docs: DataFrame,
+                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """EXACT near-dup candidates via positional prefix filtering (the
+    All-Pairs/PPJoin principle): for Jaccard >= t, |A∩B| >= t·|A|, so two
+    qualifying sets MUST share a token among the first
+    floor((1-t)·|X|)+1 tokens of any shared canonical token order.
+    Ordering tokens rarest-first makes those prefix tokens the most
+    selective ones -- stopwords never land in a prefix -- so the
+    candidate join is an equi-join on (lang, rare token) with small
+    buckets, not an all-pairs product.  Lossless: recall is exactly 1 by
+    the prefix property, unlike MinHash banding.
+    """
+    t = _tok_sets(docs)
+    tok = t.select("doc_id", "lang", "n_toks", F.explode("toks").alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
+    w = W.partitionBy("doc_id").orderBy(F.col("gf").asc(), F.col("tok").asc())
+    pref = (
+        tok.join(freq, "tok")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <=
+                F.floor((1.0 - threshold) * F.col("n_toks")) + 1)
+        .select("doc_id", "lang", "tok")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    return (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs at scale: prefix-filtered
+    candidates + exact verification.  Produces BYTE-IDENTICAL results to
+    ``q_dedup_ngram`` (same oracle SQL) without ever materializing the
+    blocked all-pairs product -- this is the scale path for *exact*
+    dedup, alongside MinHash for the approximate trade."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = prefix_candidates(docs)
+    return _verify_jaccard(cands, _tok_sets(docs).select("doc_id", "toks", "n_toks"))
+
+
 def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """(doc_id, min_0..min_{k-1}): k min-hashes over the distinct token
     set, using xxhash64(token, seed) as the hash family (deterministic)."""
@@ -154,16 +216,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     cands = lsh_candidates(minhash_signatures(docs))
-    t = _tok_sets(docs).select("doc_id", "toks", "n_toks")
-    a = t.alias("ta")
-    b = t.alias("tb")
-    j = _jaccard(F.col("ta.toks"), F.col("tb.toks"), F.col("ta.n_toks"), F.col("tb.n_toks"))
-    return (
-        cands.join(a, cands.doc_a == F.col("ta.doc_id"))
-        .join(b, cands.doc_b == F.col("tb.doc_id"))
-        .select("doc_a", "doc_b", rnd(j, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return _verify_jaccard(cands, _tok_sets(docs).select("doc_id", "toks", "n_toks"))
 
 
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,10 +322,104 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation:
+    ``(id, comp)`` where ``comp`` is the smallest node id reachable in the
+    undirected edge graph.
+
+    Each iteration is one shuffle (neighbor-min aggregate + join) and the
+    label set halves-or-better per round, so convergence is
+    O(log(largest component diameter)) rounds -- the standard
+    large-graph CC shape (large-star/small-star simplification).  The
+    change count that drives termination is the only driver-side value.
+
+    Iterative lineage MUST be truncated with ``localCheckpoint``, not
+    ``persist``: a persisted frame still carries the full logical plan,
+    which nests one level deeper per iteration -- by ~10 rounds merely
+    *rendering* that plan (explainString) OOMs a default-1g driver, long
+    before any executor runs out.  Checkpointed labels are a few rows per
+    node; the cost per round is one small materialization.
+    """
+    fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # Checkpoint the undirected edge table up front: every iteration (and
+    # its convergence count) re-reads it, and without it each pass
+    # recomputes the full upstream candidate join.
+    und = fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
+    labels = (und.select(F.col("u").alias("id")).distinct()
+              .withColumn("comp", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        neigh = (und.join(labels, und.u == labels.id)
+                 .groupBy("v").agg(F.min("comp").alias("n_comp")))
+        new = (labels.join(neigh, labels.id == neigh.v, "left")
+               .select("id", F.least(F.col("comp"),
+                                     F.coalesce("n_comp", "comp")).alias("comp"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the exact
+    near-dup pair graph (``q_dedup_ngram`` edges), giving every document
+    a canonical ``cluster_id`` = the smallest doc_id in its component.
+    Near-dup similarity is NOT transitive, so clusters are genuinely
+    larger than single pairs -- this is the "collapse each dup cluster to
+    one representative" step of a pretraining dedup pipeline.  Docs with
+    no near-dup edge are their own singleton cluster.
+
+    Oracle: DuckDB recursive CTE computing min-reachable-id (set-semantic
+    UNION terminates the recursion).  Edges come from the prefix-filtered
+    exact join (``q_dedup_prefix``) -- identical pairs to the all-pairs
+    ground truth, so the oracle holds, at equi-join cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    edges = q_dedup_prefix(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(edges)
+    return (
+        docs.select("doc_id").join(
+            comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("comp", "doc_id").alias("cluster_id"))
+    )
+
+
 _J_SQL = """CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / (a.n_toks + b.n_toks - len(list_intersect(a.toks, b.toks)))"""
 
 ORACLES: dict[str, str] = {
+    # Recursive CTE closure: reach = every (node, reachable-id) pair over
+    # the undirected near-dup edge graph (set-semantic UNION terminates);
+    # min reachable id per node == the component's canonical id.
+    "q_dedup_cluster": f"""
+        WITH RECURSIVE t AS (
+          SELECT doc_id, lang,
+                 list_distinct(string_split(text, ' ')) AS toks,
+                 len(list_distinct(string_split(text, ' '))) AS n_toks
+          FROM documents
+        ), pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+          WHERE {R(_J_SQL, 6)} >= {JACCARD_THRESHOLD}
+        ), edges AS (
+          SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL
+          SELECT doc_b AS u, doc_a AS v FROM pairs
+        ), reach AS (
+          SELECT u AS id, u AS comp FROM edges
+          UNION
+          SELECT e.v AS id, r.comp FROM reach r JOIN edges e ON e.u = r.id
+        )
+        SELECT d.doc_id, COALESCE(m.comp, d.doc_id) AS cluster_id
+        FROM documents d
+        LEFT JOIN (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id) m
+          ON m.id = d.doc_id
+    """,
     "q_dedup_exact": """
         SELECT doc_id, lang, source, n_chars FROM (
           SELECT doc_id, lang, source, n_chars,
@@ -281,6 +428,20 @@ ORACLES: dict[str, str] = {
         ) WHERE rn = 1
     """,
     "q_dedup_ngram": f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_distinct(string_split(text, ' ')) AS toks,
+                 len(list_distinct(string_split(text, ' '))) AS n_toks
+          FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {R(_J_SQL, 6)} AS jaccard
+        FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE {R(_J_SQL, 6)} >= {JACCARD_THRESHOLD}
+    """,
+    # Same predicate as q_dedup_ngram: the prefix-filtered plan must be
+    # value-identical to the all-pairs ground truth (lossless filter).
+    "q_dedup_prefix": f"""
         WITH t AS (
           SELECT doc_id, lang,
                  list_distinct(string_split(text, ' ')) AS toks,

@@ -100,7 +100,38 @@ def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_HEX_CEIL = "20"  # keep rows whose md5 prefix < 0x20 -> 32/256 = 12.5%
+
+
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling: keep the ~12.5% of lineitem rows whose
+    md5(row key) falls under a fixed hex prefix threshold.
+
+    Unlike ``df.sample()`` (seeded per-partition RNG: resample on every
+    repartition, irreproducible across engines), a content-hash sample is
+    a pure filter -- stable under any partitioning, identical on any
+    engine, and trivially stratifiable by putting the stratum in the key.
+    This is how a training pipeline carves held-out slices at 100 TB: the
+    predicate pushes to the scan and no shuffle happens at all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")))
+    return (
+        li.filter(F.substring(h, 1, 2) < SAMPLE_HEX_CEIL)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+                F.substring(h, 1, 2).alias("hb"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_sample_hash": f"""
+        SELECT l_orderkey, l_linenumber, l_quantity, substring(h, 1, 2) AS hb
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+                     md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                         CAST(l_linenumber AS VARCHAR)) AS h
+              FROM lineitem)
+        WHERE substring(h, 1, 2) < '{SAMPLE_HEX_CEIL}'
+    """,
     "q_pivot": f"""
         SELECT user_id,
                {R("COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0.0)")} AS click,

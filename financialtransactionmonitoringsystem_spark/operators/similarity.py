@@ -233,6 +233,34 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene stats per label block: vector count and L2-norm
+    min/max/avg -- the sanity pass a pipeline runs before indexing
+    (catching zero vectors, unnormalized batches, dead labels).
+
+    The norm is the same sequential double fold as ``cosine_fold`` so
+    per-row values are bit-identical to DuckDB's list_reduce; min/max are
+    order-insensitive exactly, avg is rounded to 4 places (cross-engine
+    summation-order noise is ~1e-15 relative).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"),
+             rnd(F.min("norm"), 6).alias("min_norm"),
+             rnd(F.max("norm"), 6).alias("max_norm"),
+             rnd(F.avg("norm"), 4).alias("avg_norm"))
+    )
+
+
 _COS = SQL_COSINE.format(a="q.embedding", b="e.embedding")
 
 _SIGN_BUCKET = " + ".join(
@@ -240,7 +268,18 @@ _SIGN_BUCKET = " + ".join(
     for j in range(LSH_SIGN_DIMS)
 )
 
+_NORM = """sqrt(list_reduce(list_transform(range(1, 65),
+    i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+    (x, y) -> x + y))"""
+
 ORACLES: dict[str, str] = {
+    "q_embed_stats": f"""
+        SELECT label, COUNT(*) AS n_vecs,
+               {R(f'MIN({_NORM})', 6)} AS min_norm,
+               {R(f'MAX({_NORM})', 6)} AS max_norm,
+               {R(f'AVG({_NORM})', 4)} AS avg_norm
+        FROM embeddings GROUP BY label
+    """,
     "q_sim_cosine": f"""
         SELECT q_id, vec_id, cos, CAST(rn AS BIGINT) AS rn FROM (
           SELECT q.vec_id AS q_id, e.vec_id AS vec_id,

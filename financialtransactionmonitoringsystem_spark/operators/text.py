@@ -11,7 +11,7 @@ metrics are narrow projections with no shuffle at all.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -119,7 +119,149 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TFIDF_TOP_K = 3
+DECONTAM_NGRAM = 5  # word n-gram size for benchmark-overlap checking
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by tf-idf rank.
+
+    The corpus statistic (document frequency) is a second aggregate over
+    the token explode, joined back on the token -- the canonical
+    "corpus-join" shape: both aggregations are map-side combinable and
+    the join key (tok) is the natural shuffle key at any scale.
+
+    The salience score is the *rational* tf * N / df rather than
+    tf * ln(N/df): ln is the one step whose last-ulp result is not
+    pinned down by IEEE-754 across engines, and the two scores rank
+    identically whenever tf is equal (and nearly so otherwise), so the
+    exact form keeps the oracle bit-deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_toks()).alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", rnd(F.col("tf") * F.col("n_docs") / F.col("df"), 6))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TFIDF_TOP_K)
+        .select("doc_id", "tok", "tf", "df", "score", "rn")
+    )
+
+
+PII_EMAIL = "[a-z0-9._]+@[a-z0-9.]+"
+PII_LONGNUM = "[0-9]{4,}"
+
+
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count + redact email-shaped and long-number tokens
+    (the pretraining scrub/decontamination pass).  All JVM-side regex;
+    the redacted text is fingerprinted so the check stays compact.
+    Patterns are deliberately RE2-safe (no backrefs/lookarounds) so Java
+    regex and DuckDB RE2 agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+        PII_LONGNUM, "<NUM>")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(PII_LONGNUM)).alias("n_longnums"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def _wordgrams(col, n: int):
+    """Word n-grams as an array column (empty when the doc is shorter
+    than n tokens -- guarded because Spark's sequence(1, 0) counts DOWN
+    to [1, 0] instead of yielding an empty array)."""
+    toks = F.split(col, " ")
+    m = F.size(toks) - n + 1
+    idx = F.when(m >= 1, F.sequence(F.lit(1), m)) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 5-gram with the "benchmark" set (stand-in: every 50th doc).
+
+    Shape at scale: explode both sides to (gram, doc) and equi-join on
+    the gram -- the gram is the shuffle key, the benchmark side is tiny
+    and broadcastable, and no pairwise document comparison ever runs.
+    Output: contaminated doc ids with hit counts, worst first.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_wordgrams(F.col("text"), DECONTAM_NGRAM)).alias("gram"))
+    bench = (docs.filter(F.col("doc_id") % 50 == 0)
+             .select("doc_id", F.explode(
+                 _wordgrams(F.col("text"), DECONTAM_NGRAM)).alias("gram"))
+             .select(F.col("doc_id").alias("bench_id"), "gram").distinct())
+    train = grams.filter(F.col("doc_id") % 50 != 0).distinct()
+    return (
+        train.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.countDistinct("bench_id").alias("n_bench_docs"))
+    )
+
+
+_GRAMS_SQL = f"""
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(string_split(text,' ')) - {DECONTAM_NGRAM - 1}, 0) + 1),
+               i -> array_to_string((string_split(text,' '))[i:i+{DECONTAM_NGRAM - 1}], ' ')
+           )) AS gram
+    FROM documents
+"""
+
 ORACLES: dict[str, str] = {
+    "q_text_tfidf": f"""
+        WITH tf AS (
+          SELECT doc_id, tok, COUNT(*) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok FROM documents)
+          WHERE length(tok) > 0
+          GROUP BY doc_id, tok
+        ), dfreq AS (
+          SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        ), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, tok, tf, df, score, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT tf.doc_id, tf.tok, tf.tf, dfreq.df,
+                 {R('tf.tf * nd.n_docs / dfreq.df', 6)} AS score,
+                 row_number() OVER (
+                     PARTITION BY tf.doc_id
+                     ORDER BY {R('tf.tf * nd.n_docs / dfreq.df', 6)} DESC,
+                              tf.tok ASC) AS rn
+          FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+        ) WHERE rn <= {TFIDF_TOP_K}
+    """,
+    "q_text_pii": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII_LONGNUM}')) AS INTEGER) AS n_longnums,
+               md5(regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                                  '{PII_LONGNUM}', '<NUM>', 'g')) AS redacted_fp
+        FROM documents
+    """,
+    "q_text_decontam": f"""
+        WITH g AS ({_GRAMS_SQL}),
+        bench AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g WHERE doc_id % 50 = 0),
+        train AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 != 0)
+        SELECT doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT bench_id) AS n_bench_docs
+        FROM train JOIN bench USING (gram)
+        GROUP BY doc_id
+    """,
     "q_text_tokens": """
         SELECT tok, COUNT(*) AS n
         FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

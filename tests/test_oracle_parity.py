@@ -63,8 +63,10 @@ EXPECTED_KEYS = {
     "q_agg_approx", "q_agg_collect", "q_agg_cube", "q_agg_distinct",
     "q_agg_global", "q_agg_group", "q_agg_gsets", "q_agg_having",
     "q_agg_hll", "q_agg_rollup", "q_agg_salted", "q_agg_stats", "q_cte",
-    "q_dedup", "q_dedup_embed", "q_dedup_exact", "q_dedup_fuzzy",
-    "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash", "q_except",
+    "q_dedup", "q_dedup_cluster", "q_dedup_embed", "q_dedup_exact",
+    "q_dedup_fuzzy", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_prefix",
+    "q_dedup_simhash",
+    "q_embed_stats", "q_except",
     "q_filter_compound", "q_filter_null", "q_filter_range", "q_fn_array",
     "q_fn_cond", "q_fn_date", "q_fn_decimal", "q_fn_json", "q_fn_map",
     "q_fn_math", "q_fn_string", "q_ingest_feed", "q_ingest_json",
@@ -72,15 +74,41 @@ EXPECTED_KEYS = {
     "q_join_broadcast", "q_join_full", "q_join_inner", "q_join_interval",
     "q_join_left", "q_join_multiway", "q_join_salted", "q_join_semi",
     "q_join_theta", "q_mm_features", "q_mm_meta", "q_pivot",
-    "q_point_lookup", "q_project_compute", "q_scan_all", "q_scan_prune",
+    "q_point_lookup", "q_project_compute", "q_sample_hash", "q_scan_all",
+    "q_scan_prune",
     "q_sim_cosine", "q_sim_ivf", "q_sim_knn_per_label", "q_sim_lsh",
     "q_sort_multi", "q_stream_flag", "q_stream_session", "q_stream_sliding",
     "q_stream_state", "q_stream_tumbling", "q_subquery_in",
-    "q_subquery_scalar", "q_text_fingerprint", "q_text_langid",
-    "q_text_quality", "q_text_stats", "q_text_tokencount", "q_text_tokens",
+    "q_subquery_scalar", "q_text_decontam", "q_text_fingerprint",
+    "q_text_langid", "q_text_pii", "q_text_quality", "q_text_stats",
+    "q_text_tfidf", "q_text_tokencount", "q_text_tokens",
     "q_topk", "q_topk_per_group", "q_union", "q_unpivot", "q_win_frame",
     "q_win_lag", "q_win_ntile", "q_win_range", "q_win_rank",
 }
+
+
+def test_window_rotation():
+    """ADVICE r2: the driver-window ordering must be derivable and
+    validated, not a frozen list.  Every key named in the rotation
+    metadata must resolve in the registry (a typo would silently backfill
+    the window), and every key needing a fresh driver verdict -- new,
+    touched, or oldest-attested -- must land inside the observed ~50-key
+    window."""
+    keys = set(ALL)
+    for name, named in (("LAST_ATTESTED", set(registry.LAST_ATTESTED)),
+                        ("TOUCHED", set(registry.TOUCHED)),
+                        ("REPRESENTATIVES", set(registry.REPRESENTATIVES))):
+        unknown = named - keys
+        assert not unknown, f"{name} names unregistered keys: {sorted(unknown)}"
+    newest = max(registry.LAST_ATTESTED.values())
+    stale = {k for k in keys
+             if k in registry.TOUCHED
+             or registry.LAST_ATTESTED.get(k, 0) < newest}
+    window = set(list(ALL)[:50])
+    missed = stale - window
+    assert not missed, (
+        f"{len(stale)} stale keys but these fall outside the 50-key "
+        f"driver window: {sorted(missed)}")
 
 
 def test_registry_is_complete():
