@@ -97,6 +97,9 @@ def _verify_jaccard(cands: DataFrame, toksets: DataFrame,
     """Exact-Jaccard verification of a candidate-pair table: two plain
     shuffle equi-joins on doc_id against the corpus token table (never a
     forced broadcast of the corpus side -- round-2 VERDICT #2)."""
+    # The token table feeds BOTH sides of the pair join; persisting it
+    # keeps the tokenize pipeline from running once per join build.
+    toksets = toksets.persist()
     a = toksets.alias("ta")
     b = toksets.alias("tb")
     j = _jaccard(F.col("ta.toks"), F.col("tb.toks"),
@@ -118,26 +121,45 @@ def prefix_candidates(docs: DataFrame,
     Ordering tokens rarest-first makes those prefix tokens the most
     selective ones -- stopwords never land in a prefix -- so the
     candidate join is an equi-join on (lang, rare token) with small
-    buckets, not an all-pairs product.  Lossless: recall is exactly 1 by
-    the prefix property, unlike MinHash banding.
+    buckets, not an all-pairs product.  Two further lossless PPJoin
+    prunes run as join residuals before the expensive verify:
+
+    * length filter: J >= t forces t*|B| <= |A| (and symmetrically), so
+      size-mismatched pairs drop without touching their tokens;
+    * positional filter: every common token appears at canonical
+      position >= p in each doc, so overlap <= 1 + min(|A|-pA, |B|-pB);
+      J >= t needs overlap >= t/(1+t)*(|A|+|B|).  A qualifying pair's
+      FIRST shared token always satisfies this, so keeping pairs where
+      any matched row passes loses nothing.
+
+    Recall is exactly 1 by the prefix property, unlike MinHash banding.
     """
     t = _tok_sets(docs)
     tok = t.select("doc_id", "lang", "n_toks", F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
     w = W.partitionBy("doc_id").orderBy(F.col("gf").asc(), F.col("tok").asc())
+    # Persist: the self-join below evaluates its build side separately,
+    # which would otherwise re-run the scan->tokenize->freq->window chain
+    # per side (measured 3x slower end-to-end at sf0.1 without this).
     pref = (
         tok.join(freq, "tok")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <=
                 F.floor((1.0 - threshold) * F.col("n_toks")) + 1)
-        .select("doc_id", "lang", "tok")
+        .select("doc_id", "lang", "tok", "pos", "n_toks")
+        .persist()
     )
     a = pref.alias("a")
     b = pref.alias("b")
+    na, nb = F.col("a.n_toks"), F.col("b.n_toks")
+    overlap_ub = F.lit(1) + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
+    min_overlap = (threshold / (1.0 + threshold)) * (na + nb)
     return (
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
                & (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (na >= threshold * nb) & (nb >= threshold * na)
+               & (overlap_ub >= min_overlap))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
