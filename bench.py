@@ -46,6 +46,8 @@ HEADLINE = [
     "q_text_tfidf",
     "q_text_decontam",
     "q_sample_hash",
+    "q_pack_sequences",
+    "q_pipeline_curate",
 ]
 
 

@@ -1,0 +1,167 @@
+"""Curation composites: the steps that turn a raw corpus into training
+data (driver mandate: large-scale training-data pipeline operations).
+
+* ``q_pack_sequences`` -- pack documents into fixed-token-budget training
+  sequences (the "sequence packing" step before batching);
+* ``q_sample_stratified`` -- per-language deterministic hash sampling
+  (the "data mixing" step: different keep rates per stratum);
+* ``q_pipeline_curate`` -- the end-to-end composite: near-dup cluster
+  representatives -> quality filter -> stratified sample -> dataset-card
+  rollup.  One query exercising dedup, scoring, and sampling together,
+  the shape a real curation DAG has.
+
+All built-in expressions (window sums, regex counts, md5) -- no Python
+UDFs; the only shuffles are the per-lang window and the final rollup.
+The reference (a 204-line CRUD prototype, SURVEY.md §0) has no analog;
+these derive from the driver contract's north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .dedup import ORACLES as _DEDUP_ORACLES
+from .dedup import q_dedup_cluster
+
+PACK_BUDGET = 512  # tokens per packed training sequence
+
+# Data-mixing keep rates as md5-hex-prefix ceilings: en keeps 128/256
+# (50%), every other language 32/256 (12.5%).  A hash sample is a pure
+# filter -- reproducible across engines, stable under repartitioning,
+# and stratified simply by varying the ceiling per stratum.
+MIX_CEIL_EN = "80"
+MIX_CEIL_OTHER = "20"
+
+
+def _n_tokens():
+    return F.size(F.split(F.col("text"), " "))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign each document to the fixed-budget
+    training sequence (``seq_id``) where its first token lands, packing
+    contiguously in doc_id order within each language stream.
+
+    The running token offset is a per-lang window sum -- one shuffle on
+    ``lang``, no joins, no state.  At 100 TB the lang partitions are
+    few and huge, so the production layout range-partitions by
+    ``(lang, doc_id)`` first (the window then runs per range partition
+    and seq ids are offset by per-partition totals); the per-lang window
+    here expresses the same contract Catalyst-natively.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    return (
+        docs.select("doc_id", "lang", _n_tokens().alias("n_tokens"))
+        .select("doc_id", "lang", "n_tokens", start)
+        .select(
+            "doc_id", "lang", "n_tokens",
+            F.floor(F.col("start_tok") / PACK_BUDGET).alias("seq_id"),
+            (F.col("start_tok") % PACK_BUDGET).alias("seq_off"),
+        )
+    )
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling (data mixing): keep 50% of
+    English documents and 12.5% of everything else by md5-prefix
+    threshold.  Pure per-row filter -- no shuffle; the predicate is
+    computable at the scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("-", F.lit("mix"), F.col("doc_id")))
+    ceil_ = F.when(F.col("lang") == "en", MIX_CEIL_EN).otherwise(MIX_CEIL_OTHER)
+    return (
+        docs.select("doc_id", "lang", "source",
+                    F.substring(h, 1, 2).alias("hb"), ceil_.alias("ceil"))
+        .filter(F.col("hb") < F.col("ceil"))
+        .select("doc_id", "lang", "source", "hb")
+    )
+
+
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation: keep each near-dup cluster's canonical
+    representative, drop low-quality docs (same predicate as
+    ``q_text_quality``), apply the stratified mix sample, and roll the
+    survivors up into the dataset card per (lang, source).
+
+    Composition stays lazy -- Catalyst fuses the three filters into the
+    scan side of the cluster join, so the pipeline costs one cluster
+    computation + one rollup, not four passes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    reps = (q_dedup_cluster(spark, sf_dir)
+            .filter(F.col("doc_id") == F.col("cluster_id"))
+            .select("doc_id"))
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    h = F.md5(F.concat_ws("-", F.lit("mix"), F.col("doc_id")))
+    ceil_ = F.when(F.col("lang") == "en", MIX_CEIL_EN).otherwise(MIX_CEIL_OTHER)
+    return (
+        docs.join(reps, "doc_id")
+        .filter((n_tokens >= 20) & (ttr > 0.2))
+        .filter(F.substring(h, 1, 2) < ceil_)
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(n_tokens.cast("bigint")).alias("total_tokens"),
+             F.max("n_chars").alias("max_chars"))
+    )
+
+
+_N_TOKENS_SQL = "len(string_split(text, ' '))"
+
+_QUALITY_SQL = f"""({_N_TOKENS_SQL} >= 20 AND
+    CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+    / {_N_TOKENS_SQL} > 0.2)"""
+
+def _mix_sql(q: str = "") -> str:
+    """The mixing predicate with an optional table qualifier (needed
+    where doc_id would be ambiguous after a join)."""
+    return f"""substring(md5('mix-' || CAST({q}doc_id AS VARCHAR)), 1, 2)
+        < (CASE WHEN {q}lang = 'en' THEN '{MIX_CEIL_EN}'
+           ELSE '{MIX_CEIL_OTHER}' END)"""
+
+ORACLES: dict[str, str] = {
+    "q_pack_sequences": f"""
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(start_tok / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+               CAST(start_tok % {PACK_BUDGET} AS BIGINT) AS seq_off
+        FROM (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+                 - n_tokens AS start_tok
+          FROM (SELECT doc_id, lang,
+                       CAST({_N_TOKENS_SQL} AS INTEGER) AS n_tokens
+                FROM documents)
+        )
+    """,
+    "q_sample_stratified": f"""
+        SELECT doc_id, lang, source,
+               substring(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 2) AS hb
+        FROM documents
+        WHERE {_mix_sql()}
+    """,
+    # Reuses q_dedup_cluster's recursive-CTE oracle as the dedup stage so
+    # the composite is value-checked end to end.
+    "q_pipeline_curate": f"""
+        SELECT d.lang, d.source,
+               COUNT(*) AS n_docs,
+               SUM(CAST({_N_TOKENS_SQL} AS BIGINT)) AS total_tokens,
+               MAX(n_chars) AS max_chars
+        FROM documents d
+        JOIN ({_DEDUP_ORACLES["q_dedup_cluster"]}) c
+          ON c.doc_id = d.doc_id AND c.cluster_id = d.doc_id
+        WHERE {_QUALITY_SQL} AND {_mix_sql('d.')}
+        GROUP BY d.lang, d.source
+    """,
+}
+
+QUERIES = {
+    name: fn for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+    and getattr(fn, "__module__", None) == __name__  # not re-exported imports
+}

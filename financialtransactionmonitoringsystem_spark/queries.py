@@ -21,7 +21,8 @@ _MODULES = [relational, aggregates, windows, setops, topk, scalar]
 # module never takes down the whole registry during development.
 for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
               "operators.similarity", "operators.multimodal",
-              "operators.extras", "operators.skew", "sources.txfeed"):
+              "operators.extras", "operators.skew", "operators.curate",
+              "sources.txfeed"):
     try:
         import importlib
 

@@ -176,3 +176,41 @@ def test_salted_ops_match_unsalted(spark, sf_dir):
     salted_j = {(r.c_mktsegment, r.n_events, r.total_value) for r in
                 skew.q_join_salted(spark, sf_dir).collect()}
     assert salted_j == direct_j and len(salted_j) > 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing is contiguous per lang: offsets live inside the budget,
+    each lang's stream starts at sequence 0 offset 0, and doc start
+    offsets are exactly the running token sum in doc_id order."""
+    from financialtransactionmonitoringsystem_spark.operators import curate
+
+    rows = curate.q_pack_sequences(spark, sf_dir).collect()
+    assert rows
+    by_lang: dict = {}
+    for r in rows:
+        assert 0 <= r.seq_off < curate.PACK_BUDGET
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: r.doc_id)
+        running = 0
+        for r in docs:
+            assert r.seq_id * curate.PACK_BUDGET + r.seq_off == running
+            running += r.n_tokens
+
+
+def test_curate_composite_is_consistent_with_stages(spark, sf_dir):
+    """The composite's per-(lang, source) doc counts must equal applying
+    the three stage predicates independently."""
+    from financialtransactionmonitoringsystem_spark.operators import curate, dedup
+
+    reps = {r.doc_id for r in
+            dedup.q_dedup_cluster(spark, sf_dir)
+            .filter(F.col("doc_id") == F.col("cluster_id")).collect()}
+    sampled = {r.doc_id for r in
+               curate.q_sample_stratified(spark, sf_dir).collect()}
+    quality = {r.doc_id for r in
+               text.q_text_quality(spark, sf_dir).filter("keep").collect()}
+    expect = len(reps & sampled & quality)
+    got = (curate.q_pipeline_curate(spark, sf_dir)
+           .agg(F.sum("n_docs").alias("n")).collect()[0].n)
+    assert got == expect and got > 0

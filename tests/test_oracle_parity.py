@@ -73,9 +73,10 @@ EXPECTED_KEYS = {
     "q_intersect", "q_join_anti", "q_join_asof", "q_join_asof_fwd",
     "q_join_broadcast", "q_join_full", "q_join_inner", "q_join_interval",
     "q_join_left", "q_join_multiway", "q_join_salted", "q_join_semi",
-    "q_join_theta", "q_mm_features", "q_mm_meta", "q_pivot",
-    "q_point_lookup", "q_project_compute", "q_sample_hash", "q_scan_all",
-    "q_scan_prune",
+    "q_join_theta", "q_mm_features", "q_mm_meta", "q_pack_sequences",
+    "q_pipeline_curate", "q_pivot",
+    "q_point_lookup", "q_project_compute", "q_sample_hash",
+    "q_sample_stratified", "q_scan_all", "q_scan_prune",
     "q_sim_cosine", "q_sim_ivf", "q_sim_knn_per_label", "q_sim_lsh",
     "q_sort_multi", "q_stream_flag", "q_stream_session", "q_stream_sliding",
     "q_stream_state", "q_stream_tumbling", "q_subquery_in",
