@@ -106,3 +106,46 @@ def test_salted_join_is_shuffle_join_no_cartesian(spark, sf_dir):
     df = skew.q_join_salted(spark, sf_dir)
     assert not P.has_cartesian(df)
     assert P.has_sort_merge_join(df) or "ShuffledHashJoin" in P.plan_str(df)
+
+
+def test_prefix_dedup_stays_equi_join_without_broadcast(spark, sf_dir):
+    """The prefix-filtered exact dedup must be pure equi-joins end to end
+    (candidate join on (tok, lang), verify joins on doc_id): no cartesian
+    product, and -- with stats-driven broadcasting disabled -- no
+    BroadcastExchange hint shipping the corpus anywhere."""
+    from financialtransactionmonitoringsystem_spark.operators import dedup
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup.q_dedup_prefix(spark, sf_dir)
+        assert not P.has_cartesian(df)
+        assert "BroadcastExchange" not in P.plan_str(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pack_sequences_costs_one_shuffle(spark, sf_dir):
+    """Sequence packing is a per-lang window: exactly one hash exchange,
+    no joins."""
+    from financialtransactionmonitoringsystem_spark.operators import curate
+
+    df = curate.q_pack_sequences(spark, sf_dir)
+    assert P.n_shuffles(df) <= 1, P.plan_str(df, "simple")
+    assert not P.has_cartesian(df)
+
+
+def test_stratified_sample_has_no_shuffle(spark, sf_dir):
+    """Hash sampling is a pure filter -- zero exchanges in the plan."""
+    from financialtransactionmonitoringsystem_spark.operators import curate, extras
+
+    assert P.n_shuffles(curate.q_sample_stratified(spark, sf_dir)) == 0
+    assert P.n_shuffles(extras.q_sample_hash(spark, sf_dir)) == 0
+
+
+def test_decontam_join_is_gram_keyed_not_pairwise(spark, sf_dir):
+    """Decontamination joins on the exploded n-gram (an equi key), never
+    a document-pair product."""
+    from financialtransactionmonitoringsystem_spark.operators import text
+
+    assert not P.has_cartesian(text.q_text_decontam(spark, sf_dir))
