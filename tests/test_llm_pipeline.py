@@ -214,3 +214,20 @@ def test_curate_composite_is_consistent_with_stages(spark, sf_dir):
     got = (curate.q_pipeline_curate(spark, sf_dir)
            .agg(F.sum("n_docs").alias("n")).collect()[0].n)
     assert got == expect and got > 0
+
+
+def test_cluster_table_probe_path_skips_recompute(spark, sf_dir, monkeypatch):
+    """With the persisted cluster table built, q_dedup_cluster must read
+    the artifact (connected_components poisoned), and the artifact's
+    content must equal the inline computation."""
+    inline = {(r.doc_id, r.cluster_id)
+              for r in dedup._compute_clusters(spark, sf_dir).collect()}
+    dedup.build_cluster_table(spark, sf_dir)  # idempotent
+
+    def _boom(*a, **k):
+        raise AssertionError("connected_components ran in the probe path")
+
+    monkeypatch.setattr(dedup, "connected_components", _boom)
+    probed = {(r.doc_id, r.cluster_id)
+              for r in dedup.q_dedup_cluster(spark, sf_dir).collect()}
+    assert probed == inline and probed

@@ -117,12 +117,17 @@ def test_prefix_dedup_stays_equi_join_without_broadcast(spark, sf_dir):
 
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # The prefix/token tables are persisted; a cache entry materialized by
+    # an earlier test under the default threshold would render its own
+    # (legitimately broadcast-built) lineage inside this plan string.
+    spark.catalog.clearCache()
     try:
         df = dedup.q_dedup_prefix(spark, sf_dir)
         assert not P.has_cartesian(df)
         assert "BroadcastExchange" not in P.plan_str(df, "simple")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.catalog.clearCache()
 
 
 def test_pack_sequences_costs_one_shuffle(spark, sf_dir):
