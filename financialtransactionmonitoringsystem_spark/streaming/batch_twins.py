@@ -97,7 +97,63 @@ def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPK_PER_WINDOW = 3
+
+
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-k: the top-3 event types by hourly total value (the
+    dashboard's "top merchants this hour" panel).  Ranking over an
+    updating aggregate is not expressible inside a streaming query, so
+    the live form re-ranks per micro-batch in ``foreachBatch``
+    (``pipeline.topk_per_window_sink``); this batch twin defines the
+    per-window truth both must converge to.
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(rnd(F.sum("value")).alias("total")))
+    w = W.partitionBy("w").orderBy(F.col("total").desc(), F.col("event_type").asc())
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_PER_WINDOW)
+        .select(F.col("w.start").alias("ws"), "event_type", "total", "rn")
+    )
+
+
+def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly active-user counts: exact distinct twin of the streaming
+    sketch form (``pipeline.distinct_users`` uses approx_count_distinct,
+    whose HLL state is mergeable across micro-batches; exactness is the
+    batch-side luxury the oracle can check)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.countDistinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "n_users", "n_events")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_stream_topk": f"""
+        WITH a AS (
+          SELECT date_trunc('hour', ts) AS ws, event_type,
+                 {R('SUM(value)')} AS total
+          FROM events GROUP BY 1, 2
+        )
+        SELECT ws, event_type, total, rn FROM (
+          SELECT ws, event_type, total,
+                 row_number() OVER (PARTITION BY ws
+                                    ORDER BY total DESC, event_type ASC) AS rn
+          FROM a
+        ) WHERE rn <= {TOPK_PER_WINDOW}
+    """,
+    "q_stream_distinct": """
+        SELECT date_trunc('hour', ts) AS ws,
+               COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    """,
     "q_stream_state": f"""
         WITH r AS (
           SELECT user_id, ts,

@@ -115,6 +115,77 @@ def velocity_alerts(events: DataFrame, watermark: str = "10 minutes",
     )
 
 
+def distinct_users(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Hourly active-user sketch: ``approx_count_distinct`` keeps one
+    HLL register set per window in the state store (mergeable across
+    micro-batches, fixed size per window) -- exact distinct in a stream
+    would need unbounded per-window key state.  Twin:
+    ``batch_twins.q_stream_distinct`` (exact; the sketch must land within
+    HLL error of it)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.approx_count_distinct("user_id").alias("n_users"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("ws"), "n_users", "n_events")
+    )
+
+
+def topk_per_window_sink(out_dir: str, k: int = 3):
+    """foreachBatch sink maintaining a live windowed top-k dashboard
+    table: ranking over an updating aggregate is not expressible in a
+    streaming query, so the windowed totals run in update mode and each
+    micro-batch re-ranks ONLY the windows it changed, rewriting just
+    those windows' partitions (dynamic partition overwrite) -- O(touched
+    windows), not O(history).  Feed it
+    ``tumbling_counts``-shaped updates (ws, event_type, n, total)."""
+    from pyspark.sql import Window as W
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.withColumn(
+            "__w", F.date_format("ws", "yyyyMMddHH"))
+        touched = [r["__w"] for r in batch.select("__w").distinct().collect()]
+        if not touched:
+            return
+        try:
+            existing = (spark.read.parquet(out_dir)
+                        .filter(F.col("__w").isin(touched)))
+            # update-mode totals are cumulative: the new batch's row for a
+            # (window, type) supersedes the stored one entirely.
+            merged = existing.join(
+                batch.select("__w", "event_type").distinct(),
+                ["__w", "event_type"], "left_anti").unionByName(batch)
+        except Exception:  # first batch
+            merged = batch
+        w = W.partitionBy("__w").orderBy(F.col("total").desc(),
+                                         F.col("event_type").asc())
+        ranked = (merged.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= k))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            ranked.write.mode("overwrite").partitionBy("__w").parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return _sink
+
+
+def run_topk_dashboard(events: DataFrame, out_dir: str, checkpoint_dir: str,
+                       k: int = 3) -> None:
+    """Drive the tumbling totals into the live top-k dashboard table."""
+    q = (
+        tumbling_counts(events).writeStream
+        .outputMode("update")
+        .foreachBatch(topk_per_window_sink(out_dir, k))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def enrich_with_customers(events: DataFrame, customers: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with the customer
     dimension.  The static side is re-read per micro-batch (picking up

@@ -78,8 +78,9 @@ EXPECTED_KEYS = {
     "q_point_lookup", "q_project_compute", "q_sample_hash",
     "q_sample_stratified", "q_scan_all", "q_scan_prune",
     "q_sim_cosine", "q_sim_ivf", "q_sim_knn_per_label", "q_sim_lsh",
-    "q_sort_multi", "q_stream_flag", "q_stream_session", "q_stream_sliding",
-    "q_stream_state", "q_stream_tumbling", "q_subquery_in",
+    "q_sort_multi", "q_stream_distinct", "q_stream_flag", "q_stream_session",
+    "q_stream_sliding",
+    "q_stream_state", "q_stream_topk", "q_stream_tumbling", "q_subquery_in",
     "q_subquery_scalar", "q_text_decontam", "q_text_fingerprint",
     "q_text_langid", "q_text_pii", "q_text_quality", "q_text_stats",
     "q_text_tfidf", "q_text_tokencount", "q_text_tokens",

@@ -210,3 +210,29 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream)
     pairs = interval_join_bucketed(purchases, errors, "user_id", "p_ts", "e_ts", 1800)
     want = {(r.event_id, r.user_id, r.p_ts, r.e_ts) for r in pairs.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_distinct_sketch_within_hll_error_of_exact(spark, sf_dir, events_stream):
+    pipeline.run_to_memory(pipeline.distinct_users(events_stream), "t_users", "complete")
+    got = {r.ws: (r.n_users, r.n_events) for r in _table(spark, "t_users").collect()}
+    exact = {r.ws: (r.n_users, r.n_events)
+             for r in batch_twins.q_stream_distinct(spark, sf_dir).collect()}
+    assert set(got) == set(exact) and got
+    for ws, (n_users, n_events) in got.items():
+        assert n_events == exact[ws][1]          # plain count is exact
+        rel = abs(n_users - exact[ws][0]) / max(exact[ws][0], 1)
+        assert rel <= 0.1, f"window {ws}: sketch {n_users} vs exact {exact[ws][0]}"
+
+
+def test_stream_topk_dashboard_equals_batch_twin(spark, sf_dir, events_stream):
+    tmp = tempfile.mkdtemp(prefix="fintxmon_topk_")
+    try:
+        pipeline.run_topk_dashboard(events_stream, f"{tmp}/dash", f"{tmp}/ckpt")
+        got = {(r.ws, r.event_type, r.total, r.rn)
+               for r in spark.read.parquet(f"{tmp}/dash")
+               .select("ws", "event_type", "total", "rn").collect()}
+        want = {(r.ws, r.event_type, r.total, r.rn)
+                for r in batch_twins.q_stream_topk(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
