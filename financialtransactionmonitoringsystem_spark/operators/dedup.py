@@ -180,11 +180,26 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
     """(doc_id, min_0..min_{k-1}): k min-hashes over the distinct token
-    set, using xxhash64(token, seed) as the hash family (deterministic)."""
-    toks = docs.select("doc_id", "lang",
-                       F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    mins = [F.min(F.xxhash64("tok", F.lit(i))).alias(f"min_{i}") for i in range(k)]
-    return toks.groupBy("doc_id", "lang").agg(*mins)
+    set, using xxhash64(token, seed) as the hash family (deterministic).
+
+    Computed per row with ``transform`` + ``array_min`` higher-order
+    functions: the whole signature stage is a narrow map over the scan --
+    no explode, no shuffle.  (The earlier explode + groupBy(doc) form
+    shuffled the entire exploded token table just to put each doc's
+    tokens back together; byte-identical results, one less exchange, and
+    at corpus scale the exchange was O(total tokens).)"""
+    toks = F.array_distinct(F.split("text", " "))
+
+    def _hasher(i: int):
+        # one-arg lambda on purpose: transform() passes the element INDEX
+        # to two-arg lambdas, which would silently replace the seed
+        return lambda t: F.xxhash64(t, F.lit(i))
+
+    mins = [
+        F.array_min(F.transform(toks, _hasher(i))).alias(f"min_{i}")
+        for i in range(k)
+    ]
+    return docs.select("doc_id", "lang", *mins)
 
 
 def lsh_candidates(sig: DataFrame, n_bands: int = N_BANDS,
