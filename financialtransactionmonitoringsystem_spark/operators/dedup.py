@@ -267,19 +267,30 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
-    """Per-doc SimHash: sign-sum of token-hash bits."""
-    toks = docs.select("doc_id", "lang",
-                       F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    h = F.xxhash64("tok")
-    bit_sums = [
-        F.sum(F.when(h.bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(-1)).alias(f"s_{j}")
-        for j in range(bits)
-    ]
-    agg = toks.groupBy("doc_id", "lang").agg(*bit_sums)
+    """Per-doc SimHash: sign-sum of token-hash bits.
+
+    One sequential ``aggregate`` over the token array folds all ``bits``
+    sign-sums at once (hash each token once, ``zip_with`` the +-1 bit
+    vector into the accumulator) -- a narrow per-row map, where the old
+    explode + groupBy(doc) form shuffled the whole exploded token table
+    to reassemble docs.  Integer addition commutes, so the signatures
+    are byte-identical to the aggregated form."""
+    toks = F.array_distinct(F.split("text", " "))
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    sums = F.aggregate(
+        F.transform(toks, lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc, idx,
+            lambda a, j: a + F.when(F.bit_get(h, j) == 1,
+                                    F.lit(1)).otherwise(F.lit(-1))),
+    )
+    sig = docs.select("doc_id", "lang", sums.alias("sums"))
     sim = reduce(
-        lambda acc, j: acc + F.when(F.col(f"s_{j}") > 0, F.lit(1 << j)).otherwise(0),
+        lambda acc, j: acc + F.when(F.element_at("sums", j + 1) > 0,
+                                    F.lit(1 << j)).otherwise(0),
         range(bits), F.lit(0).cast("long"))
-    return agg.select("doc_id", "lang", sim.alias("simhash"))
+    return sig.select("doc_id", "lang", sim.alias("simhash"))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
