@@ -50,6 +50,13 @@ N_BANDS = 4  # 4 rows per band
 SIMHASH_BITS = 48
 SIMHASH_CHUNKS = 4  # 12 bits each; Hamming <= 3 guaranteed caught
 JACCARD_THRESHOLD = 0.8
+# The threshold as an exact rational for the prefix-filter bounds: float
+# arithmetic computes floor((1-0.8)*5) as floor(0.9999...) = 0 and
+# ceil(0.8*5) as ceil(4.0000...2) = 5, silently shrinking prefixes at
+# exactly the sizes where the bound is tight (caught by the adversarial
+# losslessness test).  All prune math must use these integers.
+JACCARD_NUM, JACCARD_DEN = 4, 5
+assert JACCARD_NUM / JACCARD_DEN == JACCARD_THRESHOLD
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -136,18 +143,24 @@ def prefix_candidates(docs: DataFrame,
 
     Recall is exactly 1 by the prefix property, unlike MinHash banding.
     """
+    assert threshold == JACCARD_NUM / JACCARD_DEN, \
+        "prefix bounds use the exact rational JACCARD_NUM/JACCARD_DEN"
+    p, q = JACCARD_NUM, JACCARD_DEN
     t = _tok_sets(docs)
     tok = t.select("doc_id", "lang", "n_toks", F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
     w = W.partitionBy("doc_id").orderBy(F.col("gf").asc(), F.col("tok").asc())
+    # Smallest qualifying overlap with ANY partner is ceil(t*n) (at the
+    # minimum partner size t*n), so the prefix is n - ceil(t*n) + 1
+    # tokens; ceil computed in exact integer arithmetic.
+    min_overlap_self = F.floor((p * F.col("n_toks") + q - 1) / q)
     # Persist: the self-join below evaluates its build side separately,
     # which would otherwise re-run the scan->tokenize->freq->window chain
     # per side (measured 3x slower end-to-end at sf0.1 without this).
     pref = (
         tok.join(freq, "tok")
         .withColumn("pos", F.row_number().over(w))
-        .filter(F.col("pos") <=
-                F.floor((1.0 - threshold) * F.col("n_toks")) + 1)
+        .filter(F.col("pos") <= F.col("n_toks") - min_overlap_self + 1)
         .select("doc_id", "lang", "tok", "pos", "n_toks")
         .persist()
     )
@@ -155,13 +168,15 @@ def prefix_candidates(docs: DataFrame,
     b = pref.alias("b")
     na, nb = F.col("a.n_toks"), F.col("b.n_toks")
     overlap_ub = F.lit(1) + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
-    min_overlap = (threshold / (1.0 + threshold)) * (na + nb)
     return (
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
                & (F.col("a.lang") == F.col("b.lang"))
                & (F.col("a.doc_id") < F.col("b.doc_id"))
-               & (na >= threshold * nb) & (nb >= threshold * na)
-               & (overlap_ub >= min_overlap))
+               # length filter, exact integers: t*nb <= na and t*na <= nb
+               & (q * na >= p * nb) & (q * nb >= p * na)
+               # positional filter: overlap_ub >= t/(1+t)*(na+nb), cleared
+               # of the division: ub*(p+q) >= p*(na+nb)
+               & (overlap_ub * (p + q) >= p * (na + nb)))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
@@ -378,10 +393,12 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     ``(id, comp)`` where ``comp`` is the smallest node id reachable in the
     undirected edge graph.
 
-    Each iteration is one shuffle (neighbor-min aggregate + join) and the
-    label set halves-or-better per round, so convergence is
-    O(log(largest component diameter)) rounds -- the standard
-    large-graph CC shape (large-star/small-star simplification).  The
+    Each iteration is one shuffle (neighbor-min aggregate + join); the
+    minimum label floods outward one hop per round, so the round count is
+    bounded by the largest component's diameter.  Near-dup clusters are
+    dense and shallow (diameter 2-3), which makes plain propagation the
+    right trade here; a pathological long-chain graph would warrant the
+    large-star/small-star contraction (O(log n) rounds) instead.  The
     change count that drives termination is the only driver-side value.
 
     Iterative lineage MUST be truncated with ``localCheckpoint``, not

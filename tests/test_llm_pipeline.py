@@ -231,3 +231,47 @@ def test_cluster_table_probe_path_skips_recompute(spark, sf_dir, monkeypatch):
     probed = {(r.doc_id, r.cluster_id)
               for r in dedup.q_dedup_cluster(spark, sf_dir).collect()}
     assert probed == inline and probed
+
+
+def test_prefix_filter_lossless_on_adversarial_corpora(spark):
+    """Property check on constructed corpora that stress every prune:
+    size-mismatched pairs, late-position overlaps, cross-lang twins, and
+    docs below/above the threshold boundary.  For each corpus the
+    prefix-join pipeline must return exactly the brute-force qualifying
+    pairs."""
+    import itertools
+
+    corpora = [
+        # identical docs, near-identical, disjoint
+        ["a b c d e", "a b c d e", "a b c d f", "x y z w v"],
+        # subset/superset at the length-filter boundary (4/5 = 0.8)
+        ["a b c d", "a b c d e", "a b c d e f", "a b"],
+        # shared rare token but low jaccard (positional filter territory)
+        ["r a b c d e f g h i", "r q s t u v w x y z"],
+        # single-token docs and duplicate singletons
+        ["k", "k", "m", "a b"],
+        # same text, different lang -> must NOT pair
+        None,
+    ]
+    for i, texts in enumerate(corpora):
+        if texts is None:
+            rows = [(0, "same text here", "en"), (1, "same text here", "fr")]
+        else:
+            rows = [(j, t, "en") for j, t in enumerate(texts)]
+        docs = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+        t = {r.doc_id: (set(r.text.split(" ")), r.lang) for r in docs.collect()}
+        brute = set()
+        for x, y in itertools.combinations(sorted(t), 2):
+            (sx, lx), (sy, ly) = t[x], t[y]
+            if lx != ly:
+                continue
+            j = len(sx & sy) / len(sx | sy)
+            if round(j, 6) >= dedup.JACCARD_THRESHOLD:
+                brute.add((x, y))
+        cands = {(r.doc_a, r.doc_b)
+                 for r in dedup.prefix_candidates(docs).collect()}
+        assert brute <= cands, f"corpus {i}: prefix filter dropped {brute - cands}"
+        verified = {(r.doc_a, r.doc_b) for r in dedup._verify_jaccard(
+            cands.__class__ and dedup.prefix_candidates(docs),
+            dedup._tok_sets(docs).select("doc_id", "toks", "n_toks")).collect()}
+        assert verified == brute, f"corpus {i}: {verified} != {brute}"
