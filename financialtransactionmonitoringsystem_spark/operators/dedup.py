@@ -393,13 +393,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     ``(id, comp)`` where ``comp`` is the smallest node id reachable in the
     undirected edge graph.
 
-    Each iteration is one shuffle (neighbor-min aggregate + join); the
-    minimum label floods outward one hop per round, so the round count is
-    bounded by the largest component's diameter.  Near-dup clusters are
-    dense and shallow (diameter 2-3), which makes plain propagation the
-    right trade here; a pathological long-chain graph would warrant the
-    large-star/small-star contraction (O(log n) rounds) instead.  The
-    change count that drives termination is the only driver-side value.
+    Each iteration is two shuffles: a neighbor-min propagation (the min
+    label moves one hop) followed by a pointer-jump (every node adopts
+    its label's label, halving the remaining distance to the component
+    minimum) -- together O(log diameter) rounds, so a 20-round cap
+    handles million-hop chains, and the loop RAISES if it ever runs out
+    instead of returning silently-wrong labels.  The change count that
+    drives termination is the only driver-side value.
 
     Iterative lineage MUST be truncated with ``localCheckpoint``, not
     ``persist``: a persisted frame still carries the full logical plan,
@@ -419,15 +419,28 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     for _ in range(max_iter):
         neigh = (und.join(labels, und.u == labels.id)
                  .groupBy("v").agg(F.min("comp").alias("n_comp")))
-        new = (labels.join(neigh, labels.id == neigh.v, "left")
-               .select("id", F.least(F.col("comp"),
-                                     F.coalesce("n_comp", "comp")).alias("comp"))
+        prop = (labels.join(neigh, labels.id == neigh.v, "left")
+                .select("id", F.least(F.col("comp"),
+                                      F.coalesce("n_comp", "comp")).alias("comp")))
+        # pointer-jump: comp <- comp[comp].  Labels only decrease, and a
+        # label is always itself a node id, so the self-join is total in
+        # practice (left join keeps the row if the label is already a
+        # root it equals).
+        ptr = prop.select(F.col("id").alias("p_id"), F.col("comp").alias("p_comp"))
+        new = (prop.alias("x")
+               .join(ptr, F.col("x.comp") == F.col("p_id"), "left")
+               .select(F.col("x.id").alias("id"),
+                       F.least(F.col("x.comp"),
+                               F.coalesce("p_comp", F.col("x.comp"))).alias("comp"))
                .localCheckpoint())
         changed = (new.alias("n").join(labels.alias("o"), "id")
                    .filter(F.col("n.comp") != F.col("o.comp")).count())
         labels = new
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
     return labels
 
 

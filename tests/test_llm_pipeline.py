@@ -275,3 +275,13 @@ def test_prefix_filter_lossless_on_adversarial_corpora(spark):
             cands.__class__ and dedup.prefix_candidates(docs),
             dedup._tok_sets(docs).select("doc_id", "toks", "n_toks")).collect()}
         assert verified == brute, f"corpus {i}: {verified} != {brute}"
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 64-node path graph (diameter 63) must fully converge well inside
+    the 20-round cap -- pointer jumping gives O(log d) rounds where plain
+    one-hop propagation would need 63 and silently mislabel the tail."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a bigint, doc_b bigint")
+    got = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(64)}
