@@ -214,7 +214,7 @@ def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
         F.array_min(F.transform(toks, _hasher(i))).alias(f"min_{i}")
         for i in range(k)
     ]
-    return docs.select("doc_id", "lang", *mins)
+    return docs.select("doc_id", "lang", F.size(toks).alias("n_toks"), *mins)
 
 
 def lsh_candidates(sig: DataFrame, n_bands: int = N_BANDS,
@@ -240,15 +240,23 @@ def lsh_candidates(sig: DataFrame, n_bands: int = N_BANDS,
         )
         for b in range(n_bands)
     ])
-    exploded = sig.select("doc_id", "lang", F.explode(bands).alias("b")) \
-        .select("doc_id", "lang", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")) \
+    exploded = sig.select("doc_id", "lang", "n_toks", F.explode(bands).alias("b")) \
+        .select("doc_id", "lang", "n_toks",
+                F.col("b.band").alias("band"), F.col("b.bh").alias("bh")) \
         .persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
+    # Length filter as a join residual (same exact bound as the prefix
+    # join, integer rational): J >= t forces t*|B| <= |A| <= |B|/t, and
+    # the verify step would reject such pairs anyway -- prune them before
+    # the expensive token-array join, not after.
+    p, q = JACCARD_NUM, JACCARD_DEN
+    na, nb = F.col("a.n_toks"), F.col("b.n_toks")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (q * na >= p * nb) & (q * nb >= p * na))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
