@@ -74,10 +74,11 @@ LAST_ATTESTED: dict[str, int] = {
 
 # Implementations materially changed this round -> re-attest regardless of
 # history (round 3: point-lookup tiebreaker; dedup verify de-broadcast;
-# persisted IVF index; mm_features oracle).
+# persisted IVF index; mm_features oracle; shuffle-free minhash/simhash
+# signatures).
 TOUCHED = (
     "q_point_lookup", "q_dedup_minhash", "q_dedup_fuzzy", "q_dedup_embed",
-    "q_sim_ivf", "q_mm_features",
+    "q_sim_ivf", "q_mm_features", "q_dedup_simhash",
 )
 
 # Among equally-stale keys, spread families across the window edge instead of
