@@ -192,6 +192,36 @@ def _wordgrams(col, n: int):
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
 
 
+REPETITION_FRAC = 0.2  # most-common-2-gram fraction above which a doc is flagged
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (the Gopher-style repetition
+    filter): fraction of a doc's word 2-grams taken by its single most
+    frequent 2-gram; high values mean boilerplate/looped text that the
+    type-token ratio in ``q_text_quality`` under-penalizes.
+
+    Shape: per-doc gram counting is explode + two map-side-combinable
+    aggregations keyed by doc -- no corpus-wide state, no join except the
+    left join back to keep gramless (sub-2-token) docs with frac 0.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(_wordgrams(F.col("text"), 2)).alias("gram"))
+    per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(F.sum("c").alias("n_grams"),
+                                    F.max("c").alias("top_gram_n"))
+    frac = F.coalesce(F.col("top_gram_n") / F.col("n_grams"), F.lit(0.0))
+    return (
+        docs.select("doc_id").join(agg, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("top_gram_n", F.lit(0)).alias("top_gram_n"),
+                rnd(frac, 4).alias("top_gram_frac"),
+                (frac > REPETITION_FRAC).alias("repetitive"))
+    )
+
+
 def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word 5-gram with the "benchmark" set (stand-in: every 50th doc).
@@ -227,6 +257,30 @@ _GRAMS_SQL = f"""
 """
 
 ORACLES: dict[str, str] = {
+    "q_text_repetition": f"""
+        WITH g AS (
+          SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+                     i -> array_to_string((string_split(text,' '))[i:i+1], ' ')
+                 )) AS gram
+          FROM documents
+        ), per AS (
+          SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
+        ), a AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+                 MAX(c) AS top_gram_n
+          FROM per GROUP BY 1
+        )
+        SELECT d.doc_id,
+               COALESCE(n_grams, 0) AS n_grams,
+               COALESCE(top_gram_n, 0) AS top_gram_n,
+               {R('COALESCE(CAST(top_gram_n AS DOUBLE) / n_grams, 0e0)', 4)}
+                   AS top_gram_frac,
+               (COALESCE(CAST(top_gram_n AS DOUBLE) / n_grams, 0e0)
+                   > {REPETITION_FRAC}) AS repetitive
+        FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+    """,
     "q_text_tfidf": f"""
         WITH tf AS (
           SELECT doc_id, tok, COUNT(*) AS tf

@@ -74,11 +74,13 @@ LAST_ATTESTED: dict[str, int] = {
 
 # Implementations materially changed this round -> re-attest regardless of
 # history (round 3: point-lookup tiebreaker; dedup verify de-broadcast;
-# persisted IVF index; mm_features oracle; shuffle-free minhash/simhash
-# signatures).
+# persisted IVF index; mm_features oracle; shuffle-free minhash
+# signatures).  q_dedup_simhash's rewrite is pinned byte-identical by
+# local tests and its rows-only driver check adds nothing over that, so
+# it yields its window slot to an oracle-checked new key (50-slot cap).
 TOUCHED = (
     "q_point_lookup", "q_dedup_minhash", "q_dedup_fuzzy", "q_dedup_embed",
-    "q_sim_ivf", "q_mm_features", "q_dedup_simhash",
+    "q_sim_ivf", "q_mm_features",
 )
 
 # Among equally-stale keys, spread families across the window edge instead of

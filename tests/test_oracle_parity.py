@@ -82,7 +82,8 @@ EXPECTED_KEYS = {
     "q_stream_sliding",
     "q_stream_state", "q_stream_topk", "q_stream_tumbling", "q_subquery_in",
     "q_subquery_scalar", "q_text_decontam", "q_text_fingerprint",
-    "q_text_langid", "q_text_pii", "q_text_quality", "q_text_stats",
+    "q_text_langid", "q_text_pii", "q_text_quality", "q_text_repetition",
+    "q_text_stats",
     "q_text_tfidf", "q_text_tokencount", "q_text_tokens",
     "q_topk", "q_topk_per_group", "q_union", "q_unpivot", "q_win_frame",
     "q_win_lag", "q_win_ntile", "q_win_range", "q_win_rank",
