@@ -150,7 +150,8 @@ ORACLES: dict[str, str] = {
     "q_pipeline_curate": f"""
         SELECT d.lang, d.source,
                COUNT(*) AS n_docs,
-               SUM(CAST({_N_TOKENS_SQL} AS BIGINT)) AS total_tokens,
+               CAST(SUM(CAST({_N_TOKENS_SQL} AS BIGINT)) AS BIGINT)
+                   AS total_tokens,
                MAX(n_chars) AS max_chars
         FROM documents d
         JOIN ({_DEDUP_ORACLES["q_dedup_cluster"]}) c

@@ -37,6 +37,23 @@ def test_rows_only_queries_run(key, spark, sf_dir):
     assert n1 >= 0
 
 
+@pytest.mark.parametrize("key", sorted(ORACLES))
+def test_oracle_output_types_hashable(key, duck):
+    """VERDICT r3 guard: DuckDB widens SUM(BIGINT) to HUGEINT (int128),
+    which the driver's value-hash canonicalizes differently from Spark's
+    BIGINT despite equal values (it cost q_pipeline_curate its r3 row).
+    Every oracle's output schema must stay inside the types the driver
+    hashes identically to Spark -- no HUGEINT/UHUGEINT and no
+    DECIMAL(38,0) (the HUGEINT-in-disguise width)."""
+    sql = ORACLES[key].rstrip().rstrip(";")
+    cols = duck.execute(f"DESCRIBE SELECT * FROM ({sql}) t").fetchall()
+    bad = [(c[0], c[1]) for c in cols
+           if c[1] in ("HUGEINT", "UHUGEINT") or c[1] == "DECIMAL(38,0)"]
+    assert not bad, (
+        f"{key}: oracle columns {bad} would break the driver value-hash; "
+        "CAST the aggregate back to BIGINT in the SQL")
+
+
 def test_hll_sketch_estimates_bounded_error_and_lossless_merge(spark, sf_dir):
     """HLL estimates within 5% of exact; union-of-sketches == sketch of union."""
     from pyspark.sql import functions as F
