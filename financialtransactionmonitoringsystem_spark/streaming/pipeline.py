@@ -131,15 +131,42 @@ def distinct_users(events: DataFrame, watermark: str = "10 minutes") -> DataFram
     )
 
 
-def topk_per_window_sink(out_dir: str, k: int = 3):
-    """foreachBatch sink maintaining a live windowed top-k dashboard
-    table: ranking over an updating aggregate is not expressible in a
-    streaming query, so the windowed totals run in update mode and each
-    micro-batch re-ranks ONLY the windows it changed, rewriting just
-    those windows' partitions (dynamic partition overwrite) -- O(touched
-    windows), not O(history).  Feed it
-    ``tumbling_counts``-shaped updates (ws, event_type, n, total)."""
-    from pyspark.sql import Window as W
+def _read_existing_partitions(spark: SparkSession, out_dir: str,
+                              part_col: str, touched: list):
+    """Read only the touched partitions of a foreachBatch-maintained
+    parquet table, or ``None`` when the table does not exist yet (first
+    micro-batch).  Any other read failure propagates: a sink that treats
+    a real error as "first batch" silently discards history (ADVICE r3,
+    high -- the old bare ``except Exception`` did exactly that when a
+    schema drift made unionByName throw)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(out_dir)
+    except AnalysisException as e:
+        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+            raise
+        return None
+    return df.filter(F.col(part_col).isin(touched))
+
+
+def topk_per_window_sink(out_dir: str):
+    """foreachBatch sink maintaining live windowed per-event-type totals
+    for the top-k dashboard: ranking over an updating aggregate is not
+    expressible in a streaming query, so the windowed totals run in
+    update mode and each micro-batch rewrites ONLY the window partitions
+    it changed (dynamic partition overwrite) -- O(touched windows), not
+    O(history).  Feed it ``tumbling_counts``-shaped updates
+    (ws, event_type, n, total).
+
+    The table stores ALL (window, event_type) totals; the top-k cut
+    happens at read time (:func:`topk_dashboard`).  Persisting only the
+    ranked survivors (the old form) meant an evicted event type could
+    never re-enter a window's top-k unless its own total changed, and
+    was permanently wrong if totals can decrease (ADVICE r3).  Rows per
+    window are bounded by event-type cardinality, so the storage delta
+    is small and the read-time rank runs over pruned partitions.
+    """
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -148,37 +175,46 @@ def topk_per_window_sink(out_dir: str, k: int = 3):
         touched = [r["__w"] for r in batch.select("__w").distinct().collect()]
         if not touched:
             return
-        try:
-            existing = (spark.read.parquet(out_dir)
-                        .filter(F.col("__w").isin(touched)))
+        existing = _read_existing_partitions(spark, out_dir, "__w", touched)
+        if existing is None:
+            merged = batch
+        else:
             # update-mode totals are cumulative: the new batch's row for a
             # (window, type) supersedes the stored one entirely.
-            merged = existing.join(
+            merged = existing.select(*batch.columns).join(
                 batch.select("__w", "event_type").distinct(),
                 ["__w", "event_type"], "left_anti").unionByName(batch)
-        except Exception:  # first batch
-            merged = batch
-        w = W.partitionBy("__w").orderBy(F.col("total").desc(),
-                                         F.col("event_type").asc())
-        ranked = (merged.withColumn("rn", F.row_number().over(w))
-                  .filter(F.col("rn") <= k))
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            ranked.write.mode("overwrite").partitionBy("__w").parquet(out_dir)
+            merged.write.mode("overwrite").partitionBy("__w").parquet(out_dir)
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return _sink
 
 
-def run_topk_dashboard(events: DataFrame, out_dir: str, checkpoint_dir: str,
-                       k: int = 3) -> None:
-    """Drive the tumbling totals into the live top-k dashboard table."""
+def topk_dashboard(spark: SparkSession, out_dir: str, k: int = 3) -> DataFrame:
+    """Read-time top-k over the live dashboard table: rank within each
+    window partition and keep the first ``k``.  A dashboard query touches
+    few windows, so partition pruning on ``__w`` keeps this cheap."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("__w").orderBy(F.col("total").desc(),
+                                     F.col("event_type").asc())
+    return (spark.read.parquet(out_dir)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k))
+
+
+def run_topk_dashboard(events: DataFrame, out_dir: str,
+                       checkpoint_dir: str) -> None:
+    """Drive the tumbling totals into the live dashboard totals table
+    (read it back with :func:`topk_dashboard`)."""
     q = (
         tumbling_counts(events).writeStream
         .outputMode("update")
-        .foreachBatch(topk_per_window_sink(out_dir, k))
+        .foreachBatch(topk_per_window_sink(out_dir))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
