@@ -42,49 +42,52 @@ for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
 # authoritative full-registry gate regardless of window position, and
 # test_window_rotation pins that every stale key actually fits the window.
 LAST_ATTESTED: dict[str, int] = {
-    # round 3 window (CORRECTNESS_r03.json: 49 green + q_pipeline_curate,
-    # whose red row was an oracle-side HUGEINT type bug, re-touched below)
+    # round 4 window (CORRECTNESS_r04.json: 48 hash-green + 2 no_oracle
+    # rows-only verdicts, all 50 attested)
+    **{k: 4 for k in (
+        "q_agg_approx", "q_agg_group", "q_agg_rollup", "q_agg_salted",
+        "q_agg_stats", "q_cte", "q_dedup", "q_dedup_cluster",
+        "q_dedup_exact", "q_dedup_ngram", "q_dedup_simhash",
+        "q_filter_range", "q_fn_array", "q_fn_date", "q_fn_json",
+        "q_ingest_feed", "q_join_asof", "q_join_inner",
+        "q_join_interval", "q_join_multiway", "q_join_salted",
+        "q_mm_features", "q_mm_meta", "q_pack_sequences",
+        "q_pipeline_curate", "q_pivot", "q_scan_all", "q_sim_cosine",
+        "q_sim_knn_per_label", "q_sim_lsh", "q_stream_flag",
+        "q_stream_session", "q_stream_sliding", "q_stream_state",
+        "q_stream_topk", "q_stream_tumbling", "q_subquery_in",
+        "q_subquery_scalar", "q_text_fingerprint", "q_text_langid",
+        "q_text_quality", "q_text_stats", "q_text_tokencount",
+        "q_text_tokens", "q_topk_per_group", "q_union", "q_unpivot",
+        "q_win_frame", "q_win_range", "q_win_rank",
+    )},
+    # round 3 window remainder (CORRECTNESS_r03.json); no verdict since
     **{k: 3 for k in (
-        "q_agg_approx", "q_agg_collect", "q_agg_cube", "q_agg_distinct",
-        "q_agg_global", "q_agg_gsets", "q_agg_having", "q_agg_hll",
-        "q_dedup_cluster", "q_dedup_embed", "q_dedup_fuzzy",
-        "q_dedup_minhash", "q_dedup_prefix", "q_embed_stats", "q_except",
-        "q_filter_compound", "q_filter_null", "q_fn_cond", "q_fn_decimal",
-        "q_fn_map", "q_fn_math", "q_fn_string", "q_ingest_json",
-        "q_intersect", "q_join_anti", "q_join_asof_fwd", "q_join_broadcast",
+        "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_global",
+        "q_agg_gsets", "q_agg_having", "q_agg_hll", "q_dedup_embed",
+        "q_dedup_fuzzy", "q_dedup_minhash", "q_dedup_prefix",
+        "q_embed_stats", "q_except", "q_filter_compound",
+        "q_filter_null", "q_fn_cond", "q_fn_decimal", "q_fn_map",
+        "q_fn_math", "q_fn_string", "q_ingest_json", "q_intersect",
+        "q_join_anti", "q_join_asof_fwd", "q_join_broadcast",
         "q_join_full", "q_join_left", "q_join_semi", "q_join_theta",
-        "q_mm_features", "q_pack_sequences", "q_pipeline_curate",
         "q_point_lookup", "q_project_compute", "q_sample_hash",
-        "q_sample_stratified", "q_scan_prune", "q_sim_ivf", "q_sort_multi",
-        "q_stream_distinct", "q_stream_topk", "q_text_decontam",
+        "q_sample_stratified", "q_scan_prune", "q_sim_ivf",
+        "q_sort_multi", "q_stream_distinct", "q_text_decontam",
         "q_text_pii", "q_text_repetition", "q_text_tfidf", "q_topk",
         "q_win_lag", "q_win_ntile",
-    )},
-    # round 2 window (CORRECTNESS_r02.json, all green); no verdict since
-    **{k: 2 for k in (
-        "q_agg_group", "q_agg_rollup", "q_agg_salted", "q_agg_stats",
-        "q_cte", "q_dedup", "q_dedup_exact", "q_dedup_ngram",
-        "q_dedup_simhash", "q_filter_range", "q_fn_array", "q_fn_date",
-        "q_fn_json", "q_ingest_feed", "q_join_asof", "q_join_inner",
-        "q_join_interval", "q_join_multiway", "q_join_salted", "q_mm_meta",
-        "q_pivot", "q_scan_all", "q_sim_cosine", "q_sim_knn_per_label",
-        "q_sim_lsh", "q_stream_flag", "q_stream_session",
-        "q_stream_sliding", "q_stream_state", "q_stream_tumbling",
-        "q_subquery_in", "q_subquery_scalar", "q_text_fingerprint",
-        "q_text_langid", "q_text_quality", "q_text_stats",
-        "q_text_tokencount", "q_text_tokens", "q_topk_per_group", "q_union",
-        "q_unpivot", "q_win_frame", "q_win_range", "q_win_rank",
     )},
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history (round 4: curate oracle HUGEINT cast; pack_sequences scale
-# rewrite; mm_features self-contained worker closure; cluster-table
-# artifact fingerprinting; stream_topk sink merge fix).  q_dedup_simhash's
-# width parameterization also lands this round but it is already
-# r02-stale, so it is in the window without a TOUCHED slot.
+# history (round 5: pack_sequences range-partitioned scale form; simhash
+# width parameterization; mm worker self-containment; cluster-table + IVF
+# artifact fingerprinting; stream_topk sink empty-dir/merge fixes).
+# q_dedup_minhash / q_dedup_prefix (persist scoping) and q_sim_ivf
+# (fingerprinting) are also touched but already r3-stale, so they sit in
+# the window without needing a TOUCHED slot.
 TOUCHED = (
-    "q_pipeline_curate", "q_pack_sequences", "q_mm_features",
+    "q_pack_sequences", "q_dedup_simhash", "q_mm_features", "q_mm_meta",
     "q_dedup_cluster", "q_stream_topk",
 )
 

@@ -144,7 +144,14 @@ def _read_existing_partitions(spark: SparkSession, out_dir: str,
     try:
         df = spark.read.parquet(out_dir)
     except AnalysisException as e:
-        if (e.getErrorClass() or "") != "PATH_NOT_FOUND":
+        # getCondition() replaces the deprecated getErrorClass() in
+        # PySpark 4; keep a fallback for 3.x runtimes.
+        cond = getattr(e, "getCondition", e.getErrorClass)() or ""
+        # PATH_NOT_FOUND: table dir absent.  UNABLE_TO_INFER_SCHEMA: dir
+        # exists but holds no data files (e.g. mkdtemp pre-created it).
+        # Both mean "no history yet"; anything else is a real read error
+        # and must propagate, not silently discard history.
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
             raise
         return None
     return df.filter(F.col(part_col).isin(touched))
@@ -304,12 +311,12 @@ def compact_latest_to(serving_dir: str, key: str = "event_id",
         touched = [r["__kb"] for r in batch.select("__kb").distinct().collect()]
         if not touched:
             return
-        try:
-            existing = (spark.read.parquet(serving_dir)
-                        .filter(F.col("__kb").isin(touched)))
-            merged = existing.unionByName(batch)
-        except Exception:  # first batch: nothing to merge yet
-            merged = batch
+        existing = _read_existing_partitions(spark, serving_dir, "__kb", touched)
+        # first batch (no table yet) -> nothing to merge; real read errors
+        # propagate instead of silently dropping serving-table history
+        # (ADVICE r4 low: the old bare `except Exception` here kept the
+        # exact bug the topk sink fixed).
+        merged = batch if existing is None else existing.unionByName(batch)
         w = W.partitionBy(key).orderBy(F.col("ts").desc())
         latest = (merged.withColumn("__rn", F.row_number().over(w))
                   .filter(F.col("__rn") == 1).drop("__rn"))

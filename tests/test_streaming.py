@@ -225,14 +225,76 @@ def test_stream_distinct_sketch_within_hll_error_of_exact(spark, sf_dir, events_
 
 
 def test_stream_topk_dashboard_equals_batch_twin(spark, sf_dir, events_stream):
+    """The live dashboard (sink persists ALL totals; top-k cut at read
+    time via topk_dashboard) must equal the batch-twin ranking."""
     tmp = tempfile.mkdtemp(prefix="fintxmon_topk_")
     try:
         pipeline.run_topk_dashboard(events_stream, f"{tmp}/dash", f"{tmp}/ckpt")
+        dash = pipeline.topk_dashboard(
+            spark, f"{tmp}/dash", k=batch_twins.TOPK_PER_WINDOW)
         got = {(r.ws, r.event_type, r.total, r.rn)
-               for r in spark.read.parquet(f"{tmp}/dash")
-               .select("ws", "event_type", "total", "rn").collect()}
+               for r in dash.select("ws", "event_type", "total", "rn").collect()}
         want = {(r.ws, r.event_type, r.total, r.rn)
                 for r in batch_twins.q_stream_topk(spark, sf_dir).collect()}
         assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_topk_sink_two_batch_merge_and_reentry(spark):
+    """Drive the foreachBatch dashboard sink directly with two
+    micro-batches (ADVICE r3/r4: the merge path had no explicit test).
+
+    Batch 2 updates one event_type in an existing window.  Checks:
+    * the untouched window's rows survive byte-identically,
+    * the touched window re-ranks correctly at read time,
+    * an event type evicted from the top-k by batch 2 re-enters when a
+      later batch shrinks the usurper (the eviction-permanence bug the
+      r4 refactor fixed),
+    * an existing-but-empty out_dir counts as "first batch" (mkdtemp
+      pre-creates the directory -- ADVICE r4 medium).
+    """
+    import datetime
+
+    schema = "ws timestamp, event_type string, n bigint, total double"
+    w1 = datetime.datetime(2025, 1, 1, 10)
+    w2 = datetime.datetime(2025, 1, 1, 11)
+    tmp = tempfile.mkdtemp(prefix="fintxmon_topk_merge_")
+    dash = f"{tmp}/dash"
+    try:
+        import os
+
+        os.makedirs(dash)  # exists-but-empty: must behave as first batch
+        sink = pipeline.topk_per_window_sink(dash)
+        sink(spark.createDataFrame(
+            [(w1, "purchase", 5, 100.0), (w1, "view", 3, 80.0),
+             (w1, "error", 1, 60.0),
+             (w2, "purchase", 2, 40.0), (w2, "view", 1, 10.0)],
+            schema), 0)
+
+        def top(k=2):
+            return {(r.ws, r.event_type, r.total, r.rn) for r in
+                    pipeline.topk_dashboard(spark, dash, k=k)
+                    .select("ws", "event_type", "total", "rn").collect()}
+
+        assert top(2) == {(w1, "purchase", 100.0, 1), (w1, "view", 80.0, 2),
+                          (w2, "purchase", 40.0, 1), (w2, "view", 10.0, 2)}
+
+        # batch 2 touches only w1: 'error' overtakes 'view' (evicts it)
+        sink(spark.createDataFrame([(w1, "error", 4, 90.0)], schema), 1)
+        assert top(2) == {(w1, "purchase", 100.0, 1), (w1, "error", 90.0, 2),
+                          (w2, "purchase", 40.0, 1), (w2, "view", 10.0, 2)}
+        # the untouched window and w1's unmentioned types survived the merge
+        stored = {(r.ws, r.event_type, r.total) for r in
+                  spark.read.parquet(dash).collect()}
+        assert stored == {(w1, "purchase", 100.0), (w1, "view", 80.0),
+                          (w1, "error", 90.0),
+                          (w2, "purchase", 40.0), (w2, "view", 10.0)}
+
+        # batch 3 shrinks 'error' (update-mode totals supersede): the
+        # previously-evicted 'view' must re-enter the top-2.
+        sink(spark.createDataFrame([(w1, "error", 4, 70.0)], schema), 2)
+        assert top(2) == {(w1, "purchase", 100.0, 1), (w1, "view", 80.0, 2),
+                          (w2, "purchase", 40.0, 1), (w2, "view", 10.0, 2)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
