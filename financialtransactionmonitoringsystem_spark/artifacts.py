@@ -1,0 +1,59 @@
+"""Fingerprinted persisted-artifact markers.
+
+Corpus-derived artifacts (the IVF index, the duplicate-cluster table)
+are built once per corpus snapshot and re-read by every downstream
+query.  An empty ``_BUILT`` marker cannot tell a current build from a
+stale one: regenerate the corpus at the same path and the old artifact
+silently serves wrong clusters/cells (ADVICE r3/r4).  The marker
+therefore stores a fingerprint of (build params + source-file identity);
+builders rebuild whenever it mismatches.
+
+The fingerprint uses file size + mtime_ns, not content hashes: at 100 TB
+a content hash is a full corpus read per build check, while the
+size/mtime set is one metadata listing -- the same trade every build
+system makes.  (Object stores expose the same via etag/length;
+swap ``os.stat`` for the store listing there.)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+
+def corpus_fingerprint(paths: list[str], params: dict) -> str:
+    """Stable fingerprint of the given source files/dirs and build
+    params.  Directories are walked; each file contributes its relative
+    name, size, and mtime_ns."""
+    h = hashlib.sha256()
+    for p in sorted(paths):
+        if os.path.isdir(p):
+            files = sorted(
+                os.path.join(dp, f)
+                for dp, _, fs in os.walk(p) for f in fs)
+        else:
+            files = [p]
+        for f in files:
+            st = os.stat(f)
+            rel = os.path.relpath(f, os.path.dirname(p)) if os.path.isdir(p) \
+                else os.path.basename(f)
+            h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns};".encode())
+    h.update(json.dumps(params, sort_keys=True, default=str).encode())
+    return h.hexdigest()
+
+
+def marker_current(marker_path: str, fingerprint: str) -> bool:
+    """True iff the marker exists and records exactly this fingerprint.
+    A legacy empty marker (pre-fingerprinting builds) reads as stale."""
+    try:
+        with open(marker_path) as fh:
+            return fh.read().strip() == fingerprint
+    except OSError:
+        return False
+
+
+def write_marker(marker_path: str, fingerprint: str) -> None:
+    os.makedirs(os.path.dirname(marker_path), exist_ok=True)
+    with open(marker_path, "w") as fh:
+        fh.write(fingerprint + "\n")

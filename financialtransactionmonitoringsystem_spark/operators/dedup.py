@@ -461,20 +461,36 @@ def _cluster_base(sf_dir: str) -> str:
     return os.path.join(_CLUSTER_ROOT, re.sub(r"\W+", "_", sf_dir.strip("/")))
 
 
+def _cluster_fingerprint(sf_dir: str) -> str:
+    from ..artifacts import corpus_fingerprint
+
+    return corpus_fingerprint(
+        [os.path.join(sf_dir, "documents.parquet")],
+        {"algo": "prefix-jaccard-cc", "jaccard_num": JACCARD_NUM,
+         "jaccard_den": JACCARD_DEN})
+
+
 def build_cluster_table(spark: SparkSession, sf_dir: str) -> str:
     """Build and PERSIST the duplicate-cluster assignment table -- like
     the IVF index, clustering is a property of the corpus, not of any
     one query, so production builds it once per corpus snapshot and
     every downstream query (representative filtering, curation) reads
-    the table.  Idempotent: an existing build is left alone.
+    the table.  Idempotent per corpus snapshot: the ``_BUILT`` marker
+    records a fingerprint of the source parquet + build params, so an
+    unchanged corpus skips the build while a regenerated corpus (same
+    path, new content) or changed threshold forces a rebuild instead of
+    silently serving stale clusters (ADVICE r3/r4).
     """
+    from ..artifacts import marker_current, write_marker
+
     base = _cluster_base(sf_dir)
     done = os.path.join(base, "_BUILT")
-    if os.path.exists(done):
+    fp = _cluster_fingerprint(sf_dir)
+    if marker_current(done, fp):
         return base
     _compute_clusters(spark, sf_dir).write.mode("overwrite") \
         .parquet(os.path.join(base, "clusters"))
-    open(done, "w").close()
+    write_marker(done, fp)
     return base
 
 
@@ -509,8 +525,10 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     the build runs the same deterministic computation); otherwise
     computes inline.
     """
+    from ..artifacts import marker_current
+
     base = _cluster_base(sf_dir)
-    if os.path.exists(os.path.join(base, "_BUILT")):
+    if marker_current(os.path.join(base, "_BUILT"), _cluster_fingerprint(sf_dir)):
         return spark.read.parquet(os.path.join(base, "clusters"))
     return _compute_clusters(spark, sf_dir)
 

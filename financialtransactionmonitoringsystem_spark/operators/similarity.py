@@ -132,10 +132,21 @@ IVF_SAMPLE_CAP = 50_000  # max vectors the quantizer trains on
 
 # Persisted index root (under the repo's spark-warehouse; gitignored) and a
 # per-process handle cache so repeated probes don't re-open the parquet.
+# Cache entries are keyed by corpus fingerprint so a rebuilt index (corpus
+# regenerated at the same path) invalidates stale handles.
 _IVF_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "spark-warehouse", "ivf_index")
-_IVF_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+_IVF_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _ivf_fingerprint(sf_dir: str, nlist: int = IVF_NLIST) -> str:
+    from ..artifacts import corpus_fingerprint
+
+    return corpus_fingerprint(
+        [os.path.join(sf_dir, "embeddings.parquet")],
+        {"algo": "ivf-kmeans", "nlist": nlist,
+         "sample_cap": IVF_SAMPLE_CAP, "seed": 42, "max_iter": 8})
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str,
@@ -150,14 +161,20 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     its nearest centroid cell and written out partitioned BY CELL, so a
     probe reads nprobe/nlist of the data via partition pruning -- the
     on-disk layout IS the inverted file.  Centroids land beside it as a
-    tiny nlist-row table.  Idempotent: an existing index is left alone.
+    tiny nlist-row table.  Idempotent per corpus snapshot: the ``_BUILT``
+    marker records a fingerprint of the embeddings parquet + build
+    params; an unchanged corpus skips the build, a regenerated corpus or
+    changed nlist forces a rebuild (ADVICE r3/r4 stale-artifact hazard).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from ..artifacts import marker_current, write_marker
+
     base = os.path.join(_IVF_ROOT, re.sub(r"\W+", "_", sf_dir.strip("/")))
     done = os.path.join(base, "_BUILT")
-    if os.path.exists(done):
+    fp = _ivf_fingerprint(sf_dir, nlist)
+    if marker_current(done, fp):
         return base
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
@@ -174,14 +191,16 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, center array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(base, "centers"))
-    open(done, "w").close()
+    write_marker(done, fp)
     return base
 
 
 def ivf_index(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """(corpus-with-cells, centroids) from the persisted index, building
-    it first if absent.  Queries go through here and never touch KMeans."""
-    key = sf_dir.rstrip("/")
+    it first if absent or stale.  Queries go through here and never touch
+    KMeans.  The cache key includes the corpus fingerprint, so a rebuild
+    never serves DataFrames whose file listing predates the overwrite."""
+    key = (sf_dir.rstrip("/"), _ivf_fingerprint(sf_dir))
     if key not in _IVF_CACHE:
         base = build_ivf_index(spark, sf_dir)
         _IVF_CACHE[key] = (

@@ -233,6 +233,60 @@ def test_cluster_table_probe_path_skips_recompute(spark, sf_dir, monkeypatch):
     assert probed == inline and probed
 
 
+def test_artifact_fingerprint_detects_stale_corpus(spark, sf_dir, tmp_path,
+                                                   monkeypatch):
+    """ADVICE r3/r4: a _BUILT marker with no fingerprint serves stale
+    artifacts after the corpus regenerates at the same path.  With a
+    private corpus copy: build once; an unchanged corpus must NOT
+    rebuild (compute poisoned); a touched corpus MUST rebuild."""
+    import os
+    import shutil
+
+    corpus = tmp_path / "sf_private"
+    corpus.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", corpus / f"{t}.parquet")
+    sf = str(corpus)
+
+    # --- cluster table ---
+    dedup.build_cluster_table(spark, sf)
+
+    def _boom(*a, **k):
+        raise AssertionError("rebuild ran for an unchanged corpus")
+
+    with monkeypatch.context() as m:
+        m.setattr(dedup, "_compute_clusters", _boom)
+        dedup.build_cluster_table(spark, sf)          # no-op: marker current
+        m.undo()
+        os.utime(corpus / "documents.parquet")        # corpus "regenerated"
+        m.setattr(dedup, "_compute_clusters", _boom)
+        with pytest.raises(AssertionError, match="unchanged corpus"):
+            dedup.build_cluster_table(spark, sf)
+    dedup.build_cluster_table(spark, sf)              # real rebuild succeeds
+    assert dedup.q_dedup_cluster(spark, sf).count() > 0
+
+    # --- IVF index ---
+    from pyspark.ml.clustering import KMeans
+
+    similarity.build_ivf_index(spark, sf)
+    real_fit = KMeans.fit
+
+    def _fit_boom(self, dataset):
+        raise AssertionError("KMeans refit for an unchanged corpus")
+
+    with monkeypatch.context() as m:
+        m.setattr(KMeans, "fit", _fit_boom)
+        similarity.build_ivf_index(spark, sf)         # no-op: marker current
+        m.undo()
+        os.utime(corpus / "embeddings.parquet")
+        m.setattr(KMeans, "fit", _fit_boom)
+        with pytest.raises(AssertionError, match="unchanged corpus"):
+            similarity.build_ivf_index(spark, sf)
+        m.setattr(KMeans, "fit", real_fit)
+        similarity.build_ivf_index(spark, sf)         # real rebuild succeeds
+    assert similarity.q_sim_ivf(spark, sf).count() > 0
+
+
 def test_prefix_filter_lossless_on_adversarial_corpora(spark):
     """Property check on constructed corpora that stress every prune:
     size-mismatched pairs, late-position overlaps, cross-lang twins, and
