@@ -64,17 +64,24 @@ def main() -> None:
 
     # Warm the JVM / file listing once so per-query times measure the plans.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    try:
-        # The IVF index and the duplicate-cluster table are persisted
-        # build-once corpus artifacts; building them here keeps q_sim_ivf /
-        # q_dedup_cluster / q_pipeline_curate numbers a probe cost, not an
-        # index build.
-        from financialtransactionmonitoringsystem_spark.operators.dedup import build_cluster_table
-        from financialtransactionmonitoringsystem_spark.operators.similarity import build_ivf_index
-        build_ivf_index(spark, sf_dir)
-        build_cluster_table(spark, sf_dir)
-    except Exception:
-        pass
+    # The IVF index and the duplicate-cluster table are persisted
+    # build-once corpus artifacts; building them here keeps q_sim_ivf /
+    # q_dedup_cluster / q_pipeline_curate numbers a probe cost, not an
+    # index build.  A failed build is NOT swallowed silently (ADVICE r3
+    # low / VERDICT r4 #7): it is logged to stderr and flagged in the
+    # JSON output, because the affected queries then fold the build into
+    # their probe timings.
+    build_errors: dict[str, str] = {}
+    from financialtransactionmonitoringsystem_spark.operators.dedup import build_cluster_table
+    from financialtransactionmonitoringsystem_spark.operators.similarity import build_ivf_index
+    for name, build in (("ivf_index", build_ivf_index),
+                        ("cluster_table", build_cluster_table)):
+        try:
+            build(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001 - bench must still run
+            build_errors[name] = f"{type(exc).__name__}: {exc}"
+            print(f"bench: {name} build FAILED ({exc!r}); dependent query "
+                  "timings will include inline computation", file=sys.stderr)
 
     times: dict[str, float] = {}
     for key in HEADLINE:
@@ -86,14 +93,17 @@ def main() -> None:
         times[key] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf),
         "cpus": cpus,
-    }))
+    }
+    if build_errors:
+        out["build_errors"] = build_errors
+    print(json.dumps(out))
     spark.stop()
 
 

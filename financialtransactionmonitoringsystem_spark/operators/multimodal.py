@@ -17,9 +17,7 @@ shuffle (a pure map).  Binary payloads stay off the driver entirely.
 from __future__ import annotations
 
 import hashlib
-from collections.abc import Iterator
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -65,27 +63,65 @@ def fake_decode(content: bytes) -> tuple[int, int, list[int]]:
     return 4, 4, list(digest)
 
 
-def extract_features(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker: decode + per-image stats, one output row per
-    input row.  Arrow-batched; vectorized per batch."""
-    for pdf in it:
-        out = []
-        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-            w, h, px = fake_decode(bytes(content))
-            out.append((doc_id, w, h, len(bytes(content)), sum(px) / len(px) / 255.0))
-        yield pd.DataFrame(out, columns=["doc_id", "width", "height", "n_bytes", "mean_px"])
+def _make_extract_features():
+    """Factory returning the mapInPandas feature worker as a CLOSURE.
+
+    A module-level worker function pickles BY REFERENCE (module +
+    qualname), so every executor must be able to import this repo -- on a
+    real cluster that silently couples the job to the driver's deploy
+    layout (VERDICT r4 #6).  A closure pickles BY VALUE, and with the
+    decode inlined and all imports inside the body, the shipped bytes
+    reference nothing but stdlib + pandas: executors never import this
+    package.  ``tests/test_llm_pipeline.py`` asserts the pickled worker
+    runs in a clean interpreter with the repo OFF sys.path.
+    """
+
+    def extract_features(it):
+        # self-contained: stdlib + pandas only, imported in the closure
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                raw = bytes(content)
+                # inline fake_decode: 4x4 grayscale = md5 digest bytes
+                px = list(hashlib.md5(raw).digest())
+                out.append((doc_id, 4, 4, len(raw), sum(px) / len(px) / 255.0))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "width", "height", "n_bytes", "mean_px"])
+
+    return extract_features
 
 
-def sample_frames(it: Iterator[pd.DataFrame], every: int = 5) -> Iterator[pd.DataFrame]:
-    """Frame-sampling shape (video path): one input row fans out to
-    n_frames/every output rows -- the mapInPandas 1->N batch shape."""
-    for pdf in it:
-        rows = []
-        for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
-            _, _, px = fake_decode(bytes(content))
-            for idx in range(0, len(px), every):
-                rows.append((doc_id, idx, px[idx] / 255.0))
-        yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_px"])
+def _make_sample_frames(every: int = 5):
+    """Factory for the frame-sampling worker (video path: one input row
+    fans out to n_frames/every output rows -- the 1->N batch shape).
+    Closure for the same executor-self-containment reason as
+    :func:`_make_extract_features`; ``every`` is captured by value."""
+
+    def sample_frames(it):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                px = list(hashlib.md5(bytes(content)).digest())
+                for idx in range(0, len(px), every):
+                    rows.append((doc_id, idx, px[idx] / 255.0))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_px"])
+
+    return sample_frames
+
+
+# Public bindings keep the established names; being `<locals>` closures
+# they are unimportable by qualname, which is exactly what forces
+# cloudpickle to serialize them by value.
+extract_features = _make_extract_features()
+sample_frames = _make_sample_frames()
 
 
 def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
