@@ -221,6 +221,34 @@ def test_salted_ops_match_unsalted(spark, sf_dir):
     assert salted_j == direct_j and len(salted_j) > 0
 
 
+def test_pack_sequences_scale_form_matches_single_window(spark, sf_dir):
+    """The range-partitioned form must be value-identical to the naive
+    one-window-per-lang reference for ANY partition count, including
+    n_parts=1 (degenerates to the reference) and n_parts >> rows (many
+    empty partitions)."""
+    from pyspark.sql import Window as W
+
+    from financialtransactionmonitoringsystem_spark.operators import curate
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    want = sorted(map(tuple, (
+        docs.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+        .select("doc_id", "lang", "n_tokens",
+                F.floor(start / curate.PACK_BUDGET).alias("seq_id"),
+                (start % curate.PACK_BUDGET).alias("seq_off"))
+    ).collect()))
+    for n_parts in (1, 7, 2048):
+        got = sorted(map(tuple, (
+            curate._packed_with_pid(spark, sf_dir, n_parts=n_parts)
+            .select("doc_id", "lang", "n_tokens", "seq_id", "seq_off")
+        ).collect()))
+        assert got == want and got, f"n_parts={n_parts}"
+
+
 def test_pack_sequences_invariants(spark, sf_dir):
     """Packing is contiguous per lang: offsets live inside the budget,
     each lang's stream starts at sequence 0 offset 0, and doc start

@@ -7,6 +7,8 @@ cartesian, un-broadcast dimension join) even if answers are still right.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from financialtransactionmonitoringsystem_spark.operators import relational, topk, aggregates
 from financialtransactionmonitoringsystem_spark.plans import inspect as P
 
@@ -130,14 +132,24 @@ def test_prefix_dedup_stays_equi_join_without_broadcast(spark, sf_dir):
         spark.catalog.clearCache()
 
 
-def test_pack_sequences_costs_one_shuffle(spark, sf_dir):
-    """Sequence packing is a per-lang window: exactly one hash exchange,
-    no joins."""
+def test_pack_sequences_spreads_langs_over_partitions(spark, sf_dir):
+    """The scale form of sequence packing (VERDICT r4 #4) must NOT
+    serialize a language onto one task: range partitioning on
+    (lang, doc_id) spreads each language over many partitions, and the
+    per-partition offset table joins back as a broadcast (never a
+    shuffle join against the corpus)."""
     from financialtransactionmonitoringsystem_spark.operators import curate
 
-    df = curate.q_pack_sequences(spark, sf_dir)
-    assert P.n_shuffles(df) <= 1, P.plan_str(df, "simple")
+    df = curate._packed_with_pid(spark, sf_dir, n_parts=8)
     assert not P.has_cartesian(df)
+    plan = P.plan_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan  # offsets join side is tiny
+    # >1 task per lang: the busiest language spans multiple range
+    # partitions (pid = spark_partition_id after repartitionByRange).
+    spread = (df.groupBy("lang")
+              .agg(F.countDistinct("pid").alias("n_pids"))
+              .agg(F.max("n_pids").alias("mx")).collect()[0].mx)
+    assert spread > 1, f"every lang landed on a single partition: {spread}"
 
 
 def test_stratified_sample_has_no_shuffle(spark, sf_dir):
