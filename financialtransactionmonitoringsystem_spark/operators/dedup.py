@@ -103,22 +103,30 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _verify_jaccard(cands: DataFrame, toksets: DataFrame,
                     threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Exact-Jaccard verification of a candidate-pair table: two plain
-    shuffle equi-joins on doc_id against the corpus token table (never a
-    forced broadcast of the corpus side -- round-2 VERDICT #2)."""
-    # The token table feeds BOTH sides of the pair join; persisting it
-    # keeps the tokenize pipeline from running once per join build.
-    toksets = toksets.persist()
-    a = toksets.alias("ta")
-    b = toksets.alias("tb")
-    j = _jaccard(F.col("ta.toks"), F.col("tb.toks"),
-                 F.col("ta.n_toks"), F.col("tb.n_toks"))
-    return (
-        cands.join(a, cands.doc_a == F.col("ta.doc_id"))
-        .join(b, cands.doc_b == F.col("tb.doc_id"))
-        .select("doc_a", "doc_b", rnd(j, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+    """Exact-Jaccard verification of a candidate-pair table against the
+    corpus token table, reading that table ONCE: each pair explodes to
+    its two member ids, one shuffle equi-join on doc_id attaches the
+    token arrays (never a forced broadcast of the corpus side -- round-2
+    VERDICT #2), and a pair-keyed aggregate reassembles the two sides.
+    The single-reference plan replaces an unscoped ``persist`` that
+    leaked cache across the parity run (VERDICT r4 #5): the token
+    pipeline appears once in the plan, so there is nothing to cache."""
+    exploded = cands.select(
+        "doc_a", "doc_b",
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+    side = lambda col: F.first(  # noqa: E731 - exactly one non-null/group
+        F.when(F.col("doc_id") == F.col("doc_a"), F.col(col)), True)
+    other = lambda col: F.first(  # noqa: E731
+        F.when(F.col("doc_id") == F.col("doc_b"), F.col(col)), True)
+    pairs = (
+        exploded.join(toksets, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(side("toks").alias("a_toks"), other("toks").alias("b_toks"),
+             side("n_toks").alias("na"), other("n_toks").alias("nb"))
     )
+    j = _jaccard(F.col("a_toks"), F.col("b_toks"), F.col("na"), F.col("nb"))
+    return (pairs.select("doc_a", "doc_b", rnd(j, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
 
 
 def prefix_candidates(docs: DataFrame,
@@ -145,6 +153,12 @@ def prefix_candidates(docs: DataFrame,
     """
     assert threshold == JACCARD_NUM / JACCARD_DEN, \
         "prefix bounds use the exact rational JACCARD_NUM/JACCARD_DEN"
+    return _prefix_join(_prefix_table(docs))
+
+
+def _prefix_table(docs: DataFrame) -> DataFrame:
+    """Rarest-first prefix-token table (doc_id, lang, tok, pos, n_toks):
+    the tokens a qualifying partner MUST share one of."""
     p, q = JACCARD_NUM, JACCARD_DEN
     t = _tok_sets(docs)
     tok = t.select("doc_id", "lang", "n_toks", F.explode("toks").alias("tok"))
@@ -154,16 +168,19 @@ def prefix_candidates(docs: DataFrame,
     # minimum partner size t*n), so the prefix is n - ceil(t*n) + 1
     # tokens; ceil computed in exact integer arithmetic.
     min_overlap_self = F.floor((p * F.col("n_toks") + q - 1) / q)
-    # Persist: the self-join below evaluates its build side separately,
-    # which would otherwise re-run the scan->tokenize->freq->window chain
-    # per side (measured 3x slower end-to-end at sf0.1 without this).
-    pref = (
+    return (
         tok.join(freq, "tok")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.col("n_toks") - min_overlap_self + 1)
         .select("doc_id", "lang", "tok", "pos", "n_toks")
-        .persist()
     )
+
+
+def _prefix_join(pref: DataFrame) -> DataFrame:
+    """The prefix self-join with its length + positional residuals, as a
+    lazy plan over the given prefix table (see :func:`prefix_candidates`
+    for the bounds derivation)."""
+    p, q = JACCARD_NUM, JACCARD_DEN
     a = pref.alias("a")
     b = pref.alias("b")
     na, nb = F.col("a.n_toks"), F.col("b.n_toks")
@@ -182,6 +199,24 @@ def prefix_candidates(docs: DataFrame,
     )
 
 
+def _materialize_pairs(build_side: DataFrame,
+                       join_fn) -> DataFrame:
+    """Run a self-join over ``build_side`` with a SCOPED cache: persist
+    the (small, derived) build table so the self-join does not recompute
+    its pipeline once per side (measured 3x slower end-to-end at sf0.1
+    without it), eagerly materialize the resulting candidate-pair table
+    via ``localCheckpoint``, and unpersist before returning.  The pair
+    table is tiny (ids only) and its checkpoint blocks are
+    reference-tracked -- nothing stays in the DataFrame cache manager
+    after the call (VERDICT r4 #5: the unscoped persists leaked cache
+    across the 94-key parity run)."""
+    build_side = build_side.persist()
+    try:
+        return join_fn(build_side).localCheckpoint(eager=True)
+    finally:
+        build_side.unpersist(blocking=True)
+
+
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs at scale: prefix-filtered
     candidates + exact verification.  Produces BYTE-IDENTICAL results to
@@ -189,7 +224,7 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked all-pairs product -- this is the scale path for *exact*
     dedup, alongside MinHash for the approximate trade."""
     docs = load_table(spark, sf_dir, "documents")
-    cands = prefix_candidates(docs)
+    cands = _materialize_pairs(_prefix_table(docs), _prefix_join)
     return _verify_jaccard(cands, _tok_sets(docs).select("doc_id", "toks", "n_toks"))
 
 
@@ -222,15 +257,23 @@ def lsh_candidates(sig: DataFrame, n_bands: int = N_BANDS,
     """Candidate pairs = docs agreeing on at least one LSH band.
 
     Bands explode to (doc, band, band_hash); candidates come from an
-    equi-join of that table with itself on (lang, band, band_hash).  The
-    band table is persisted first: it is O(|docs| * n_bands) -- tiny next
-    to the token explode that produced it -- and without the persist the
-    self-join recomputes the whole signature aggregation for both sides
-    (spark.ml's MinHashLSH caches at the same point).  A
+    equi-join of that table with itself on (lang, band, band_hash).  A
     collect_list-per-bucket pair expansion was tried and is worse under
     bucket skew: one 1000-doc bucket becomes a single row holding a
-    500k-struct array built by one task.
+    500k-struct array built by one task.  Lazy composition for plan
+    tests; ``q_dedup_minhash`` runs it through
+    :func:`_materialize_pairs` so the band table (O(|docs| * n_bands) --
+    tiny next to the token explode that produced it) is cached only for
+    the duration of the self-join instead of leaking across the run
+    (without any caching the self-join recomputes the whole signature
+    aggregation per side; spark.ml's MinHashLSH caches at the same
+    point).
     """
+    return _band_join(_band_table(sig, n_bands, k))
+
+
+def _band_table(sig: DataFrame, n_bands: int = N_BANDS,
+                k: int = N_MINHASH) -> DataFrame:
     rows_per_band = k // n_bands
     bands = F.array(*[
         F.struct(
@@ -240,10 +283,12 @@ def lsh_candidates(sig: DataFrame, n_bands: int = N_BANDS,
         )
         for b in range(n_bands)
     ])
-    exploded = sig.select("doc_id", "lang", "n_toks", F.explode(bands).alias("b")) \
+    return sig.select("doc_id", "lang", "n_toks", F.explode(bands).alias("b")) \
         .select("doc_id", "lang", "n_toks",
-                F.col("b.band").alias("band"), F.col("b.bh").alias("bh")) \
-        .persist()
+                F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+
+
+def _band_join(exploded: DataFrame) -> DataFrame:
     a = exploded.alias("a")
     b = exploded.alias("b")
     # Length filter as a join residual (same exact bound as the prefix
@@ -277,7 +322,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     property.
     """
     docs = load_table(spark, sf_dir, "documents")
-    cands = lsh_candidates(minhash_signatures(docs))
+    cands = _materialize_pairs(_band_table(minhash_signatures(docs)), _band_join)
     return _verify_jaccard(cands, _tok_sets(docs).select("doc_id", "toks", "n_toks"))
 
 
@@ -309,35 +354,55 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
                                     F.lit(1)).otherwise(F.lit(-1))),
     )
     sig = docs.select("doc_id", "lang", sums.alias("sums"))
+    # shiftleft (not a 1<<j Python literal): at bits=64 the top bit is
+    # 2^63, which overflows a signed-long literal but is the correct
+    # negative two's-complement pattern from a JVM shift.  Distinct
+    # powers of two never carry, so the running + is a bitwise OR even
+    # when the sign bit lands.
     sim = reduce(
         lambda acc, j: acc + F.when(F.element_at("sums", j + 1) > 0,
-                                    F.lit(1 << j)).otherwise(0),
+                                    F.shiftleft(F.lit(1).cast("long"), j))
+                               .otherwise(F.lit(0).cast("long")),
         range(bits), F.lit(0).cast("long"))
     return sig.select("doc_id", "lang", sim.alias("simhash"))
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 48-bit signatures, blocked by 12-bit
-    chunks (any pair within Hamming distance 3 shares a chunk), verified
-    with bit_count(xor) <= 3."""
-    docs = load_table(spark, sf_dir, "documents")
-    sig = simhash_signatures(docs)
-    chunk_bits = SIMHASH_BITS // SIMHASH_CHUNKS
+# At ~constant chunk count, bucket collision load grows with the corpus:
+# a 12-bit chunk value has 4096 buckets, so beyond ~10^5 docs per lang
+# the per-bucket pair space dominates (VERDICT r4 #8).  Larger corpora
+# therefore step up to 64-bit signatures in 6 chunks of >=10 bits: more
+# buckets per chunk AND a stronger pigeonhole guarantee (<=5 vs <=3).
+SIMHASH_WIDE_THRESHOLD = 100_000
+
+
+def _simhash_width(n_docs: int) -> tuple[int, int]:
+    """(bits, chunks) for a corpus size -- 48/4 small, 64/6 large."""
+    if n_docs >= SIMHASH_WIDE_THRESHOLD:
+        return 64, 6
+    return SIMHASH_BITS, SIMHASH_CHUNKS
+
+
+def _chunk_table(sig: DataFrame, bits: int, n_chunks: int) -> DataFrame:
+    """(doc_id, lang, simhash, chunk, cv): one row per signature chunk.
+    Chunk widths differ by at most one bit when ``n_chunks`` does not
+    divide ``bits`` (64/6 -> 11,11,11,11,10,10)."""
+    base, extra = divmod(bits, n_chunks)
+    widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftrightunsigned(F.col("simhash"), c * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1)).alias("cv"),
+            F.shiftrightunsigned(F.col("simhash"), offsets[c])
+            .bitwiseAND(F.lit((1 << widths[c]) - 1)).alias("cv"),
         )
-        for c in range(SIMHASH_CHUNKS)
+        for c in range(n_chunks)
     ])
-    # Persist the chunk table (O(|docs| * chunks)) so the self-join does
-    # not recompute the 48 bit-sum aggregates for both sides -- same
-    # pattern as lsh_candidates.
-    ex = sig.select("doc_id", "lang", "simhash", F.explode(chunks).alias("c")) \
+    return sig.select("doc_id", "lang", "simhash", F.explode(chunks).alias("c")) \
         .select("doc_id", "lang", "simhash",
-                F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv")) \
-        .persist()
+                F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+
+
+def _chunk_join(ex: DataFrame, max_hamming: int = 3) -> DataFrame:
     a = ex.alias("a")
     b = ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -348,8 +413,34 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                 ham.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs(docs: DataFrame, bits: int = SIMHASH_BITS,
+                  n_chunks: int = SIMHASH_CHUNKS,
+                  max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs at a chosen signature width: chunk-blocked
+    candidates (pigeonhole: Hamming <= n_chunks-1 MUST share a chunk,
+    so any max_hamming < n_chunks has recall 1 within the blocking),
+    verified with bit_count(xor) <= max_hamming.  The chunk table is
+    cached only for the self-join (:func:`_materialize_pairs`)."""
+    assert max_hamming < n_chunks, \
+        "pigeonhole guarantee needs n_chunks > max_hamming"
+    sig = simhash_signatures(docs, bits)
+    return _materialize_pairs(
+        _chunk_table(sig, bits, n_chunks),
+        lambda ex: _chunk_join(ex, max_hamming))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs.  Signature width scales with the corpus
+    (:func:`_simhash_width`): 48-bit/4-chunk below 10^5 docs (every test
+    SF), 64-bit/6-chunk above, where 12-bit chunk buckets would start
+    drowning in collisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    bits, n_chunks = _simhash_width(docs.count())
+    return simhash_pairs(docs, bits, n_chunks)
 
 
 def cosine_fold(a: Column, b: Column) -> Column:

@@ -40,6 +40,41 @@ def test_simhash_finds_near_dups(spark, sf_dir):
     assert got & exact
 
 
+@pytest.mark.parametrize("bits,chunks", [(48, 4), (64, 6)])
+def test_simhash_widths_catch_planted_identicals(spark, sf_dir, bits, chunks):
+    """VERDICT r4 #8: both signature widths must honor the pigeonhole
+    recall guarantee.  Token-set-identical pairs (jaccard == 1.0 in the
+    exact ground truth) have Hamming distance 0 at ANY width, so every
+    one of them must surface; near-dup overlap must be non-empty too."""
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {(r.doc_a, r.doc_b)
+           for r in dedup.simhash_pairs(docs, bits, chunks).collect()}
+    exact = dedup.q_dedup_ngram(spark, sf_dir).collect()
+    identical = {(r.doc_a, r.doc_b) for r in exact if r.jaccard == 1.0}
+    assert identical, "corpus should contain token-set-identical pairs"
+    assert identical <= got, f"width {bits}/{chunks} missed hamming-0 pairs"
+    assert got & {(r.doc_a, r.doc_b) for r in exact}
+
+
+def test_simhash_width_steps_up_for_large_corpora():
+    assert dedup._simhash_width(500) == (48, 4)
+    assert dedup._simhash_width(dedup.SIMHASH_WIDE_THRESHOLD) == (64, 6)
+
+
+def test_dedup_queries_leave_no_dataframe_cache(spark, sf_dir):
+    """VERDICT r4 #5: the self-join caches inside the dedup operators
+    must be scoped to the call -- after running and materializing every
+    cache-using dedup query, the session's DataFrame cache manager must
+    be empty (an unscoped persist leaks across the 94-key parity run)."""
+    spark.catalog.clearCache()
+    for q in (dedup.q_dedup_prefix, dedup.q_dedup_minhash,
+              dedup.q_dedup_simhash):
+        assert q(spark, sf_dir).count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_prefix_join_equals_all_pairs_ground_truth(spark, sf_dir):
     """Prefix filtering is lossless: the equi-join plan must return
     byte-identical pairs to the blocked all-pairs form."""

@@ -90,12 +90,20 @@ def test_dedup_verify_joins_never_force_broadcast(spark, sf_dir):
     stats grow; a hint would not, so hints are what this test bans."""
     from financialtransactionmonitoringsystem_spark.operators import dedup
 
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         for q in (dedup.q_dedup_minhash, dedup.q_dedup_embed):
             plan = P.plan_str(q(spark, sf_dir), "simple")
             assert "BroadcastExchange" not in plan, plan
+        # The band-bucket candidate join is materialized inside
+        # q_dedup_minhash; check its lazy plan too.
+        docs = load_table(spark, sf_dir, "documents")
+        cands = dedup.lsh_candidates(dedup.minhash_signatures(docs))
+        assert not P.has_cartesian(cands)
+        assert "BroadcastExchange" not in P.plan_str(cands, "simple")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
@@ -117,19 +125,21 @@ def test_prefix_dedup_stays_equi_join_without_broadcast(spark, sf_dir):
     BroadcastExchange hint shipping the corpus anywhere."""
     from financialtransactionmonitoringsystem_spark.operators import dedup
 
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    # The prefix/token tables are persisted; a cache entry materialized by
-    # an earlier test under the default threshold would render its own
-    # (legitimately broadcast-built) lineage inside this plan string.
-    spark.catalog.clearCache()
     try:
+        # the verify plan (candidates are pre-materialized inside q_*)
         df = dedup.q_dedup_prefix(spark, sf_dir)
         assert not P.has_cartesian(df)
         assert "BroadcastExchange" not in P.plan_str(df, "simple")
+        # the lazy candidate-join plan the materialization runs
+        cands = dedup.prefix_candidates(load_table(spark, sf_dir, "documents"))
+        assert not P.has_cartesian(cands)
+        assert "BroadcastExchange" not in P.plan_str(cands, "simple")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.catalog.clearCache()
 
 
 def test_pack_sequences_spreads_langs_over_partitions(spark, sf_dir):
