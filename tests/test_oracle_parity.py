@@ -38,20 +38,30 @@ def test_rows_only_queries_run(key, spark, sf_dir):
 
 
 @pytest.mark.parametrize("key", sorted(ORACLES))
-def test_oracle_output_types_hashable(key, duck):
+def test_oracle_output_types_hashable(key, duck, spark, sf_dir):
     """VERDICT r3 guard: DuckDB widens SUM(BIGINT) to HUGEINT (int128),
     which the driver's value-hash canonicalizes differently from Spark's
     BIGINT despite equal values (it cost q_pipeline_curate its r3 row).
     Every oracle's output schema must stay inside the types the driver
-    hashes identically to Spark -- no HUGEINT/UHUGEINT and no
-    DECIMAL(38,0) (the HUGEINT-in-disguise width)."""
+    hashes identically to Spark: no HUGEINT/UHUGEINT ever, and no
+    DECIMAL(38,0) *when the Spark twin's column is integral* (ADVICE r4:
+    a genuine decimal oracle may legitimately widen to DECIMAL(38,0) --
+    flag it only when it is HUGEINT-in-disguise next to a Spark
+    BIGINT)."""
     sql = ORACLES[key].rstrip().rstrip(";")
     cols = duck.execute(f"DESCRIBE SELECT * FROM ({sql}) t").fetchall()
-    bad = [(c[0], c[1]) for c in cols
-           if c[1] in ("HUGEINT", "UHUGEINT") or c[1] == "DECIMAL(38,0)"]
+    bad = [(c[0], c[1]) for c in cols if c[1] in ("HUGEINT", "UHUGEINT")]
+    dec38 = [c[0] for c in cols if c[1] == "DECIMAL(38,0)"]
+    if dec38:
+        # schema-only resolution of the Spark twin (no job is run)
+        spark_types = {f.name: f.dataType.simpleString()
+                       for f in ALL[key](spark, sf_dir).schema.fields}
+        bad += [(n, "DECIMAL(38,0) vs spark " + spark_types.get(n, "?"))
+                for n in dec38
+                if spark_types.get(n) in ("tinyint", "smallint", "int", "bigint")]
     assert not bad, (
         f"{key}: oracle columns {bad} would break the driver value-hash; "
-        "CAST the aggregate back to BIGINT in the SQL")
+        "CAST the aggregate back to the Spark-side type in the SQL")
 
 
 def test_hll_sketch_estimates_bounded_error_and_lossless_merge(spark, sf_dir):
