@@ -62,8 +62,23 @@ def main() -> None:
     spark = get_spark("fintxmon-bench", cpus=cpus)
     qs = registry.all_queries()
 
-    # Warm the JVM / file listing once so per-query times measure the plans.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM / file listing / codegen paths once so per-query times
+    # measure the plans, not first-call JIT: a scan+agg, a join, and a
+    # window over a slice exercise the whole-stage-codegen and shuffle
+    # machinery the headline queries run on.
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+
+    _li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    _li.count()
+    _slice = _li.limit(50_000)
+    _slice.groupBy("l_returnflag").agg(_F.sum("l_quantity")).collect()
+    _ord = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    _slice.join(_ord, _slice.l_orderkey == _ord.o_orderkey).count()
+    (_slice.select("l_orderkey", "l_quantity",
+                   _F.row_number().over(
+                       _W.partitionBy("l_orderkey").orderBy("l_linenumber"))
+                   .alias("rn")).filter("rn = 1").count())
     # The IVF index and the duplicate-cluster table are persisted
     # build-once corpus artifacts; building them here keeps q_sim_ivf /
     # q_dedup_cluster / q_pipeline_curate numbers a probe cost, not an
