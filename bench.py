@@ -48,6 +48,10 @@ HEADLINE = [
     "q_sample_hash",
     "q_pack_sequences",
     "q_pipeline_curate",
+    # round-5 additions: mixing + model-based filtering
+    "q_sample_weighted",
+    "q_curate_budget",
+    "q_text_perplexity",
 ]
 
 

@@ -5,6 +5,10 @@ data (driver mandate: large-scale training-data pipeline operations).
   sequences (the "sequence packing" step before batching);
 * ``q_sample_stratified`` -- per-language deterministic hash sampling
   (the "data mixing" step: different keep rates per stratum);
+* ``q_sample_weighted`` -- Efraimidis-Spirakis weighted sampling without
+  replacement per source stratum (importance-weighted data mixing);
+* ``q_curate_budget`` -- fill a per-language token budget in quality
+  order (the FineWeb/Gopher "take the best N tokens" selection step);
 * ``q_pipeline_curate`` -- the end-to-end composite: near-dup cluster
   representatives -> quality filter -> stratified sample -> dataset-card
   rollup.  One query exercising dedup, scoring, and sampling together,
@@ -26,6 +30,8 @@ from .dedup import ORACLES as _DEDUP_ORACLES
 from .dedup import q_dedup_cluster
 
 PACK_BUDGET = 512  # tokens per packed training sequence
+SAMPLE_K = 10        # weighted-sample size per source stratum
+BUDGET_TOKENS = 2000  # per-language token budget for q_curate_budget
 
 # Data-mixing keep rates as md5-hex-prefix ceilings: en keeps 128/256
 # (50%), every other language 32/256 (12.5%).  A hash sample is a pure
@@ -39,55 +45,67 @@ def _n_tokens():
     return F.size(F.split(F.col("text"), " "))
 
 
-def _packed_with_pid(spark: SparkSession, sf_dir: str,
-                     n_parts: int | None = None) -> DataFrame:
-    """Scale form of sequence packing, keeping the internal ``pid``
-    column visible for plan tests.
+def _ranged_running_sum(spark: SparkSession, df: DataFrame, val_col: str,
+                        part_col: str, order_cols: list,
+                        n_parts: int | None = None) -> DataFrame:
+    """Global inclusive running sum of ``val_col`` per ``part_col`` in
+    ``order_cols`` order, parallelized over range partitions.
 
-    A single per-lang window serializes each language onto ONE task --
-    at 100 TB the dominant language becomes one core's problem (VERDICT
-    r4 scale-killer (a)).  Instead:
+    A single per-group window serializes each group onto ONE task -- at
+    100 TB the dominant language becomes one core's problem (VERDICT r4
+    scale-killer (a)).  Instead:
 
-    1. ``repartitionByRange(n_parts, lang, doc_id)``: contiguous
-       (lang, doc_id) ranges, so a big language spans MANY partitions
-       and partition order extends the per-lang doc order
-       (``pid`` = range index -- deterministic: range boundaries come
-       from seeded reservoir sampling of a deterministic scan).
-    2. local running sums per (lang, pid) -- parallelism is the
-       partition count, not the language count;
-    3. per-partition token totals (an agg on the window's own grouping
-       keys -- no extra exchange) prefix-summed per lang over the TINY
-       (lang, pid) table and broadcast-joined back as each partition's
-       global offset.
+    1. ``repartitionByRange(n_parts, part_col, *order_cols)``:
+       contiguous key ranges, so a big group spans MANY partitions and
+       partition order extends the per-group order (``pid`` = range
+       index -- deterministic: range boundaries come from seeded
+       reservoir sampling of a deterministic scan).
+    2. local running sums per (group, pid) -- parallelism is the
+       partition count, not the group count;
+    3. per-partition totals (an agg on the window's own grouping keys
+       -- no extra exchange) prefix-summed per group over the TINY
+       (group, pid) table and broadcast-joined back as each
+       partition's global offset.
 
-    Global ``start_tok`` = local running sum - own tokens + partition
-    offset, identical to the one-window form for any choice of range
-    boundaries (the offsets are computed from the actual partition
-    contents, so boundary placement cancels out).
+    ``run`` = local running sum + partition offset, identical to the
+    one-window form for any choice of range boundaries (the offsets are
+    computed from the actual partition contents, so boundary placement
+    cancels out).  ``pid`` is kept visible for plan tests.
     """
     if n_parts is None:
         n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    docs = load_table(spark, sf_dir, "documents")
     ranged = (
-        docs.select("doc_id", "lang", _n_tokens().alias("n_tokens"))
-        .repartitionByRange(n_parts, "lang", "doc_id")
+        df.repartitionByRange(n_parts, part_col, *order_cols)
         .withColumn("pid", F.spark_partition_id())
     )
-    w_loc = W.partitionBy("lang", "pid").orderBy("doc_id")
-    local = ranged.withColumn("run", F.sum("n_tokens").over(w_loc))
-    totals = local.groupBy("lang", "pid").agg(F.max("run").alias("part_tot"))
-    w_off = W.partitionBy("lang").orderBy("pid")
+    w_loc = W.partitionBy(part_col, "pid").orderBy(*order_cols)
+    local = ranged.withColumn("__run", F.sum(val_col).over(w_loc))
+    totals = local.groupBy(part_col, "pid").agg(
+        F.max("__run").alias("part_tot"))
+    w_off = W.partitionBy(part_col).orderBy("pid")
     offsets = totals.select(
-        "lang", "pid",
-        (F.sum("part_tot").over(w_off) - F.col("part_tot")).alias("off"))
-    start = F.col("run") - F.col("n_tokens") + F.col("off")
+        part_col, "pid",
+        (F.sum("part_tot").over(w_off) - F.col("part_tot")).alias("__off"))
     return (
-        local.join(F.broadcast(offsets), ["lang", "pid"])
-        .select(
-            "doc_id", "lang", "n_tokens", "pid",
-            F.floor(start / PACK_BUDGET).alias("seq_id"),
-            (start % PACK_BUDGET).alias("seq_off"),
-        )
+        local.join(F.broadcast(offsets), [part_col, "pid"])
+        .withColumn("run", F.col("__run") + F.col("__off"))
+        .drop("__run", "__off")
+    )
+
+
+def _packed_with_pid(spark: SparkSession, sf_dir: str,
+                     n_parts: int | None = None) -> DataFrame:
+    """Scale form of sequence packing (see :func:`_ranged_running_sum`),
+    keeping the internal ``pid`` column visible for plan tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "lang", _n_tokens().alias("n_tokens"))
+    summed = _ranged_running_sum(spark, base, "n_tokens", "lang",
+                                 ["doc_id"], n_parts)
+    start = F.col("run") - F.col("n_tokens")
+    return summed.select(
+        "doc_id", "lang", "n_tokens", "pid",
+        F.floor(start / PACK_BUDGET).alias("seq_id"),
+        (start % PACK_BUDGET).alias("seq_off"),
     )
 
 
@@ -117,6 +135,67 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hb") < F.col("ceil"))
         .select("doc_id", "lang", "source", "hb")
     )
+
+
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement per source stratum
+    (Efraimidis-Spirakis A-ES): keep the ``SAMPLE_K`` docs per source
+    with the largest ``u^(1/w)`` -- equivalently the largest
+    ``ln(u)/w`` -- where ``w`` = n_chars and ``u`` is a deterministic
+    pseudo-uniform from an md5 prefix (13 hex chars = 52 bits, exact in
+    a double; +0.5 keeps u strictly inside (0,1) so ln never sees 0).
+
+    Longer documents are proportionally more likely to be kept -- the
+    importance-weighted flavor of data mixing, vs the rate-based
+    :func:`q_sample_stratified`.  The key is computed per-row at the
+    scan (no shuffle); the only exchange is the per-source top-k
+    window, which AQE handles like any bounded-k ranking (same shape
+    as q_topk_per_group).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("-", F.lit("wsamp"), F.col("doc_id")))
+    u_int = F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
+    u = (u_int + F.lit(0.5)) / F.lit(float(1 << 52))
+    key = F.ln(u) / F.col("n_chars")
+    w = W.partitionBy("source").orderBy(F.col("key").desc(), "doc_id")
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars",
+                    key.alias("key"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= SAMPLE_K)
+        .select("source", "doc_id", "lang", "n_chars", "rk")
+    )
+
+
+def q_curate_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: per language, take documents in
+    quality order (type-token ratio desc, doc_id tiebreak) until the
+    cumulative token count exceeds ``BUDGET_TOKENS`` -- the
+    "best N tokens per language" selection step of a pretraining mix.
+
+    The cumulative sum runs through :func:`_ranged_running_sum`, so a
+    dominant language's prefix sum spreads over the full partition
+    count instead of serializing onto one window task.  TTR is an
+    exact IEEE division of two ints -- bit-identical across engines,
+    so the ordering (and thus the cutoff) is reproducible.
+    """
+    return _budget_with_pid(spark, sf_dir).select(
+        "doc_id", "lang", "n_tokens", F.col("run").alias("cum_tokens"))
+
+
+def _budget_with_pid(spark: SparkSession, sf_dir: str,
+                     n_parts: int | None = None) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", "lang",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks)).alias("ttr"))
+    summed = _ranged_running_sum(
+        spark, base, "n_tokens", "lang",
+        [F.col("ttr").desc(), F.col("doc_id")], n_parts)
+    return summed.filter(F.col("run") <= BUDGET_TOKENS)
 
 
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,6 +261,36 @@ ORACLES: dict[str, str] = {
                substring(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 2) AS hb
         FROM documents
         WHERE {_mix_sql()}
+    """,
+    # 4503599627370496e0 = 2^52; the +5e-1 mirrors the Spark side so u is
+    # strictly in (0,1) (DuckDB's ln(0) is an error, not -inf).
+    "q_sample_weighted": f"""
+        WITH keyed AS (
+          SELECT doc_id, lang, source, n_chars,
+                 ln((CAST('0x' || substring(
+                         md5('wsamp-' || CAST(doc_id AS VARCHAR)), 1, 13)
+                     AS BIGINT) + 5e-1) / 4503599627370496e0)
+                 / n_chars AS key
+          FROM documents)
+        SELECT source, doc_id, lang, n_chars, CAST(rk AS INTEGER) AS rk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY source ORDER BY key DESC, doc_id) AS rk
+          FROM keyed)
+        WHERE rk <= {SAMPLE_K}
+    """,
+    "q_curate_budget": f"""
+        SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY ttr DESC, doc_id)
+                 AS BIGINT) AS cum_tokens
+          FROM (SELECT doc_id, lang,
+                       CAST({_N_TOKENS_SQL} AS INTEGER) AS n_tokens,
+                       CAST(len(list_distinct(string_split(text, ' ')))
+                            AS DOUBLE) / {_N_TOKENS_SQL} AS ttr
+                FROM documents))
+        WHERE cum_tokens <= {BUDGET_TOKENS}
     """,
     # Reuses q_dedup_cluster's recursive-CTE oracle as the dedup stage so
     # the composite is value-checked end to end.

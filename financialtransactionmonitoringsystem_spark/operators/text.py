@@ -159,6 +159,47 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filtering: score each document by average
+    negative log-likelihood under an add-one-smoothed unigram model
+    trained on the corpus itself (low avg NLL = fluent/common text;
+    high = rare/garbled -- the perplexity-filter shape).
+
+    Scale shape: two map-side-combinable aggregates over the token
+    explode (per-(doc,tok) counts, global tok counts), one equi-join on
+    tok, one per-doc agg.  The model table is one row per distinct
+    token -- broadcastable when small, a plain shuffle join when not.
+
+    Determinism: each token's NLL is snapped to integer MICRO-nats
+    (floor(ln*1e6+0.5)) *before* the per-doc sum, so the sum is exact
+    integer arithmetic -- associativity-order differences between
+    engines (Spark partial aggs vs DuckDB's scan order) cannot change
+    the result, which a naive SUM(double) would not survive.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", F.explode(_toks()).alias("tok"))
+           .filter(F.length("tok") > 0))
+    doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(F.sum("c").alias("n_total"),
+                        F.count(F.lit(1)).alias("v"))
+    logp = F.ln((F.col("c") + 1).cast("double")
+                / (F.col("n_total") + F.col("v")).cast("double"))
+    nll_micro_tok = -F.floor(logp * F.lit(1e6) + F.lit(0.5))
+    scored = (doc_tok.join(counts, "tok")
+              .crossJoin(F.broadcast(totals))
+              .withColumn("nll_tok", nll_micro_tok))
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_toks"),
+             F.sum(F.col("cnt") * F.col("nll_tok")).alias("nll_micro"))
+        .select(
+            "doc_id", "n_toks", "nll_micro",
+            rnd(F.col("nll_micro").cast("double") / F.lit(1e6)
+                / F.col("n_toks"), 4).alias("avg_nll"))
+    )
+
+
 PII_EMAIL = "[a-z0-9._]+@[a-z0-9.]+"
 PII_LONGNUM = "[0-9]{4,}"
 
@@ -359,6 +400,34 @@ ORACLES: dict[str, str] = {
                {R("CAST(len(regexp_extract_all(text,'[0-9]')) AS DOUBLE) / length(text)", 4)} AS digit_ratio,
                (n_tokens >= 20 AND CAST(n_unique AS DOUBLE) / n_tokens > 0.2) AS keep
         FROM t
+    """,
+    "q_text_perplexity": f"""
+        WITH tok AS (
+          SELECT doc_id, tok
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                FROM documents)
+          WHERE length(tok) > 0
+        ), doc_tok AS (
+          SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY doc_id, tok
+        ), counts AS (
+          SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+        ), totals AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n_total, COUNT(*) AS v
+          FROM counts
+        ), nll AS (
+          SELECT tok,
+                 CAST(-floor(ln(CAST(c + 1 AS DOUBLE)
+                                / CAST(n_total + v AS DOUBLE)) * 1e6
+                             + 5e-1) AS BIGINT) AS nll_tok
+          FROM counts, totals
+        )
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_toks,
+               CAST(SUM(cnt * nll_tok) AS BIGINT) AS nll_micro,
+               {R('CAST(SUM(cnt * nll_tok) AS DOUBLE) / 1e6'
+                  ' / CAST(SUM(cnt) AS BIGINT)', 4)} AS avg_nll
+        FROM doc_tok JOIN nll USING (tok)
+        GROUP BY doc_id
     """,
     "q_text_fingerprint": """
         SELECT doc_id,

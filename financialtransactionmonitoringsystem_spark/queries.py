@@ -82,13 +82,20 @@ LAST_ATTESTED: dict[str, int] = {
 # Implementations materially changed this round -> re-attest regardless of
 # history (round 5: pack_sequences range-partitioned scale form; simhash
 # width parameterization; mm worker self-containment; cluster-table + IVF
-# artifact fingerprinting; stream_topk sink empty-dir/merge fixes).
-# q_dedup_minhash / q_dedup_prefix (persist scoping) and q_sim_ivf
-# (fingerprinting) are also touched but already r3-stale, so they sit in
-# the window without needing a TOUCHED slot.
+# artifact fingerprinting).  q_dedup_minhash / q_dedup_prefix (persist
+# scoping) and q_sim_ivf (fingerprinting) are also touched but already
+# r3-stale, so they sit in the window without needing a TOUCHED slot.
+# The r5 stream_topk sink fixes changed only the live foreachBatch path
+# (pipeline.py) -- the attested batch twin is byte-identical, so it takes
+# no slot either.  New round-5 keys (q_sample_weighted, q_curate_budget,
+# q_text_perplexity) are absent from LAST_ATTESTED and sort most-stale
+# automatically.  With 97 keys the stale set (44 r3-attested + 5 touched
+# + 3 new = 52) exceeds the 50-slot window by 2: the overflow is taken
+# from the tail of the oldest-attested cohort (alphabetically last r3
+# keys), which the window picks up first thing next round.
 TOUCHED = (
     "q_pack_sequences", "q_dedup_simhash", "q_mm_features", "q_mm_meta",
-    "q_dedup_cluster", "q_stream_topk",
+    "q_dedup_cluster",
 )
 
 # Among equally-stale keys, spread families across the window edge instead of

@@ -445,3 +445,88 @@ def test_connected_components_long_chain_converges(spark):
         [(i, i + 1) for i in range(63)], "doc_a bigint, doc_b bigint")
     got = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
     assert got == {i: 0 for i in range(64)}
+
+
+def test_weighted_sample_matches_python_reference(spark, sf_dir):
+    """q_sample_weighted implements Efraimidis-Spirakis A-ES exactly:
+    per source, the kept docs are the top-SAMPLE_K by ln(u)/n_chars with
+    u the md5-derived pseudo-uniform.  Recomputed independently in pure
+    Python -- same hash, same arithmetic -- the selected sets must be
+    identical."""
+    import hashlib
+    import math
+
+    from financialtransactionmonitoringsystem_spark.operators import curate
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    def key(doc_id: int, w: int) -> float:
+        h = hashlib.md5(f"wsamp-{doc_id}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 0.5) / 2.0**52
+        return math.log(u) / w
+
+    per_src: dict = {}
+    for r in (load_table(spark, sf_dir, "documents")
+              .select("doc_id", "source", "n_chars").collect()):
+        per_src.setdefault(r.source, []).append(r)
+    want = {}
+    for src, rs in per_src.items():
+        rs.sort(key=lambda r: (-key(r.doc_id, r.n_chars), r.doc_id))
+        for rk, r in enumerate(rs[:curate.SAMPLE_K], start=1):
+            want[(src, r.doc_id)] = rk
+    got = {(r.source, r.doc_id): r.rk
+           for r in curate.q_sample_weighted(spark, sf_dir).collect()}
+    assert got == want and got
+
+
+def test_curate_budget_takes_quality_prefix_within_budget(spark, sf_dir):
+    """Budget selection is the prefix of the (ttr desc, doc_id) ordering
+    whose running token total stays inside BUDGET_TOKENS -- recomputed
+    in pure Python, sets and cumulative sums must match exactly."""
+    from financialtransactionmonitoringsystem_spark.operators import curate
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    per_lang: dict = {}
+    for r in (load_table(spark, sf_dir, "documents")
+              .select("doc_id", "lang", "text").collect()):
+        toks = r.text.split(" ")
+        n = len(toks)
+        per_lang.setdefault(r.lang, []).append(
+            (len(set(toks)) / n, r.doc_id, n))
+    want = {}
+    for lang, rs in per_lang.items():
+        rs.sort(key=lambda t: (-t[0], t[1]))
+        run = 0
+        for _ttr, doc_id, n in rs:
+            run += n
+            if run > curate.BUDGET_TOKENS:
+                break  # running sum is monotone: nothing later fits
+            want[(lang, doc_id)] = run
+    got = {(r.lang, r.doc_id): r.cum_tokens
+           for r in curate.q_curate_budget(spark, sf_dir).collect()}
+    assert got == want and got
+
+
+def test_perplexity_matches_python_reference(spark, sf_dir):
+    """The micro-nat integer NLL per doc must equal an independent pure
+    Python recomputation of the add-one unigram model (exact integers,
+    so any associativity or join bug shows up as an exact mismatch)."""
+    import math
+    from collections import Counter
+
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    corpus: Counter = Counter()
+    doc_toks: dict = {}
+    for r in (load_table(spark, sf_dir, "documents")
+              .select("doc_id", "text").collect()):
+        toks = [t for t in r.text.split(" ") if t]
+        doc_toks[r.doc_id] = toks
+        corpus.update(toks)
+    n_total, v = sum(corpus.values()), len(corpus)
+    nll = {t: -math.floor(math.log((c + 1) / (n_total + v)) * 1e6 + 0.5)
+           for t, c in corpus.items()}
+    want = {d: (len(ts), sum(nll[t] for t in ts))
+            for d, ts in doc_toks.items() if ts}
+    got = {r.doc_id: (r.n_toks, r.nll_micro)
+           for r in text.q_text_perplexity(spark, sf_dir).collect()}
+    assert got == want and got

