@@ -47,12 +47,6 @@ TRANSACTION_TABLE_SCHEMA = T.StructType(
 
 ISO8601_MICROS = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSX"
 
-# events table as physically stored (ts is int64 nanoseconds; see tables.py).
-EVENTS_RAW_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType(), True),
-    T.StructField("ts", T.LongType(), True),
-    T.StructField("user_id", T.LongType(), True),
-    T.StructField("event_type", T.StringType(), True),
-    T.StructField("value", T.DoubleType(), True),
-    T.StructField("props", T.StringType(), True),
-])
+# The events table's physical ts form varies by testdata generation
+# (int64 nanos vs TIMESTAMP micros); readers probe the parquet footer and
+# normalize via tables._normalize_events_ts rather than pinning a schema.

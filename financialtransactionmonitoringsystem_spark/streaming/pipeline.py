@@ -21,14 +21,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..schemas import EVENTS_RAW_SCHEMA
 from ..session import apply_runtime_confs
+from ..tables import _normalize_events_ts
 from ..util import rnd
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an unbounded stream (file source stand-in for
-    Kafka).  Same ns->us conversion as the batch loader.
+    Kafka).  Same ts normalization as the batch loader.
 
     The file stream source wants a *directory* to poll; the testdata
     table is a single file, so it is staged into a scratch directory via
@@ -45,12 +45,16 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     link = os.path.join(stage, "events.parquet")
     if not os.path.exists(link):
         os.symlink(f"{sf_dir}/events.parquet", link)
+    # The file stream source needs an upfront schema; probe the parquet
+    # footer via a batch read (driver-side metadata only, no data scan) so
+    # the stream matches whichever physical ts form the testdata has.
+    file_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(file_schema)
         .parquet(stage)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return _normalize_events_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -9,17 +9,20 @@ so Catalyst predicate pushdown / column pruning / partition pruning all
 apply unchanged when the single file becomes a partitioned directory tree
 on object storage.  Nothing here collects to the driver.
 
-The ``events`` table is written with parquet TIMESTAMP(NANOS), which Spark
-does not read natively (DuckDB truncates it to microseconds on read).  We
-read it as raw int64 nanoseconds (``spark.sql.legacy.parquet.nanosAsLong``)
-and truncate to microseconds with integer arithmetic -- bit-identical to
-DuckDB's view of the same file, which the oracle comparison relies on.
+The ``events`` table's ``ts`` column has shipped in two physical forms
+across testdata generations: parquet TIMESTAMP(NANOS) (read as raw int64
+via ``spark.sql.legacy.parquet.nanosAsLong`` and truncated to micros) and
+plain TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ).  Either
+way DuckDB sees a naive microsecond TIMESTAMP, so ``_normalize_events_ts``
+dispatches on the physical type and lands both on session-UTC
+``TimestampType`` -- value-identical to the oracle's view of the file.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .session import apply_runtime_confs
 
@@ -32,15 +35,29 @@ TABLE_NAMES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+def _normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Land ``ts`` on session-UTC TimestampType whatever its physical form.
+
+    int64 = legacy TIMESTAMP(NANOS) surfaced by ``nanosAsLong``: truncate
+    to micros exactly as DuckDB's reader does.  TIMESTAMP_NTZ = native
+    micros with no zone: with the engine's UTC session timezone the cast
+    is a pure type relabel, identical instants.
+    """
+    t = df.schema["ts"].dataType
+    if isinstance(t, T.LongType):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if not isinstance(t, T.TimestampType):
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame with engine-canonical types."""
     apply_runtime_confs(spark)
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     if name == "events":
-        # int64 nanoseconds -> TimestampType (microseconds), truncating like
-        # DuckDB's parquet reader does for TIMESTAMP(NANOS).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        df = _normalize_events_ts(df)
     return df
 
 
