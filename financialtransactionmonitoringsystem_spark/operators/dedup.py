@@ -179,15 +179,26 @@ def _prefix_join(pref: DataFrame) -> DataFrame:
     """The prefix self-join with its length + positional residuals, as a
     lazy plan over the given prefix table (see :func:`prefix_candidates`
     for the bounds derivation)."""
+    return _prefix_probe(pref, pref, F.col("a.doc_id") < F.col("b.doc_id"))
+
+
+def _prefix_probe(index: DataFrame, probe: DataFrame,
+                  pair_cond: Column) -> DataFrame:
+    """Prefix-filtered candidate join of a probe prefix table against an
+    index prefix table (both from :func:`_prefix_table`), with the
+    lossless length + positional residuals (bounds derivation at
+    :func:`prefix_candidates`).  ``pair_cond`` carves the pair space:
+    ``a.doc_id < b.doc_id`` for the self-join, always-true for a
+    disjoint delta/corpus split (:func:`q_dedup_incremental`)."""
     p, q = JACCARD_NUM, JACCARD_DEN
-    a = pref.alias("a")
-    b = pref.alias("b")
+    a = index.alias("a")
+    b = probe.alias("b")
     na, nb = F.col("a.n_toks"), F.col("b.n_toks")
     overlap_ub = F.lit(1) + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
     return (
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
                & (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & pair_cond
                # length filter, exact integers: t*nb <= na and t*na <= nb
                & (q * na >= p * nb) & (q * nb >= p * na)
                # positional filter: overlap_ub >= t/(1+t)*(na+nb), cleared
@@ -223,6 +234,49 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cands = _prefix_join(_scoped_build(_prefix_table(docs)))
     return _verify_jaccard(cands, _tok_sets(docs).select("doc_id", "toks", "n_toks"))
+
+
+# Deterministic delta/corpus split for the incremental form: doc_ids
+# congruent to DELTA_REM mod DELTA_MOD are "today's batch" (5%), the rest
+# the already-ingested corpus.
+DELTA_MOD, DELTA_REM = 20, 7
+
+
+def _is_delta() -> Column:
+    return F.col("doc_id") % DELTA_MOD == DELTA_REM
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission: the daily-ingest shape of dedup.
+
+    A 100 TB corpus is not re-deduplicated per ingest; the new delta is
+    checked AGAINST the corpus.  Admit a delta doc iff no corpus doc in
+    its lang block has token-set Jaccard >= t with it; output = admitted
+    delta rows.  Same exact prefix-filter machinery as
+    :func:`q_dedup_prefix`, but the candidate join probes delta prefixes
+    against the corpus prefix index instead of self-joining -- work is
+    O(|delta| x bucket), independent of corpus pair count.
+
+    Scale: the corpus prefix table is a persisted artifact (the
+    cluster-table/IVF pattern) bucketed on (lang, tok), so a daily run
+    tokenizes and shuffles ONLY the delta; admitted docs' prefixes
+    append to the index afterwards.  Within-delta duplicates are left to
+    the next compaction's full dedup -- admission is corpus-gated, which
+    keeps the operator associative across concurrent ingest batches.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pref = _scoped_build(_prefix_table(docs).withColumn("is_delta", _is_delta()))
+    cands = _prefix_probe(pref.filter(~F.col("is_delta")),
+                          pref.filter(F.col("is_delta")), F.lit(True))
+    rejected = (
+        _verify_jaccard(cands, _tok_sets(docs).select("doc_id", "toks", "n_toks"))
+        .select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+    return (
+        docs.filter(_is_delta())
+        .join(rejected, "doc_id", "left_anti")
+        .select("doc_id", "lang", "source", "n_chars")
+    )
 
 
 def minhash_signatures(docs: DataFrame, k: int = N_MINHASH) -> DataFrame:
@@ -683,6 +737,25 @@ ORACLES: dict[str, str] = {
                {R(_J_SQL, 6)} AS jaccard
         FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
         WHERE {R(_J_SQL, 6)} >= {JACCARD_THRESHOLD}
+    """,
+    # Delta/corpus split of the same exact-Jaccard predicate: a delta doc
+    # is admitted iff no corpus doc in its lang reaches the threshold.
+    "q_dedup_incremental": f"""
+        WITH t AS (
+          SELECT doc_id, lang, source, n_chars,
+                 list_distinct(string_split(text, ' ')) AS toks,
+                 len(list_distinct(string_split(text, ' '))) AS n_toks
+          FROM documents
+        ), rejected AS (
+          SELECT DISTINCT b.doc_id
+          FROM t a JOIN t b ON a.lang = b.lang
+          WHERE a.doc_id % {DELTA_MOD} <> {DELTA_REM}
+            AND b.doc_id % {DELTA_MOD} = {DELTA_REM}
+            AND {R(_J_SQL, 6)} >= {JACCARD_THRESHOLD}
+        )
+        SELECT d.doc_id, d.lang, d.source, d.n_chars
+        FROM documents d ANTI JOIN rejected r ON d.doc_id = r.doc_id
+        WHERE d.doc_id % {DELTA_MOD} = {DELTA_REM}
     """,
     "q_dedup_embed": f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,

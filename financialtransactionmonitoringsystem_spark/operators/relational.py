@@ -398,6 +398,48 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic synthetic changeset for q_merge_upsert: every 7th key is
+# an update (status 'R', 10% price bump), every 97th a delete; a key
+# matching both is a delete (last-writer-wins with deletes ranked last).
+UPSERT_MOD, DELETE_MOD = 7, 97
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins MERGE (update + delete changeset into a snapshot).
+
+    The mutation op the reference's append-only store lacks: duplicate
+    ids are appended unconditionally (monitoring-service/src/main.rs:82-84)
+    and reads then rely on first-match.  Spark has no in-place MERGE INTO
+    without a transactional table format, so the engine expresses merge
+    relationally: base rows not named by the changeset pass through
+    (anti-join on the key), updated rows are replaced, deleted keys drop.
+
+    Scale: the base snapshot is the 100 TB side -- bucketed on the merge
+    key (sources.write_bucketed) its anti-join needs no base-side
+    shuffle, only the (small) changeset shuffles; with a Delta/Iceberg
+    sink the identical plan becomes a native MERGE INTO and rewrites
+    only the files the changeset touches.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    key = F.col("o_orderkey")
+    updates = (
+        orders.filter(key % UPSERT_MOD == 0)
+        .withColumn("o_orderstatus", F.lit("R"))
+        .withColumn("o_totalprice", rnd(F.col("o_totalprice") * F.lit(1.1)))
+    )
+    deletes = orders.filter(key % DELETE_MOD == 0).select("o_orderkey")
+    changed_keys = updates.select("o_orderkey").union(deletes).distinct()
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus"]
+    return (
+        orders.withColumn("o_totalprice", rnd(F.col("o_totalprice")))
+        .join(changed_keys, "o_orderkey", "left_anti")
+        .select(*cols, F.col("o_totalprice").alias("total"))
+        .unionByName(
+            updates.join(deletes, "o_orderkey", "left_anti")
+            .select(*cols, F.col("o_totalprice").alias("total")))
+    )
+
+
 ORACLES: dict[str, str] = {
     "q_join_asof_fwd": f"""
         WITH s AS (SELECT event_id, user_id, ts FROM events
@@ -510,6 +552,19 @@ ORACLES: dict[str, str] = {
           ON p.user_id = e.user_id
          AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 30 MINUTE
         GROUP BY p.event_id, p.user_id
+    """,
+    # 11e-1 not 1.1: bare decimal literals parse as DECIMAL in DuckDB and
+    # would run the bump in decimal arithmetic (see util.sql_round).
+    "q_merge_upsert": f"""
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               {R('o_totalprice')} AS total
+        FROM orders
+        WHERE o_orderkey % {UPSERT_MOD} <> 0 AND o_orderkey % {DELETE_MOD} <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+               {R('o_totalprice * 11e-1')} AS total
+        FROM orders
+        WHERE o_orderkey % {UPSERT_MOD} = 0 AND o_orderkey % {DELETE_MOD} <> 0
     """,
 }
 

@@ -88,11 +88,12 @@ LAST_ATTESTED: dict[str, int] = {
 # The r5 stream_topk sink fixes changed only the live foreachBatch path
 # (pipeline.py) -- the attested batch twin is byte-identical, so it takes
 # no slot either.  New round-5 keys (q_sample_weighted, q_curate_budget,
-# q_text_perplexity) are absent from LAST_ATTESTED and sort most-stale
-# automatically.  With 97 keys the stale set (44 r3-attested + 5 touched
-# + 3 new = 52) exceeds the 50-slot window by 2: the overflow is taken
-# from the tail of the oldest-attested cohort (alphabetically last r3
-# keys), which the window picks up first thing next round.
+# q_text_perplexity, q_dedup_incremental, q_merge_upsert) are absent from
+# LAST_ATTESTED and sort most-stale automatically.  With 99 keys the
+# stale set (44 r3-attested + 5 touched + 5 new = 54) exceeds the 50-slot
+# window by 4: the overflow is taken from the tail of the oldest-attested
+# cohort (alphabetically last r3 keys), which the window picks up first
+# thing next round.
 TOUCHED = (
     "q_pack_sequences", "q_dedup_simhash", "q_mm_features", "q_mm_meta",
     "q_dedup_cluster",

@@ -530,3 +530,28 @@ def test_perplexity_matches_python_reference(spark, sf_dir):
     got = {r.doc_id: (r.n_toks, r.nll_micro)
            for r in text.q_text_perplexity(spark, sf_dir).collect()}
     assert got == want and got
+
+
+def test_dedup_incremental_matches_allpairs_truth(spark, sf_dir):
+    """The incremental gate must equal the ground truth: a delta doc is
+    rejected iff some CORPUS doc pairs with it in the all-pairs
+    lang-blocked Jaccard join (within-delta pairs are explicitly not
+    grounds for rejection -- admission is corpus-gated)."""
+    from financialtransactionmonitoringsystem_spark.operators import dedup
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    delta_ids = {r.doc_id for r in
+                 docs.filter(dedup._is_delta()).select("doc_id").collect()}
+    admitted = {r.doc_id for r in
+                dedup.q_dedup_incremental(spark, sf_dir).collect()}
+    assert admitted <= delta_ids
+    rejected_truth = set()
+    for r in dedup.q_dedup_ngram(spark, sf_dir).collect():
+        ina, inb = r.doc_a in delta_ids, r.doc_b in delta_ids
+        if ina and not inb:
+            rejected_truth.add(r.doc_a)
+        elif inb and not ina:
+            rejected_truth.add(r.doc_b)
+    assert admitted == delta_ids - rejected_truth
+    assert rejected_truth  # the gate is non-trivial at this SF

@@ -44,3 +44,29 @@ def test_point_lookup_returns_min_linenumber(spark, sf_dir):
     got = relational.q_point_lookup(spark, sf_dir).collect()
     assert len(got) == 1
     assert got[0].l_linenumber == 1
+
+
+def test_merge_upsert_semantics(spark, sf_dir):
+    """MERGE semantics row by row: deletes drop (and beat updates on a
+    key matching both changesets), updates replace with the bumped
+    price + status 'R', everything else passes through untouched, and
+    the output holds exactly one row per surviving key."""
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+    from financialtransactionmonitoringsystem_spark.util import rnd
+
+    base = {r.o_orderkey: r for r in
+            load_table(spark, sf_dir, "orders").collect()}
+    rows = relational.q_merge_upsert(spark, sf_dir).collect()
+    out = {r.o_orderkey: r for r in rows}
+    assert len(rows) == len(out)  # one row per key, no dup emission
+    m, d = relational.UPSERT_MOD, relational.DELETE_MOD
+    assert set(out) == {k for k in base if k % d != 0}
+    for k, r in out.items():
+        if k % m == 0:
+            assert r.o_orderstatus == "R"
+            assert abs(r.total - base[k].o_totalprice * 1.1) < 0.01
+        else:
+            assert r.o_orderstatus == base[k].o_orderstatus
+            assert abs(r.total - base[k].o_totalprice) < 0.01
+    # the changeset genuinely exercises all three paths at this SF
+    assert any(k % m == 0 for k in out) and any(k % d == 0 for k in base)
