@@ -52,6 +52,9 @@ HEADLINE = [
     "q_sample_weighted",
     "q_curate_budget",
     "q_text_perplexity",
+    # round-5 additions: incremental ingest shapes
+    "q_dedup_incremental",
+    "q_merge_upsert",
 ]
 
 

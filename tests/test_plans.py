@@ -210,3 +210,31 @@ def test_perplexity_joins_on_token_not_doc_pairs(spark, sf_dir):
     from financialtransactionmonitoringsystem_spark.operators import text
 
     assert not P.has_cartesian(text.q_text_perplexity(spark, sf_dir))
+
+
+def test_incremental_dedup_probes_index_no_cartesian(spark, sf_dir):
+    """The incremental gate must stay an equi-join probe of delta
+    prefixes against the corpus prefix index -- no cartesian product,
+    and no corpus-side BroadcastExchange once stats-driven broadcasting
+    is off (at scale the corpus index is the big, persisted side)."""
+    from financialtransactionmonitoringsystem_spark.operators import dedup
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = dedup.q_dedup_incremental(spark, sf_dir)
+        assert not P.has_cartesian(df)
+        assert "BroadcastExchange" not in P.plan_str(df, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_merge_upsert_is_keyed_joins_single_base_pattern(spark, sf_dir):
+    """MERGE compiles to keyed anti-joins + union: no cartesian, and the
+    changeset derivation pushes its modulo filters to the scan (the base
+    passthrough reads once, the update branch reads the filtered key
+    space, never a full re-scan per branch at the plan's mercy)."""
+    df = relational.q_merge_upsert(spark, sf_dir)
+    assert not P.has_cartesian(df)
+    s = P.plan_str(df, "simple")
+    assert "Union" in s and ("LeftAnti" in s or "left_anti" in s), s
