@@ -493,15 +493,29 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(docs, bits, n_chunks)
 
 
-def cosine_fold(a: Column, b: Column) -> Column:
-    """Cosine similarity as a sequential double fold -- bit-identical to
-    the DuckDB oracle's list_reduce (same op order, same types)."""
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v)
+def dot_fold(x: Column, y: Column) -> Column:
+    """Dot product as a sequential double fold -- bit-identical to the
+    DuckDB oracle's list_reduce (same op order, same types)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
 
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+def norm_fold(v: Column) -> Column:
+    """L2 norm via the same fold.  Pair joins precompute this per ROW on
+    each side before joining: sqrt(dot(a,a)) * sqrt(dot(b,b)) evaluates
+    to the identical double whether the sqrt runs before or after the
+    join, and hoisting it turns 2/3 of the per-pair fold work into
+    per-row work (the 64-element higher-order-function folds are the
+    entire cost of a pair compare)."""
+    return F.sqrt(dot_fold(v, v))
+
+
+def cosine_fold(a: Column, b: Column) -> Column:
+    """Cosine similarity as a sequential double fold.  For pair joins
+    prefer ``dot_fold(a, b) / (nrm_a * nrm_b)`` with norms precomputed
+    per row (see :func:`norm_fold`) -- identical doubles, 3x less work."""
+    return dot_fold(a, b) / (norm_fold(a) * norm_fold(b))
 
 
 SQL_COSINE = """
@@ -523,10 +537,12 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     #2): at 10^9 vectors the block key is the shuffle key and each
     block's pair space stays partition-local.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .withColumn("nrm", norm_fold(F.col("embedding")))
     a = emb.alias("a")
     b = emb.alias("b")
-    cos = cosine_fold(F.col("a.embedding"), F.col("b.embedding"))
+    cos = dot_fold(F.col("a.embedding"), F.col("b.embedding")) \
+        / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, (F.col("a.label") == F.col("b.label"))
                & (F.col("a.vec_id") < F.col("b.vec_id")))

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from ..util import rnd, sql_round as R
-from .dedup import SQL_COSINE, cosine_fold
+from .dedup import SQL_COSINE, dot_fold, norm_fold
 
 N_QUERIES = 10
 TOP_K = 10
@@ -44,19 +44,30 @@ LSH_SIGN_DIMS = 4  # 16 buckets; multi-probe Hamming<=1 -> 5 probes/query
 
 
 def _queries_and_corpus(spark: SparkSession, sf_dir: str):
-    emb = load_table(spark, sf_dir, "embeddings")
+    """(broadcast queries, corpus), each carrying its precomputed L2 norm
+    so the per-pair cosine is one fold, not three (norm_fold hoisting --
+    identical doubles, the per-pair work is the whole cost here)."""
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .withColumn("nrm", norm_fold(F.col("embedding")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
         F.col("label").alias("q_label"),
+        F.col("nrm").alias("q_nrm"),
     )
     return F.broadcast(queries), emb
+
+
+def _pair_cos() -> "F.Column":
+    """Per-pair cosine over precomputed norms (query side aliased q_*)."""
+    return dot_fold(F.col("q_emb"), F.col("embedding")) \
+        / (F.col("q_nrm") * F.col("nrm"))
 
 
 def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k per query vector (the exact baseline)."""
     queries, emb = _queries_and_corpus(spark, sf_dir)
-    cos = cosine_fold(F.col("q_emb"), F.col("embedding"))
+    cos = _pair_cos()
     scored = (
         queries.join(emb, F.col("q_id") != F.col("vec_id"))
         .select("q_id", "vec_id", rnd(cos, 6).alias("cos"))
@@ -72,7 +83,7 @@ def q_sim_knn_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 neighbors per query within its label block: the
     partition-then-merge shape (block-local top-k, then global rank)."""
     queries, emb = _queries_and_corpus(spark, sf_dir)
-    cos = cosine_fold(F.col("q_emb"), F.col("embedding"))
+    cos = _pair_cos()
     scored = (
         queries.join(emb, (F.col("q_label") == F.col("label"))
                      & (F.col("q_id") != F.col("vec_id")))
@@ -113,7 +124,7 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = queries.withColumn("q_bucket", sign_bucket(F.col("q_emb"))) \
         .withColumn("probe", F.explode(probes))
     e = emb.withColumn("bucket", sign_bucket(F.col("embedding")))
-    cos = cosine_fold(F.col("q_emb"), F.col("embedding"))
+    cos = _pair_cos()
     scored = (
         q.join(e, (F.col("probe") == F.col("bucket"))
                & (F.col("q_id") != F.col("vec_id")))
@@ -223,9 +234,11 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sim_cosine) -> rows-only check.
     """
     corpus, centers = ivf_index(spark, sf_dir)
+    corpus = corpus.withColumn("nrm", norm_fold(F.col("embedding")))
 
     queries = corpus.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"))
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"))
     d2 = F.aggregate(
         F.zip_with(F.col("q_emb").cast("array<double>"), F.col("center"),
                    lambda a, b: (a - b) * (a - b)),
@@ -233,13 +246,13 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     wq = W.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("cell").asc())
     probes = (
         F.broadcast(queries).crossJoin(F.broadcast(centers))
-        .select("q_id", "q_emb", "cell", d2.alias("d2"))
+        .select("q_id", "q_emb", "q_nrm", "cell", d2.alias("d2"))
         .withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= IVF_NPROBE)
-        .select("q_id", "q_emb", "cell")
+        .select("q_id", "q_emb", "q_nrm", "cell")
     )
 
-    cos = cosine_fold(F.col("q_emb"), F.col("embedding"))
+    cos = _pair_cos()
     scored = (
         F.broadcast(probes).join(
             corpus, (probes.cell == corpus.cell) & (F.col("q_id") != F.col("vec_id")))
