@@ -457,14 +457,20 @@ def _chunk_join(ex: DataFrame, max_hamming: int = 3) -> DataFrame:
     a = ex.alias("a")
     b = ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    # The hamming test runs as a JOIN RESIDUAL, not after the distinct:
+    # chunk-collision pairs that fail it (the vast majority once chunk
+    # buckets fill up) drop inside the join task instead of being
+    # shuffled through the distinct first.  Same final set -- hamming is
+    # a function of the pair, so filter-then-distinct == distinct-then-
+    # filter here.
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
                & (F.col("a.lang") == F.col("b.lang"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (ham <= max_hamming))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
                 ham.alias("hamming"))
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
