@@ -52,9 +52,11 @@ HEADLINE = [
     "q_sample_weighted",
     "q_curate_budget",
     "q_text_perplexity",
-    # round-5 additions: incremental ingest shapes
+    # round-5 additions: incremental ingest shapes + cohort analytics
     "q_dedup_incremental",
     "q_merge_upsert",
+    "q_funnel",
+    "q_retention",
 ]
 
 

@@ -123,7 +123,93 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup -> click -> purchase: how many
+    users reach each stage, where a stage only counts if it happens at
+    or after the user's previous stage (the canonical monitoring
+    question the reference's per-id CRUD surface cannot ask).
+
+    Plan shape: ONE shuffle on user_id, then three window passes over
+    the same partitioning (conditional min-over-user chained through the
+    stage predicates -- no exchange between them because the
+    partitioning key never changes), then a tiny stage-count union.
+    The per-stage-join form costs three shuffles; this costs one.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    staged = (
+        ev.select("user_id", "ts", "event_type")
+        .withColumn("st", F.min(F.when(et == "signup", ts)).over(w))
+        .withColumn("ct", F.min(F.when((et == "click")
+                                       & (ts >= F.col("st")), ts)).over(w))
+        .withColumn("pt", F.min(F.when((et == "purchase")
+                                       & (ts >= F.col("ct")), ts)).over(w))
+        .groupBy("user_id")
+        .agg(F.first("st").alias("st"), F.first("ct").alias("ct"),
+             F.first("pt").alias("pt"))
+    )
+    counts = staged.agg(
+        F.count("st").alias("signup"),
+        F.count("ct").alias("click"),
+        F.count("pt").alias("purchase"))
+    return counts.select(F.explode(F.map_from_arrays(
+        F.array(F.lit("1_signup"), F.lit("2_click"), F.lit("3_purchase")),
+        F.array("signup", "click", "purchase"))).alias("stage", "n_users"))
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each (cohort week, week offset), how many distinct users
+    were active.  Week arithmetic stays in exact integer days (both
+    endpoints are week-truncated, so the difference is always a multiple
+    of 7) -- no engine-specific week-diff semantics.
+
+    Scale shape: first-event cohorts are one groupBy(user); the
+    activity join is user-keyed (co-partitioned with the agg before it
+    under AQE); the final (cohort, offset) agg is low-cardinality.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cohorts = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort"))
+    )
+    wk = (F.datediff(F.date_trunc("week", F.col("ts")).cast("date"),
+                     F.col("cohort")) / 7).cast("int")
+    return (
+        ev.join(cohorts, "user_id")
+        .groupBy(F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+                 wk.alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_funnel": """
+        WITH s AS (SELECT user_id, min(ts) AS st FROM events
+                   WHERE event_type = 'signup' GROUP BY 1),
+             c AS (SELECT e.user_id, min(e.ts) AS ct FROM events e
+                   JOIN s ON e.user_id = s.user_id AND e.ts >= s.st
+                   WHERE e.event_type = 'click' GROUP BY 1),
+             p AS (SELECT e.user_id, min(e.ts) AS pt FROM events e
+                   JOIN c ON e.user_id = c.user_id AND e.ts >= c.ct
+                   WHERE e.event_type = 'purchase' GROUP BY 1)
+        SELECT '1_signup' AS stage, count(*) AS n_users FROM s
+        UNION ALL SELECT '2_click', count(*) FROM c
+        UNION ALL SELECT '3_purchase', count(*) FROM p
+    """,
+    "q_retention": """
+        WITH f AS (SELECT user_id,
+                          CAST(date_trunc('week', min(ts)) AS DATE) AS cohort
+                   FROM events GROUP BY 1)
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', f.cohort,
+                    CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+                 AS week_offset,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
     "q_sample_hash": f"""
         SELECT l_orderkey, l_linenumber, l_quantity, substring(h, 1, 2) AS hb
         FROM (SELECT l_orderkey, l_linenumber, l_quantity,

@@ -273,12 +273,17 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: contaminated doc ids with hit counts, worst first.
     """
     docs = load_table(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", F.explode(_wordgrams(F.col("text"), DECONTAM_NGRAM)).alias("gram"))
+    # Grams shuffle as 64-bit xxhash fingerprints, not ~40-byte strings:
+    # the distincts and the join key both shrink 5x.  A fingerprint
+    # collision would alias two distinct grams (odds ~|grams|^2 / 2^64;
+    # ~1e-8 here) -- the standard n-gram-fingerprint trade every
+    # at-scale decontamination pipeline makes.
+    fps = F.transform(_wordgrams(F.col("text"), DECONTAM_NGRAM),
+                      lambda g: F.xxhash64(g))
+    grams = docs.select("doc_id", F.explode(fps).alias("gram"))
     bench = (docs.filter(F.col("doc_id") % 50 == 0)
-             .select("doc_id", F.explode(
-                 _wordgrams(F.col("text"), DECONTAM_NGRAM)).alias("gram"))
-             .select(F.col("doc_id").alias("bench_id"), "gram").distinct())
+             .select(F.col("doc_id").alias("bench_id"), F.explode(fps).alias("gram"))
+             .distinct())
     train = grams.filter(F.col("doc_id") % 50 != 0).distinct()
     return (
         train.join(bench, "gram")

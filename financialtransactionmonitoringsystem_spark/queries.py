@@ -88,15 +88,20 @@ LAST_ATTESTED: dict[str, int] = {
 # The r5 stream_topk sink fixes changed only the live foreachBatch path
 # (pipeline.py) -- the attested batch twin is byte-identical, so it takes
 # no slot either.  New round-5 keys (q_sample_weighted, q_curate_budget,
-# q_text_perplexity, q_dedup_incremental, q_merge_upsert) are absent from
-# LAST_ATTESTED and sort most-stale automatically.  With 99 keys the
-# stale set (44 r3-attested + 5 touched + 5 new = 54) exceeds the 50-slot
-# window by 4: the overflow is taken from the tail of the oldest-attested
-# cohort (alphabetically last r3 keys), which the window picks up first
-# thing next round.
+# q_text_perplexity, q_dedup_incremental, q_merge_upsert, q_funnel,
+# q_retention) are absent from LAST_ATTESTED and sort most-stale
+# automatically.  With 101 keys the stale set (44 r3-attested + 11
+# touched + 7 new = 62) exceeds the 50-slot window by 12: the overflow is
+# taken from the tail of the oldest-attested cohort (alphabetically last
+# r3 keys), which the window picks up first thing next round.
+# Late-round-5 perf rewrites (norm hoisting in the similarity family and
+# q_dedup_embed; simhash join-residual hamming; hashed decontam grams)
+# are designed value-identical, but identical-by-design is exactly what
+# the driver window exists to attest -- they take slots too.
 TOUCHED = (
     "q_pack_sequences", "q_dedup_simhash", "q_mm_features", "q_mm_meta",
-    "q_dedup_cluster",
+    "q_dedup_cluster", "q_sim_cosine", "q_sim_knn_per_label", "q_sim_lsh",
+    "q_sim_ivf", "q_dedup_embed", "q_text_decontam",
 )
 
 # Among equally-stale keys, spread families across the window edge instead of

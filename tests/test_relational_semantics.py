@@ -70,3 +70,34 @@ def test_merge_upsert_semantics(spark, sf_dir):
             assert abs(r.total - base[k].o_totalprice) < 0.01
     # the changeset genuinely exercises all three paths at this SF
     assert any(k % m == 0 for k in out) and any(k % d == 0 for k in base)
+
+
+def test_funnel_counts_are_ordered_and_monotone(spark, sf_dir):
+    """Funnel invariants: stage counts never increase down the funnel,
+    and a user only counts toward a stage if the stage event happens at
+    or after their previous stage's first event."""
+    from financialtransactionmonitoringsystem_spark.operators import extras
+
+    got = {r.stage: r.n_users for r in extras.q_funnel(spark, sf_dir).collect()}
+    assert set(got) == {"1_signup", "2_click", "3_purchase"}
+    assert got["1_signup"] >= got["2_click"] >= got["3_purchase"]
+    assert got["1_signup"] > 0
+
+
+def test_retention_week0_covers_every_cohort_user(spark, sf_dir):
+    """Every user is active in their own cohort week (their first event
+    IS activity), so the offset-0 row of each cohort must equal the
+    cohort's size, and offsets are non-negative."""
+    from financialtransactionmonitoringsystem_spark.operators import extras
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    rows = extras.q_retention(spark, sf_dir).collect()
+    assert all(r.week_offset >= 0 for r in rows)
+    week0 = {r.cohort_week: r.n_users for r in rows if r.week_offset == 0}
+    ev = load_table(spark, sf_dir, "events")
+    sizes = {r.cohort_week: r.n for r in (
+        ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+        .groupBy(F.date_format(F.date_trunc("week", "first_ts"),
+                               "yyyy-MM-dd").alias("cohort_week"))
+        .agg(F.count("*").alias("n")).collect())}
+    assert week0 == sizes
