@@ -238,3 +238,15 @@ def test_merge_upsert_is_keyed_joins_single_base_pattern(spark, sf_dir):
     assert not P.has_cartesian(df)
     s = P.plan_str(df, "simple")
     assert "Union" in s and ("LeftAnti" in s or "left_anti" in s), s
+
+
+def test_funnel_is_single_user_exchange(spark, sf_dir):
+    """The funnel's promise: ONE shuffle on user_id feeds all three
+    chained stage windows (same partitioning, no exchange between), and
+    only the 3 partial counters cross the final single-partition
+    exchange."""
+    from financialtransactionmonitoringsystem_spark.operators import extras
+
+    s = P.plan_str(extras.q_funnel(spark, sf_dir), "simple")
+    assert s.count("hashpartitioning(user_id") == 1, s
+    assert s.count("Window") == 3, s
