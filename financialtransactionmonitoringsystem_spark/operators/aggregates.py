@@ -182,6 +182,59 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Columns profiled by q_profile: (name, numeric?) -- numeric ones also
+# report min/max (cast to double, no arithmetic, so engines agree
+# bit-for-bit).  Profiling is schema-driven; this tuple doubles as the
+# generator for the oracle SQL below.
+PROFILE_COLS = (
+    ("event_id", True), ("ts", False), ("user_id", True),
+    ("event_type", False), ("value", True), ("props", False),
+)
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling of the events table: per-column null count, exact
+    distinct count, numeric min/max -- the data-quality landing pass of
+    any pipeline (and the absence audit the reference can't run).
+
+    One aggregation job: all per-column aggregates evaluate in a single
+    pass and unpack from an array of structs.  The exact multi-column
+    countDistinct plans through one Expand (rows x |cols|); the 100 TB
+    variant swaps in approx_count_distinct / HLL sketches (q_agg_hll) --
+    same single-pass shape without the Expand.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cells = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            (F.min(c).cast("double") if num
+             else F.min(F.lit(None)).cast("double")).alias("min_num"),
+            (F.max(c).cast("double") if num
+             else F.max(F.lit(None)).cast("double")).alias("max_num"),
+        )
+        for c, num in PROFILE_COLS
+    ]
+    return (
+        ev.agg(F.array(*cells).alias("a"))
+        .select(F.explode("a").alias("s"))
+        .select("s.*")
+    )
+
+
+def _profile_sql() -> str:
+    parts = []
+    for c, num in PROFILE_COLS:
+        mn = f"CAST(min({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"CAST(max({c}) AS DOUBLE)" if num else "CAST(NULL AS DOUBLE)"
+        parts.append(
+            f"SELECT '{c}' AS column, count(*) - count({c}) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, {mn} AS min_num, "
+            f"{mx} AS max_num FROM events")
+    return "\nUNION ALL\n".join(parts)
+
+
 def _pct_sql(q: str, alias: str) -> str:
     lo = f"CAST(floor({q}*(n-1)+1) AS BIGINT)"
     frac = f"({q}*(n-1)+1 - floor({q}*(n-1)+1))"
@@ -191,6 +244,7 @@ def _pct_sql(q: str, alias: str) -> str:
 
 
 ORACLES: dict[str, str] = {
+    "q_profile": _profile_sql(),
     "q_agg_global": f"""
         SELECT COUNT(*) AS n_rows, {R('SUM(l_quantity)')} AS sum_qty,
                {R('AVG(l_extendedprice)')} AS avg_price,
