@@ -184,7 +184,44 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_SIGMA = 3
+
+
+def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier flagging: events whose value exceeds their
+    event type's mean + 3 sigma -- the per-population fraud rule the
+    reference's monitoring service gestures at but cannot compute.
+
+    Per-type stats come from one groupBy (5 groups) and broadcast back
+    onto the scan: two passes over events, no window shuffle of the full
+    table.  The threshold is rounded with the cross-engine floor formula
+    BEFORE the comparison on both engines, so the flag predicate is
+    deterministic across Spark/DuckDB float summation orders.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        rnd(F.avg("value") + ANOMALY_SIGMA * F.stddev_samp("value"))
+        .alias("thr"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(rnd(F.col("value")) > F.col("thr"))
+        .select("event_id", "user_id", "event_type",
+                rnd(F.col("value")).alias("value"), F.col("thr"))
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_anomaly": f"""
+        WITH s AS (
+          SELECT event_type,
+                 {R(f'avg(value) + {ANOMALY_SIGMA} * stddev_samp(value)')} AS thr
+          FROM events GROUP BY 1
+        )
+        SELECT e.event_id, e.user_id, e.event_type,
+               {R('e.value')} AS value, s.thr
+        FROM events e JOIN s ON e.event_type = s.event_type
+        WHERE {R('e.value')} > s.thr
+    """,
     "q_funnel": """
         WITH s AS (SELECT user_id, min(ts) AS st FROM events
                    WHERE event_type = 'signup' GROUP BY 1),

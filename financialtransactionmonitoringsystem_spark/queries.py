@@ -89,10 +89,10 @@ LAST_ATTESTED: dict[str, int] = {
 # (pipeline.py) -- the attested batch twin is byte-identical, so it takes
 # no slot either.  New round-5 keys (q_sample_weighted, q_curate_budget,
 # q_text_perplexity, q_dedup_incremental, q_merge_upsert, q_funnel,
-# q_retention, q_profile) are absent from LAST_ATTESTED and sort
-# most-stale automatically.  With 102 keys the stale set (44 r3-attested
-# + 11 touched + 8 new = 63) exceeds the 50-slot window by 13: the
-# overflow is taken from the tail of the oldest-attested cohort
+# q_retention, q_profile, q_anomaly) are absent from LAST_ATTESTED and
+# sort most-stale automatically.  With 103 keys the stale set (44
+# r3-attested + 11 touched + 9 new = 64) exceeds the 50-slot window by
+# 14: the overflow is taken from the tail of the oldest-attested cohort
 # (alphabetically last r3 keys), which the window picks up over the next
 # two rounds.
 # Late-round-5 perf rewrites (norm hoisting in the similarity family and

@@ -93,7 +93,7 @@ EXPECTED_KEYS = {
     "q_dedup", "q_dedup_cluster", "q_dedup_embed", "q_dedup_exact",
     "q_dedup_fuzzy", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_prefix",
     "q_dedup_simhash", "q_curate_budget", "q_dedup_incremental",
-    "q_merge_upsert", "q_funnel", "q_retention", "q_profile",
+    "q_merge_upsert", "q_funnel", "q_retention", "q_profile", "q_anomaly",
     "q_embed_stats", "q_except",
     "q_filter_compound", "q_filter_null", "q_filter_range", "q_fn_array",
     "q_fn_cond", "q_fn_date", "q_fn_decimal", "q_fn_json", "q_fn_map",
