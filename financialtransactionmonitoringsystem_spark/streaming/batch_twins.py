@@ -135,7 +135,42 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream interval join
+    (``pipeline.purchases_with_errors``): each purchase paired with
+    error events by the same user in the following 30 minutes -- the
+    attribution join every event pipeline runs, previously attested only
+    by the live-vs-``interval_join_bucketed`` test, now oracle-checked.
+
+    Scale shape: an equi-join on ``user_id`` with the time range as a
+    join residual -- one hash shuffle per side, never a time-range
+    cross-product (the bucketed form of ``q_join_interval`` applies
+    unchanged for time-skewed keys).  The streaming form bounds its
+    state with watermarks + the 30-minute range; see pipeline.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id",
+        F.col("ts").alias("p_ts"))
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user_id"), F.col("ts").alias("e_ts"))
+    return (
+        p.join(e, (F.col("user_id") == F.col("e_user_id"))
+               & (F.col("e_ts") >= F.col("p_ts"))
+               & (F.col("e_ts") < F.col("p_ts") + F.expr("INTERVAL 30 minutes")))
+        .select("p_event_id", "user_id", "p_ts", "e_ts")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_stream_join": """
+        SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
+               e.ts AS e_ts
+        FROM events p JOIN events e
+          ON p.user_id = e.user_id
+         AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL '30 minutes'
+        WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    """,
     "q_stream_topk": f"""
         WITH a AS (
           SELECT date_trunc('hour', ts) AS ws, event_type,

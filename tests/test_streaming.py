@@ -210,6 +210,10 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, events_stream)
     pairs = interval_join_bucketed(purchases, errors, "user_id", "p_ts", "e_ts", 1800)
     want = {(r.event_id, r.user_id, r.p_ts, r.e_ts) for r in pairs.collect()}
     assert got == want and len(got) > 0
+    # and the oracle-checked registry twin agrees with both
+    twin = {(r.p_event_id, r.user_id, r.p_ts, r.e_ts) for r in
+            batch_twins.q_stream_join(spark, sf_dir).collect()}
+    assert twin == want
 
 
 def test_stream_distinct_sketch_within_hll_error_of_exact(spark, sf_dir, events_stream):
