@@ -112,9 +112,11 @@ def main() -> None:
     # JSON output, because the affected queries then fold the build into
     # their probe timings.
     build_errors: dict[str, str] = {}
-    from financialtransactionmonitoringsystem_spark.operators.dedup import build_cluster_table
+    from financialtransactionmonitoringsystem_spark.operators.dedup import (
+        build_cluster_table, build_token_table)
     from financialtransactionmonitoringsystem_spark.operators.similarity import build_ivf_index
     for name, build in (("ivf_index", build_ivf_index),
+                        ("token_table", build_token_table),
                         ("cluster_table", build_cluster_table)):
         try:
             build(spark, sf_dir)

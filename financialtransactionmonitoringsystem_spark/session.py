@@ -44,13 +44,19 @@ def get_spark(app_name: str = "fintxmon-spark", cpus: int | None = None,
     confs = dict(DEFAULT_CONFS)
     confs["spark.sql.shuffle.partitions"] = str(cpus)
     # local[N] runs driver + all executor threads in ONE JVM whose default
-    # heap is 1g -- far too small for 32-thread shuffles at sf0.1.  At 12g
-    # a long multi-query session (the bench, the parity run) spends its
-    # tail in GC once checkpoint + broadcast blocks accumulate, inflating
-    # late queries 3-4x; 48g keeps the old-gen churn off the measured
-    # path on the 128 GiB box.  A cap, not an allocation; on a real
-    # cluster this maps to per-executor memory instead.
-    confs["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
+    # heap is 1g -- far too small for 32-thread shuffles at sf0.1.  16g is
+    # a cap, not an allocation; on a real cluster this maps to
+    # per-executor memory instead.  Bigger is NOT better here: block
+    # cleanup (localCheckpoint blocks, broadcasts, shuffle state) waits on
+    # the ContextCleaner, which only learns a block is dead after a JVM
+    # GC collects its RDD reference -- with a huge heap GC never runs, a
+    # multi-query session accumulates dead blocks, and execution memory
+    # shrinks until queries run 5-20x slower (measured: q_dedup_minhash
+    # 5s -> 117s over five runs at 48g).  The periodicGC interval below
+    # is the matching production fix: force the reference sweep often
+    # enough that long-lived sessions stay at steady-state cost.
+    confs["spark.driver.memory"] = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    confs["spark.cleaner.periodicGC.interval"] = "45s"
     if extra_confs:
         confs.update(extra_confs)
     for k, v in confs.items():

@@ -371,6 +371,27 @@ def test_artifact_fingerprint_detects_stale_corpus(spark, sf_dir, tmp_path,
     dedup.build_cluster_table(spark, sf)              # real rebuild succeeds
     assert dedup.q_dedup_cluster(spark, sf).count() > 0
 
+    # --- token table ---
+    dedup.build_token_table(spark, sf)
+
+    with monkeypatch.context() as m:
+        m.setattr(dedup, "_tok_sets", _boom)
+        dedup.build_token_table(spark, sf)            # no-op: marker current
+        # an artifact-backed read must not re-tokenize either
+        assert dedup.corpus_tok_sets(spark, sf).count() > 0
+        m.undo()
+        os.utime(corpus / "documents.parquet")
+        m.setattr(dedup, "_tok_sets", _boom)
+        with pytest.raises(AssertionError, match="unchanged corpus"):
+            dedup.build_token_table(spark, sf)
+    dedup.build_token_table(spark, sf)                # real rebuild succeeds
+    # artifact-backed and inline token sets agree exactly
+    art = {(r.doc_id, tuple(r.toks)) for r in
+           dedup.corpus_tok_sets(spark, sf).collect()}
+    inline = {(r.doc_id, tuple(r.toks)) for r in dedup._tok_sets(
+        spark.read.parquet(f"{sf}/documents.parquet")).collect()}
+    assert art == inline
+
     # --- IVF index ---
     from pyspark.ml.clustering import KMeans
 

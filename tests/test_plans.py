@@ -101,7 +101,8 @@ def test_dedup_verify_joins_never_force_broadcast(spark, sf_dir):
         # The band-bucket candidate join is materialized inside
         # q_dedup_minhash; check its lazy plan too.
         docs = load_table(spark, sf_dir, "documents")
-        cands = dedup.lsh_candidates(dedup.minhash_signatures(docs))
+        cands = dedup.lsh_candidates(
+            dedup.minhash_signatures(dedup._tok_sets(docs)))
         assert not P.has_cartesian(cands)
         assert "BroadcastExchange" not in P.plan_str(cands, "simple")
     finally:
