@@ -131,10 +131,17 @@ def main() -> None:
     # between runs; the min is the reproducible cost of the plan, which
     # is what the benchmark exists to track.
     times: dict[str, float] = {}
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for key in HEADLINE:
         fn = qs.get(key)
         if fn is None:
             continue
+        # Untimed JVM GC between queries: block cleanup (checkpoint /
+        # broadcast / shuffle state) waits on the ContextCleaner, which
+        # only learns a block is dead after a GC sweep -- without this, a
+        # query's time depends on how much garbage the PREVIOUS queries
+        # left behind, which is noise, not plan cost.
+        jvm_gc()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

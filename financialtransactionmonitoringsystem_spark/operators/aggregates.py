@@ -83,6 +83,34 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+APPROX_QUANTILE_ACC = 10_000  # GK sketch accuracy: rank error <= n/acc
+
+
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate percentiles (Greenwald-Khanna sketch behind
+    ``percentile_approx``): p50/p90/p99 of extended price per return
+    flag in ONE pass with bounded-size per-partition state, where the
+    exact form (``q_agg_stats``) must materialize each group's sorted
+    values.  The sketch merges associatively across partitions, so the
+    same query runs over 100 TB without a per-group sort.  No exact
+    oracle by nature (DuckDB's approx_quantile is t-digest, a different
+    sketch); rows-only check + a local rank-error test vs the exact
+    percentiles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = F.percentile_approx(
+        "l_extendedprice",
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)),
+        F.lit(APPROX_QUANTILE_ACC))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs.alias("q"))
+        .select("l_returnflag",
+                F.col("q")[0].alias("p50"),
+                F.col("q")[1].alias("p90"),
+                F.col("q")[2].alias("p99"))
+    )
+
+
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (

@@ -91,10 +91,10 @@ LAST_ATTESTED: dict[str, int] = {
 # q_text_perplexity, q_dedup_incremental, q_merge_upsert, q_funnel,
 # q_retention, q_profile, q_anomaly, and the round-5 tail:
 # q_ts_resample, q_scd2, q_agg_histogram, q_text_bpe_pairs,
-# q_stream_join) are absent from LAST_ATTESTED and sort most-stale
-# automatically.  With 108 keys the stale set (44 r3-attested + 15
-# touched + 14 new = 73) exceeds the 50-slot window by 23: the
-# overflow is taken from the tail of the oldest-attested cohort
+# q_stream_join, q_agg_approx_quantile) are absent from LAST_ATTESTED
+# and sort most-stale automatically.  With 109 keys the stale set (44
+# r3-attested + 15 touched + 15 new = 74) exceeds the 50-slot window by
+# 24: the overflow is taken from the tail of the oldest-attested cohort
 # (alphabetically last r3 keys), which the window picks up over the next
 # two rounds.
 # Late-round-5 perf rewrites (norm hoisting in the similarity family and

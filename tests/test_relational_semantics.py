@@ -101,3 +101,26 @@ def test_retention_week0_covers_every_cohort_user(spark, sf_dir):
                                "yyyy-MM-dd").alias("cohort_week"))
         .agg(F.count("*").alias("n")).collect())}
     assert week0 == sizes
+
+
+def test_approx_quantile_within_rank_error_of_exact(spark, sf_dir):
+    """GK sketch guarantee: each approximate percentile's true rank is
+    within n/accuracy of the requested rank.  Check by computing each
+    group's exact quantiles at rank +- n/acc and asserting the sketch
+    value lands inside that envelope."""
+    from financialtransactionmonitoringsystem_spark.operators import aggregates
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    got = {r.l_returnflag: (r.p50, r.p90, r.p99)
+           for r in aggregates.q_agg_approx_quantile(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    eps = 1.0 / aggregates.APPROX_QUANTILE_ACC
+    for flag, vals in got.items():
+        prices = sorted(r.l_extendedprice for r in
+                        li.filter(F.col("l_returnflag") == flag)
+                        .select("l_extendedprice").collect())
+        n = len(prices)
+        for p, v in zip((0.5, 0.9, 0.99), vals):
+            lo = prices[max(0, int((p - eps) * n) - 1)]
+            hi = prices[min(n - 1, int((p + eps) * n))]
+            assert lo <= v <= hi, (flag, p, v, lo, hi)
