@@ -22,7 +22,8 @@ _MODULES = [relational, aggregates, windows, setops, topk, scalar]
 for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
               "operators.similarity", "operators.multimodal",
               "operators.extras", "operators.skew", "operators.curate",
-              "operators.timeseries", "operators.udfs", "sources.txfeed"):
+              "operators.timeseries", "operators.udfs", "operators.layout",
+              "sources.txfeed"):
     try:
         import importlib
 
@@ -91,11 +92,11 @@ LAST_ATTESTED: dict[str, int] = {
 # q_text_perplexity, q_dedup_incremental, q_merge_upsert, q_funnel,
 # q_retention, q_profile, q_anomaly, and the round-5 tail:
 # q_ts_resample, q_scd2, q_agg_histogram, q_text_bpe_pairs,
-# q_stream_join, q_agg_approx_quantile, q_udaf_centsum, q_udtf_gaps)
-# are absent from LAST_ATTESTED and sort most-stale automatically.
-# With 111 keys the stale set (44 r3-attested + 15 touched + 17 new =
-# 76) exceeds the 50-slot window by 26: the overflow is taken from the
-# tail of the oldest-attested cohort
+# q_stream_join, q_agg_approx_quantile, q_udaf_centsum, q_udtf_gaps,
+# q_layout_zorder) are absent from LAST_ATTESTED and sort most-stale
+# automatically.  With 112 keys the stale set (44 r3-attested + 15
+# touched + 18 new = 77) exceeds the 50-slot window by 27: the
+# overflow is taken from the tail of the oldest-attested cohort
 # (alphabetically last r3 keys), which the window picks up over the next
 # two rounds.
 # Late-round-5 perf rewrites (norm hoisting in the similarity family and

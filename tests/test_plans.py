@@ -281,3 +281,33 @@ def test_resample_grid_is_aggregated_cardinality(spark, sf_dir):
     assert "Generate" in s, s
     assert "Window" in s, s
     assert not P.has_cartesian(df)
+
+
+def test_zorder_locality_beats_single_dim_sort(spark, sf_dir):
+    """The point of the Z-order key: after range-partitioning on zkey,
+    each partition covers a bounded window of BOTH dimensions (a
+    near-square region of the key space), so min/max file stats can
+    prune user-point AND time-range predicates from one layout.
+    Baseline: range-partitioning on the hour alone leaves every
+    partition spanning ALL user buckets.  On a dense 256x256 grid the
+    z-layout must cut the average per-partition user spread >= 3x (a
+    16-way split of the Morton square is ~64x64, vs 256 users for the
+    hour sort).  The real-table operator itself is oracle-checked for
+    the curve arithmetic; this pins the locality property."""
+    from financialtransactionmonitoringsystem_spark.operators import layout
+
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("u"),
+        (F.col("id") / 256).cast("long").alias("h"))
+    df = grid.select(
+        "u", "h", layout._interleave(F.col("u"), F.col("h")).alias("zkey"))
+
+    def avg_distinct_u(part_df):
+        per = (part_df.withColumn("pid", F.spark_partition_id())
+               .groupBy("pid").agg(F.countDistinct("u").alias("d"))
+               .agg(F.avg("d").alias("a")).collect())
+        return per[0].a
+
+    z = avg_distinct_u(df.repartitionByRange(16, "zkey"))
+    t = avg_distinct_u(df.repartitionByRange(16, "h"))
+    assert z * 3 <= t, (z, t)
