@@ -173,7 +173,8 @@ def test_mm_workers_pickle_self_contained(tmp_path):
 
     ser = CloudPickleSerializer()
     for name, fn in (("extract_features", multimodal.extract_features),
-                     ("sample_frames", multimodal.sample_frames)):
+                     ("sample_frames", multimodal.sample_frames),
+                     ("decode_pgm", multimodal.decode_pgm)):
         (tmp_path / f"{name}.pkl").write_bytes(ser.dumps(fn))
 
     runner = tmp_path / "runner.py"
@@ -185,9 +186,12 @@ sys.path = [p for p in sys.path if not p.rstrip('/').endswith(repo.rstrip('/'))
 sys.modules.pop('financialtransactionmonitoringsystem_spark', None)
 import pandas as pd
 batch = pd.DataFrame({"doc_id": [1, 2], "content": [b"alpha", b"beta"]})
-for name, n_rows in (("extract_features", 2), ("sample_frames", 8)):
+pgm = pd.DataFrame({"doc_id": [1], "content": [b"P5\\n2 2\\n255\\n" + bytes([9, 9, 9, 9])]})
+for name, data, n_rows in (("extract_features", batch, 2),
+                           ("sample_frames", batch, 8),
+                           ("decode_pgm", pgm, 1)):
     fn = pickle.loads(open(sys.argv[2] + "/" + name + ".pkl", "rb").read())
-    out = pd.concat(list(fn(iter([batch]))))
+    out = pd.concat(list(fn(iter([data]))))
     assert len(out) == n_rows, (name, out)
     assert 'financialtransactionmonitoringsystem_spark' not in sys.modules, name
 print("SELF_CONTAINED_OK")
@@ -576,3 +580,23 @@ def test_dedup_incremental_matches_allpairs_truth(spark, sf_dir):
             rejected_truth.add(r.doc_b)
     assert admitted == delta_ids - rejected_truth
     assert rejected_truth  # the gate is non-trivial at this SF
+
+
+def test_pgm_decoder_parses_real_netpbm(spark, sf_dir):
+    """The P5 parser is a real decoder: arbitrary dims, comment lines,
+    exact pixel mean -- and the registry key's output equals the
+    fake-decode features on the shared fields (same digest pixels)."""
+    import pandas as pd
+
+    raw = b"P5\n# a comment\n3 2\n255\n" + bytes([0, 64, 128, 192, 255, 1])
+    batch = pd.DataFrame({"doc_id": [7], "content": [raw]})
+    out = pd.concat(list(multimodal.decode_pgm(iter([batch]))))
+    r = out.iloc[0]
+    assert (r.width, r.height, r.n_bytes) == (3, 2, len(raw))
+    assert r.mean_px == (0 + 64 + 128 + 192 + 255 + 1) / 6 / 255
+
+    dec = {r.doc_id: (r.width, r.height, r.mean_px)
+           for r in multimodal.q_mm_decode(spark, sf_dir).collect()}
+    fake = {r.doc_id: (r.width, r.height, r.mean_px)
+            for r in multimodal.q_mm_features(spark, sf_dir).collect()}
+    assert dec == fake and len(dec) > 0
