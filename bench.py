@@ -57,6 +57,16 @@ HEADLINE = [
     "q_merge_upsert",
     "q_funnel",
     "q_retention",
+    # round-5 tail: time-axis analytics, layout, UDF surface, profiling
+    "q_ts_resample",
+    "q_scd2",
+    "q_agg_histogram",
+    "q_text_bpe_pairs",
+    "q_stream_join",
+    "q_udtf_gaps",
+    "q_layout_zorder",
+    "q_profile",
+    "q_anomaly",
 ]
 
 

@@ -162,7 +162,29 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the CHAINED stateful pipeline (stream-stream join ->
+    windowed aggregation, ``pipeline.purchase_error_rate``): hourly
+    counts of purchase-error pairs.  Two stateful operators in one
+    streaming query is the Spark 3.5+/4 multi-stateful capability; the
+    batch form is just the join twin grouped by the purchase hour."""
+    j = q_stream_join(spark, sf_dir)
+    return (
+        j.groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("w.start").alias("ws"), "n_pairs")
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_stream_join_agg": """
+        SELECT date_trunc('hour', p.ts) AS ws, count(*) AS n_pairs
+        FROM events p JOIN events e
+          ON p.user_id = e.user_id
+         AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL '30 minutes'
+        WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+        GROUP BY 1
+    """,
     "q_stream_join": """
         SELECT p.event_id AS p_event_id, p.user_id, p.ts AS p_ts,
                e.ts AS e_ts

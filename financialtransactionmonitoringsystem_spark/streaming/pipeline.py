@@ -276,6 +276,24 @@ def purchases_with_errors(events: DataFrame,
     ).select("p_event_id", F.col("p_user_id").alias("user_id"), "p_ts", "e_ts")
 
 
+def purchase_error_rate(events: DataFrame,
+                        watermark: str = "10 minutes") -> DataFrame:
+    """CHAINED stateful operators in one streaming query: the
+    stream-stream interval join feeds a windowed aggregation (hourly
+    pair counts) -- two state stores, one pipeline (Spark 3.5+/4
+    multi-stateful support; append mode only).  The join's purchase-side
+    event time carries through, so the window operator derives its
+    watermark from the join's and emits an hour once no in-flight
+    purchase can still land in it.  Twin:
+    ``batch_twins.q_stream_join_agg``."""
+    return (
+        purchases_with_errors(events, watermark)
+        .groupBy(F.window("p_ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .select(F.col("w.start").alias("ws"), "n_pairs")
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append") -> None:
     """Drive a streaming DataFrame to completion into a memory-sink table
     (test/smoke harness: one availableNow pass over all input)."""

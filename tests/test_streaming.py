@@ -302,3 +302,26 @@ def test_topk_sink_two_batch_merge_and_reentry(spark):
                           (w2, "purchase", 40.0, 1), (w2, "view", 10.0, 2)}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_chained_stateful_join_then_window_agg(spark, sf_dir, events_stream):
+    """Two stateful operators in ONE streaming query (stream-stream
+    interval join -> windowed agg).  Append mode emits an hour only
+    once the watermark passes its end, so a single availableNow pass
+    yields exactly the twin rows whose window closed under the final
+    watermark (max event time - 10 min); the held-back tail is the
+    correctness of the watermark, not a loss."""
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    pipeline.run_to_memory(
+        pipeline.purchase_error_rate(events_stream), "t_join_agg")
+    got = {(r.ws, r.n_pairs) for r in _table(spark, "t_join_agg").collect()}
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    want = {(r.ws, r.n_pairs)
+            for r in batch_twins.q_stream_join_agg(spark, sf_dir).collect()
+            if r.ws + datetime.timedelta(hours=1) <= horizon}
+    assert got == want and len(got) > 0
