@@ -206,6 +206,15 @@ def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_binary_content(docs).mapInPandas(extract_features, FEATURE_SCHEMA)
 
 
+def q_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling (the video path): one input row fans out to
+    n_frames/every output rows via mapInPandas -- the 1->N batch shape.
+    Every 5th digest byte is a 'frame'; oracle rebuilds the digest
+    arithmetic in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_binary_content(docs).mapInPandas(sample_frames, FRAME_SCHEMA)
+
+
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode via mapInPandas: genuine PGM files built
     JVM-side, parsed by a complete Netpbm P5 decoder in the worker
@@ -239,6 +248,17 @@ ORACLES: dict[str, str] = {
                    + (strpos('0123456789abcdef', substr(h, i*2 + 2, 1)) - 1)),
                    (x, y) -> x + y) AS DOUBLE) / 16 / 2.55e2 AS mean_px
         FROM b
+    """,
+    # 1->N fanout: frames are digest bytes 0, 5, 10, 15; each frame_px is
+    # one byte / 255 (single IEEE division -- bit-identical both engines).
+    "q_mm_frames": """
+        WITH b AS (SELECT doc_id, md5(text) AS h FROM documents)
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               CAST((strpos('0123456789abcdef', substr(h, i*2 + 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(h, i*2 + 2, 1)) - 1)
+                  AS DOUBLE) / 2.55e2 AS frame_px
+        FROM b, unnest([0, 5, 10, 15]) AS t(i)
     """,
     # Same digest arithmetic as q_mm_features, but over the real PGM
     # bytes: n_bytes = 11-byte header + 16 pixels = 27, and mean_px is

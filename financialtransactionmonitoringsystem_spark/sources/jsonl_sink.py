@@ -1,0 +1,80 @@
+"""Custom Python DataSource WRITER (Spark 4 ``pyspark.sql.datasource``):
+a JSONL export sink -- the write-side twin of ``txfeed``'s reader.
+
+The reference's only egress is serializing its in-memory Vec to one JSON
+array per HTTP GET (``user-service/main.go:51-53``) -- single-threaded,
+unbounded response size.  This sink re-expresses that surface
+Spark-natively: every task streams its partition to its own
+``part-NNNNN.jsonl`` file (executor-parallel, no driver collect), and
+the driver-side ``commit`` writes a ``_SUCCESS`` marker only after all
+tasks report success, so readers never observe a half-written export.
+
+Task retries write to a uuid-suffixed name and the last successful
+attempt's file is recorded in its commit message -- the same
+rename-free, marker-gated protocol cloud-native writers use on object
+stores (no atomic directory rename required).
+"""
+
+import json
+import os
+import uuid
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _Committed(WriterCommitMessage):
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+class _JsonlWriter(DataSourceWriter):
+    def __init__(self, options):
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonlsink requires a 'path' option")
+        self.path = path
+
+    def write(self, iterator):
+        # Executor-side: stdlib only (ship-by-value constraint does not
+        # apply to DataSource classes -- Spark pickles the instance -- but
+        # keeping deps minimal keeps the sink cluster-portable).
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        name = f"part-{ctx.partitionId():05d}-{uuid.uuid4().hex[:8]}.jsonl"
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, name)
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), default=str,
+                                    sort_keys=True) + "\n")
+                n += 1
+        return _Committed(name)
+
+    def commit(self, messages):
+        # Driver-side barrier: record the committed file set; readers
+        # gate on _SUCCESS so a failed/partial job is never visible.
+        manifest = sorted(m.filename for m in messages)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            fh.write("\n".join(manifest) + "\n")
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonlsink"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options)

@@ -146,3 +146,35 @@ def test_txfeed_stream_replays_same_rows(spark, tmp_path_factory):
     want = spark.read.format("txfeed").option("rows", 360).load() \
         .orderBy("ingest_seq").collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_jsonl_sink_datasource_roundtrip(spark, sf_dir, tmp_path):
+    """Custom Python DataSource WRITER: executor-parallel JSONL export
+    with a driver-side _SUCCESS barrier.  Round-trip: write a slice of
+    events through the sink, read the part files back with spark.read
+    .json, compare contents; the manifest must list every part file."""
+    import os
+
+    from financialtransactionmonitoringsystem_spark.sources.jsonl_sink import (
+        JsonlSinkDataSource)
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "export")
+    src = (load_table(spark, sf_dir, "events")
+           .select("event_id", "user_id", "event_type", "value")
+           .repartition(4))
+    src.write.format("jsonlsink").option("path", out).mode("append").save()
+
+    assert os.path.exists(f"{out}/_SUCCESS")
+    manifest = open(f"{out}/_SUCCESS").read().split()
+    parts = sorted(p for p in os.listdir(out) if p.endswith(".jsonl"))
+    assert manifest == parts and len(parts) == 4
+
+    back = spark.read.json(f"{out}/*.jsonl")
+    assert back.count() == src.count()
+    a = {(r.event_id, r.user_id, r.event_type, round(r.value, 6))
+         for r in back.collect()}
+    b = {(r.event_id, r.user_id, r.event_type, round(r.value, 6))
+         for r in src.collect()}
+    assert a == b
