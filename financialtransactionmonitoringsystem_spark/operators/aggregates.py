@@ -83,6 +83,26 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a DETERMINISTIC tie-break (count
+    desc, value asc).  Spark's built-in ``mode()`` returns an arbitrary
+    winner on ties, which can never hash-match an oracle; the two-phase
+    count + row_number form is engine-portable and keeps the heavy
+    aggregation map-side-combinable (the window runs on the tiny
+    (group, value) count table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    per = (li.groupBy("l_returnflag", "l_quantity")
+           .agg(F.count(F.lit(1)).alias("n_occurrences")))
+    w = W.partitionBy("l_returnflag").orderBy(
+        F.col("n_occurrences").desc(), F.col("l_quantity").asc())
+    return (per.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("l_returnflag", F.col("l_quantity").alias("mode_qty"),
+                    "n_occurrences"))
+
+
 APPROX_QUANTILE_ACC = 10_000  # GK sketch accuracy: rank error <= n/acc
 
 
@@ -273,6 +293,16 @@ def _pct_sql(q: str, alias: str) -> str:
 
 ORACLES: dict[str, str] = {
     "q_profile": _profile_sql(),
+    "q_agg_mode": """
+        SELECT l_returnflag, mode_qty, n_occurrences FROM (
+          SELECT l_returnflag, l_quantity AS mode_qty,
+                 COUNT(*) AS n_occurrences,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY COUNT(*) DESC, l_quantity ASC)
+                   AS rn
+          FROM lineitem GROUP BY l_returnflag, l_quantity
+        ) WHERE rn = 1
+    """,
     "q_agg_global": f"""
         SELECT COUNT(*) AS n_rows, {R('SUM(l_quantity)')} AS sum_qty,
                {R('AVG(l_extendedprice)')} AS avg_price,
