@@ -85,6 +85,31 @@ def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard WITH RECURSIVE (Spark 4 support): a month spine from
+    the first to the last order month, gap-filled with monthly order
+    counts -- the recursive-CTE form of the dense-grid resample
+    (``q_ts_resample`` builds the same shape with ``sequence()``).
+
+    Scale note: the recursion generates O(months of history) rows on a
+    single task -- metadata-sized by construction, like every date
+    spine; the data-sized work is the one monthly pre-aggregation."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        WITH RECURSIVE m(mon) AS (
+          SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+          UNION ALL
+          SELECT mon + INTERVAL '1' MONTH FROM m
+          WHERE mon < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+        )
+        SELECT date_format(mon, 'yyyy-MM') AS month,
+               COALESCE(o.n, 0) AS n_orders
+        FROM m LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n
+          FROM orders GROUP BY 1) o ON m.mon = o.mo
+    """)
+
+
 def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame on a numeric ordering: count of orders within 5000 of
     each order's price (value-based frame, not row-based)."""
@@ -294,6 +319,18 @@ ORACLES: dict[str, str] = {
         SELECT n_name, COUNT(*) AS n_big_spenders, {R('SUM(total)')} AS total_spend
         FROM big JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "q_cte_recursive": """
+        WITH RECURSIVE m(mon) AS (
+          SELECT date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+          UNION ALL
+          SELECT mon + INTERVAL '1 month' FROM m
+          WHERE mon < date_trunc('month', (SELECT max(o_orderdate) FROM orders))
+        )
+        SELECT strftime(m.mon, '%Y-%m') AS month, COALESCE(o.n, 0) AS n_orders
+        FROM m LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n
+          FROM orders GROUP BY 1) o ON m.mon = o.mo
     """,
     "q_win_range": f"""
         SELECT o_orderkey, o_orderstatus, o_totalprice,
