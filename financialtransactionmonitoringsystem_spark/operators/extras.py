@@ -85,6 +85,45 @@ def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ / dbt-tests shape): a
+    rule set evaluated as aggregates, emitting one row per rule with
+    violation counts -- the ingest gate a monitoring pipeline runs
+    before trusting a batch.
+
+    Shape: the three row-local rules (null key, non-positive amount,
+    duplicate primary key) fold into ONE aggregation pass over the
+    scan; the referential rule (order -> customer) is a single
+    anti-join counted in the same pass over its own scan.  All
+    violation counts are exact integers.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    local = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .alias("null_custkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .alias("nonpos_price"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .alias("dup_orderkey"),
+    )
+    orphans = (
+        orders.join(customer.select(F.col("c_custkey").alias("o_custkey")),
+                    "o_custkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_custkey"))
+    )
+    return (
+        local.crossJoin(orphans)   # 1 row x 1 row
+        .select(F.explode(F.map_from_arrays(
+            F.array(F.lit("null_custkey"), F.lit("nonpos_price"),
+                    F.lit("dup_orderkey"), F.lit("orphan_custkey")),
+            F.array("null_custkey", "nonpos_price",
+                    "dup_orderkey", "orphan_custkey"))).alias("check", "n_violations"),
+            F.col("n").alias("n_checked"))
+    )
+
+
 def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-standard WITH RECURSIVE (Spark 4 support): a month spine from
     the first to the last order month, gap-filled with monthly order
@@ -319,6 +358,22 @@ ORACLES: dict[str, str] = {
         SELECT n_name, COUNT(*) AS n_big_spenders, {R('SUM(total)')} AS total_spend
         FROM big JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
+    """,
+    "q_dq_checks": """
+        WITH l AS (
+          SELECT COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+                 CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos_price,
+                 COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkey
+          FROM orders
+        ), o AS (
+          SELECT COUNT(*) AS orphan_custkey FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        )
+        SELECT 'null_custkey' AS "check", null_custkey AS n_violations, n AS n_checked FROM l, o
+        UNION ALL SELECT 'nonpos_price', nonpos_price, n FROM l, o
+        UNION ALL SELECT 'dup_orderkey', dup_orderkey, n FROM l, o
+        UNION ALL SELECT 'orphan_custkey', orphan_custkey, n FROM l, o
     """,
     "q_cte_recursive": """
         WITH RECURSIVE m(mon) AS (
