@@ -72,7 +72,36 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ROLLING_WINDOW_US = 24 * 3_600_000_000  # 24h in microseconds
+
+
+def q_win_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour per-user totals: a TIME-based RANGE frame (sum /
+    count of the user's events in the last 24h at each event) -- the
+    'velocity over a sliding horizon' primitive of every fraud rule,
+    distinct from row frames (``q_win_frame``) and value-range frames
+    (``q_win_range``).  The frame is expressed over exact integer
+    microseconds so both engines bound it identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy(F.unix_micros("ts"))
+         .rangeBetween(-(ROLLING_WINDOW_US - 1), 0))
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        rnd(F.sum("value").over(w)).alias("sum_24h"),
+    )
+
+
 ORACLES: dict[str, str] = {
+    "q_win_timerange": f"""
+        SELECT event_id, user_id, ts,
+               COUNT(*) OVER w AS n_24h,
+               {R('SUM(value) OVER w')} AS sum_24h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN {ROLLING_WINDOW_US - 1} PRECEDING
+                     AND CURRENT ROW)
+    """,
     "q_win_rank": f"""
         SELECT l_returnflag, l_suppkey, revenue,
                CAST(rn AS BIGINT) AS rn, CAST(rk AS BIGINT) AS rk, CAST(drk AS BIGINT) AS drk
