@@ -67,6 +67,15 @@ HEADLINE = [
     "q_layout_zorder",
     "q_profile",
     "q_anomaly",
+    "q_agg_mode",
+    "q_agg_approx_quantile",
+    "q_win_timerange",
+    "q_dq_checks",
+    # q_cte_recursive is deliberately NOT benched: Spark executes one
+    # job per recursion step, so an 80-month spine costs ~80 scheduler
+    # round-trips (~11s) regardless of data size.  The key exists to
+    # attest the SQL surface; the engine's scale path for date spines is
+    # sequence() (q_ts_resample, ~0.4s for the same shape).
 ]
 
 
