@@ -130,9 +130,13 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts -- the recursive-CTE form of the dense-grid resample
     (``q_ts_resample`` builds the same shape with ``sequence()``).
 
-    Scale note: the recursion generates O(months of history) rows on a
-    single task -- metadata-sized by construction, like every date
-    spine; the data-sized work is the one monthly pre-aggregation."""
+    Scale note: the recursion generates O(months of history) rows --
+    metadata-sized -- but Spark executes ONE JOB PER RECURSION STEP, so
+    the spine costs ~one scheduler round-trip per month (~11s for 80
+    months at any data size).  This key attests the SQL surface; the
+    engine's scale path for date spines is ``sequence()``
+    (``q_ts_resample``, same shape in one job), which is why this key
+    is excluded from the benchmark HEADLINE."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql("""
         WITH RECURSIVE m(mon) AS (
