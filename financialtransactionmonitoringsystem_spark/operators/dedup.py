@@ -139,6 +139,54 @@ def corpus_tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tok_sets(load_table(spark, sf_dir, "documents"))
 
 
+def _prefix_fingerprint(sf_dir: str) -> str:
+    from ..artifacts import corpus_fingerprint
+
+    return corpus_fingerprint(
+        [os.path.join(sf_dir, "documents.parquet")],
+        {"algo": "prefix-index", "jaccard_num": JACCARD_NUM,
+         "jaccard_den": JACCARD_DEN})
+
+
+def _prefix_base(sf_dir: str) -> str:
+    return os.path.normpath(os.path.join(
+        _CLUSTER_ROOT, "..", "prefix_index",
+        re.sub(r"\W+", "_", sf_dir.strip("/"))))
+
+
+def build_prefix_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build and PERSIST the corpus prefix-token index (doc_id, lang,
+    tok, pos, n_toks) -- the artifact :func:`q_dedup_incremental`'s
+    design depends on: a daily delta probes THIS index instead of
+    re-deriving prefixes for the whole corpus (explode + global token
+    frequencies + per-doc rarest-first ranking, the expensive half of
+    exact dedup).  Fingerprinted like the token table."""
+    from ..artifacts import marker_current, write_marker
+
+    base = _prefix_base(sf_dir)
+    done = os.path.join(base, "_BUILT")
+    fp = _prefix_fingerprint(sf_dir)
+    if marker_current(done, fp):
+        return base
+    _prefix_table(corpus_tok_sets(spark, sf_dir)) \
+        .write.mode("overwrite").parquet(os.path.join(base, "prefix"))
+    write_marker(done, fp)
+    return base
+
+
+def corpus_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus prefix index: persisted artifact when current, else
+    the inline derivation materialized once via :func:`_scoped_build`
+    (the artifact read needs no checkpoint -- parquet IS the
+    materialization)."""
+    from ..artifacts import marker_current
+
+    base = _prefix_base(sf_dir)
+    if marker_current(os.path.join(base, "_BUILT"), _prefix_fingerprint(sf_dir)):
+        return spark.read.parquet(os.path.join(base, "prefix"))
+    return _scoped_build(_prefix_table(corpus_tok_sets(spark, sf_dir)))
+
+
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs within a lang block.
 
@@ -288,9 +336,9 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_dedup_ngram`` (same oracle SQL) without ever materializing the
     blocked all-pairs product -- this is the scale path for *exact*
     dedup, alongside MinHash for the approximate trade."""
-    t = corpus_tok_sets(spark, sf_dir)
-    cands = _prefix_join(_scoped_build(_prefix_table(t)))
-    return _verify_jaccard(cands, t.select("doc_id", "toks", "n_toks"))
+    cands = _prefix_join(corpus_prefix_table(spark, sf_dir))
+    return _verify_jaccard(
+        cands, corpus_tok_sets(spark, sf_dir).select("doc_id", "toks", "n_toks"))
 
 
 # Deterministic delta/corpus split for the incremental form: doc_ids
@@ -322,12 +370,12 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the operator associative across concurrent ingest batches.
     """
     docs = load_table(spark, sf_dir, "documents")
-    t = corpus_tok_sets(spark, sf_dir)
-    pref = _scoped_build(_prefix_table(t).withColumn("is_delta", _is_delta()))
+    pref = corpus_prefix_table(spark, sf_dir).withColumn("is_delta", _is_delta())
     cands = _prefix_probe(pref.filter(~F.col("is_delta")),
                           pref.filter(F.col("is_delta")), F.lit(True))
     rejected = (
-        _verify_jaccard(cands, t.select("doc_id", "toks", "n_toks"))
+        _verify_jaccard(cands, corpus_tok_sets(spark, sf_dir)
+                        .select("doc_id", "toks", "n_toks"))
         .select(F.col("doc_b").alias("doc_id")).distinct()
     )
     return (

@@ -396,6 +396,25 @@ def test_artifact_fingerprint_detects_stale_corpus(spark, sf_dir, tmp_path,
         spark.read.parquet(f"{sf}/documents.parquet")).collect()}
     assert art == inline
 
+    # --- prefix index ---
+    dedup.build_prefix_index(spark, sf)
+
+    with monkeypatch.context() as m:
+        m.setattr(dedup, "_prefix_table", _boom)
+        dedup.build_prefix_index(spark, sf)           # no-op: marker current
+        assert dedup.corpus_prefix_table(spark, sf).count() > 0
+        m.undo()
+        os.utime(corpus / "documents.parquet")
+        m.setattr(dedup, "_prefix_table", _boom)
+        with pytest.raises(AssertionError, match="unchanged corpus"):
+            dedup.build_prefix_index(spark, sf)
+    dedup.build_prefix_index(spark, sf)               # real rebuild succeeds
+    # artifact-backed and inline prefix tables agree exactly
+    p_art = {tuple(r) for r in dedup.corpus_prefix_table(spark, sf).collect()}
+    p_inline = {tuple(r) for r in dedup._prefix_table(dedup._tok_sets(
+        spark.read.parquet(f"{sf}/documents.parquet"))).collect()}
+    assert p_art == p_inline
+
     # --- IVF index ---
     from pyspark.ml.clustering import KMeans
 
