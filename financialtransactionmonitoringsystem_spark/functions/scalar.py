@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, register_views
 from ..util import rnd, sql_round as R
 
 
@@ -162,7 +162,31 @@ def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: ``try_divide`` / ``try_cast`` return
+    NULL instead of raising -- the semantics a 100 TB batch needs so one
+    malformed row cannot kill a 10-hour job.  Division by zero (every
+    5th customer key) and a non-numeric cast both surface as NULLs the
+    downstream query can count/filter, attested row-for-row against the
+    oracle's NULLIF/TRY_CAST equivalents."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderkey,
+               try_divide(o_totalprice, o_custkey % 5) AS safe_div,
+               try_cast(o_orderpriority AS INT) AS pri_num,
+               try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit
+        FROM orders
+    """)
+
+
 ORACLES: dict[str, str] = {
+    "q_fn_try": """
+        SELECT o_orderkey,
+               o_totalprice / NULLIF(o_custkey % 5, 0) AS safe_div,
+               TRY_CAST(o_orderpriority AS INT) AS pri_num,
+               TRY_CAST(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit
+        FROM orders
+    """,
     "q_fn_decimal": """
         SELECT l_returnflag,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -94,10 +94,10 @@ LAST_ATTESTED: dict[str, int] = {
 # q_ts_resample, q_scd2, q_agg_histogram, q_text_bpe_pairs,
 # q_stream_join, q_agg_approx_quantile, q_udaf_centsum, q_udtf_gaps,
 # q_layout_zorder, q_mm_decode, q_stream_join_agg, q_mm_frames,
-# q_agg_mode, q_cte_recursive, q_dq_checks, q_win_timerange) are
-# absent from LAST_ATTESTED and sort most-stale automatically.  With
-# 119 keys the stale set (44 r3-attested + 15 touched + 25 new = 84)
-# exceeds the 50-slot window by 34: the overflow is taken from the
+# q_agg_mode, q_cte_recursive, q_dq_checks, q_win_timerange, q_fn_try)
+# are absent from LAST_ATTESTED and sort most-stale automatically.
+# With 120 keys the stale set (44 r3-attested + 15 touched + 26 new =
+# 85) exceeds the 50-slot window by 35: the overflow is taken from the
 # tail of the oldest-attested cohort
 # (alphabetically last r3 keys), which the window picks up over the next
 # two rounds.
