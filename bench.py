@@ -71,6 +71,13 @@ HEADLINE = [
     "q_agg_approx_quantile",
     "q_win_timerange",
     "q_dq_checks",
+    # round-5 late additions: sessionization, export sharding,
+    # cross-doc chunk dedup, vector quantization, bivariate stats
+    "q_sessionize",
+    "q_export_shards",
+    "q_text_linededup",
+    "q_embed_quantize",
+    "q_agg_corr",
     # q_cte_recursive is deliberately NOT benched: Spark executes one
     # job per recursion step, so an 80-month spine costs ~80 scheduler
     # round-trips (~11s) regardless of data size.  The key exists to

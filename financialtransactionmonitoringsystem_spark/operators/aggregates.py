@@ -271,6 +271,30 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation, sample
+    covariance, and sample standard deviations of quantity vs price.
+
+    All four are algebraic aggregates (each maintained as a constant-size
+    tuple of sums), so the plan is the canonical two-phase hash
+    aggregate: partials before the exchange, merge after -- one shuffle
+    of O(groups) pre-combined rows regardless of input size.  Rounded
+    with the cross-engine formula (util.rnd) since Spark and DuckDB sum
+    partitions in different orders.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             rnd(F.corr("l_quantity", "l_extendedprice"), 4)
+             .alias("corr_qty_price"),
+             rnd(F.covar_samp("l_quantity", "l_extendedprice"))
+             .alias("covar_qty_price"),
+             rnd(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+             rnd(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"))
+    )
+
+
 def _profile_sql() -> str:
     parts = []
     for c, num in PROFILE_COLS:
@@ -293,6 +317,15 @@ def _pct_sql(q: str, alias: str) -> str:
 
 ORACLES: dict[str, str] = {
     "q_profile": _profile_sql(),
+    "q_agg_corr": f"""
+        SELECT l_returnflag, COUNT(*) AS n,
+               {R('corr(l_quantity, l_extendedprice)', 4)} AS corr_qty_price,
+               {R('covar_samp(l_quantity, l_extendedprice)')}
+                 AS covar_qty_price,
+               {R('stddev_samp(l_quantity)', 4)} AS sd_qty,
+               {R('stddev_samp(l_extendedprice)', 2)} AS sd_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q_agg_mode": """
         SELECT l_returnflag, mode_qty, n_occurrences FROM (
           SELECT l_returnflag, l_quantity AS mode_qty,

@@ -198,6 +198,41 @@ def _budget_with_pid(spark: SparkSession, sf_dir: str,
     return summed.filter(F.col("run") <= BUDGET_TOKENS)
 
 
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export sharding: every document gets a
+    stable (shard, pos) address -- shard from an md5 nibble of its id,
+    position from a corpus-wide deterministic shuffle order (the md5
+    itself) within the shard.  This is the "globally shuffle, then
+    shard" step that turns a curated corpus into training files: the
+    assignment is a pure function of doc_id, so re-running the export
+    after adding documents moves nothing that didn't have to move, and
+    any two engines agree on the layout.
+
+    Shape: shard + sort key are per-row scan expressions (no shuffle);
+    the per-shard position runs through :func:`_ranged_running_sum`
+    (position = running count of 1s), so a shard's numbering spreads
+    over many range partitions instead of serializing one window task
+    per shard -- with 16 shards a plain ``row_number`` window would cap
+    parallelism at 16 tasks regardless of cluster size.  At 100 TB the
+    actual file write is ``df.repartitionByRange("shard", "h")
+    .write.partitionBy("shard")`` over this frame, which reuses the
+    same range exchange.
+    """
+    return _sharded_with_pid(spark, sf_dir).select(
+        "shard", F.col("run").alias("pos"), "doc_id", "n_chars")
+
+
+def _sharded_with_pid(spark: SparkSession, sf_dir: str,
+                      n_parts: int | None = None) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("-", F.lit("shard"), F.col("doc_id")))
+    base = docs.select(
+        "doc_id", "n_chars", h.alias("h"),
+        F.substring(h, 1, 1).alias("shard"), F.lit(1).alias("one"))
+    return _ranged_running_sum(spark, base, "one", "shard",
+                               ["h", "doc_id"], n_parts)
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: keep each near-dup cluster's canonical
     representative, drop low-quality docs (same predicate as
@@ -242,6 +277,18 @@ def _mix_sql(q: str = "") -> str:
            ELSE '{MIX_CEIL_OTHER}' END)"""
 
 ORACLES: dict[str, str] = {
+    "q_export_shards": """
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 md5('shard-' || CAST(doc_id AS VARCHAR)) AS h
+          FROM documents
+        )
+        SELECT substring(h, 1, 1) AS shard,
+               row_number() OVER (PARTITION BY substring(h, 1, 1)
+                                  ORDER BY h, doc_id) AS pos,
+               doc_id, n_chars
+        FROM s
+    """,
     "q_pack_sequences": f"""
         SELECT doc_id, lang, n_tokens,
                CAST(floor(start_tok / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,

@@ -293,6 +293,56 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_TOKENS = 8        # tokens per non-overlapping chunk ("line")
+LINEDEDUP_MIN_DOCS = 2  # a chunk in >= this many distinct docs is duplicate
+
+
+def q_text_linededup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-span removal (the RefinedWeb/CCNet
+    "duplicate line" filter, one level below doc-level dedup): cut each
+    document into non-overlapping ``CHUNK_TOKENS``-token chunks, find
+    chunks occurring in >= 2 DISTINCT documents, and report per doc how
+    much text survives dropping them.  Within-doc repeats don't count
+    (that is ``q_text_repetition``'s job); the unit here is boilerplate
+    shared ACROSS pages.
+
+    Shape at scale: chunks shuffle as 64-bit xxhash fingerprints (the
+    decontam-gram trade -- counts are identical up to ~|chunks|^2/2^64
+    collision odds, arrays 5x smaller); duplicate detection is one
+    map-side-combinable distinct-count per chunk, the flagging a plain
+    equi-join back on the fingerprint, and the rollup a per-doc
+    aggregate.  No document ever compares to another document -- cost is
+    O(total chunks), like the decontam join and unlike any pairwise
+    dedup.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
+                        F.lit(CHUNK_TOKENS))
+    chunks = (
+        docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.xxhash64(F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("s"), CHUNK_TOKENS)))
+            .alias("chunk"),
+            F.least(F.lit(CHUNK_TOKENS),
+                    F.size("toks") - F.col("s") + F.lit(1))
+            .alias("n_in_chunk"))
+    )
+    dupes = chunks.groupBy("chunk").agg(
+        F.countDistinct("doc_id").alias("nd"))
+    is_dup = F.col("nd") >= LINEDEDUP_MIN_DOCS
+    return (
+        chunks.join(dupes, "chunk")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_chunks"),
+             F.sum(F.when(is_dup, 1).otherwise(0)).alias("n_dup_chunks"),
+             F.sum(F.when(is_dup, 0).otherwise(F.col("n_in_chunk")))
+             .alias("n_kept_tokens"))
+    )
+
+
 BPE_TOP_PAIRS = 30
 
 
@@ -325,6 +375,29 @@ _GRAMS_SQL = f"""
 """
 
 ORACLES: dict[str, str] = {
+    "q_text_linededup": f"""
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(toks, s, s + {CHUNK_TOKENS - 1}),
+                                 ' ') AS chunk,
+                 least({CHUNK_TOKENS}, len(toks) - s + 1) AS n_in_chunk
+          FROM (SELECT doc_id, toks,
+                       unnest(generate_series(
+                           1, greatest(len(toks), 1), {CHUNK_TOKENS})) AS s
+                FROM t)
+        ), d AS (
+          SELECT chunk, count(DISTINCT doc_id) AS nd FROM c GROUP BY 1
+        )
+        SELECT c.doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN d.nd >= {LINEDEDUP_MIN_DOCS}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+               CAST(sum(CASE WHEN d.nd >= {LINEDEDUP_MIN_DOCS}
+                             THEN 0 ELSE c.n_in_chunk END) AS BIGINT)
+                 AS n_kept_tokens
+        FROM c JOIN d USING (chunk) GROUP BY 1
+    """,
     "q_text_bpe_pairs": f"""
         WITH g AS (
           SELECT unnest(list_transform(

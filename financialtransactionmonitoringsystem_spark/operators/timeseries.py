@@ -97,6 +97,48 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.isNull().alias("is_current"))
 
 
+SESSION_GAP_S = 1800  # same 30-minute inactivity gap as the streaming form
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization: per user, a new session starts
+    whenever the gap since the previous event exceeds 30 minutes; each
+    session reports its span, event count, and spend.
+
+    This is the batch/historical twin of the streaming
+    ``session_window`` (pipeline.session_per_user): the streaming form
+    can only sessionize the live tail, while reprocessing 100 TB of
+    history needs this window+aggregate form.  Ties in ``ts`` break on
+    ``event_id`` so the session assignment is a total order.
+
+    Shape: ONE hash exchange on ``user_id`` serves the lag window, the
+    running-sum window, and the (user_id, sess) aggregation (grouping
+    keys are a superset of the partitioning key -- no re-exchange);
+    identical single-exchange plan to :func:`q_scd2`, which pins it in
+    tests/test_plans.py.  Per-user data is bounded (human activity), so
+    the per-group window is not a skew hazard at corpus scale.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("long")
+    gap = secs - F.lag(secs).over(wo)
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    return (
+        ev.withColumn("new_s", new_s)
+        .withColumn("sess", F.sum("new_s").over(
+            wo.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             rnd(F.sum("value")).alias("total_value"))
+        .withColumn("duration_s",
+                    F.col("session_end").cast("long")
+                    - F.col("session_start").cast("long"))
+    )
+
+
 HIST_WIDTH = 25.0   # value-axis bin width
 HIST_TOP = 15       # values >= HIST_WIDTH * HIST_TOP clamp into the top bin
 
@@ -164,6 +206,29 @@ ORACLES: dict[str, str] = {
                lead(valid_from) OVER w2 IS NULL AS is_current
         FROM s
         WINDOW w2 AS (PARTITION BY user_id ORDER BY regime)
+    """,
+    "q_sessionize": f"""
+        WITH g AS (
+          SELECT user_id, ts, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts, value,
+                 CAST(SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_S}
+                               THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sess
+          FROM g
+        )
+        SELECT user_id, sess, min(ts) AS session_start,
+               max(ts) AS session_end, count(*) AS n_events,
+               {R('sum(value)')} AS total_value,
+               CAST(floor(epoch(max(ts))) AS BIGINT)
+                 - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
+        FROM s GROUP BY 1, 2
     """,
     "q_agg_histogram": f"""
         SELECT event_type,

@@ -311,3 +311,58 @@ def test_zorder_locality_beats_single_dim_sort(spark, sf_dir):
     z = avg_distinct_u(df.repartitionByRange(16, "zkey"))
     t = avg_distinct_u(df.repartitionByRange(16, "h"))
     assert z * 3 <= t, (z, t)
+
+
+def test_sessionize_is_single_user_exchange(spark, sf_dir):
+    """Batch sessionization reuses ONE user_id hash exchange for the lag
+    window, the running-sum window, and the (user_id, sess) aggregation
+    -- the same single-exchange contract as q_scd2."""
+    from financialtransactionmonitoringsystem_spark.operators import timeseries
+
+    df = timeseries.q_sessionize(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert s.count("hashpartitioning(user_id") == 1, s
+    assert not P.has_cartesian(df)
+
+
+def test_export_shards_spreads_shards_over_partitions(spark, sf_dir):
+    """The per-shard position must come from the range-partitioned
+    running sum, not a one-task-per-shard window: the busiest shard
+    spans >1 range partition and the offset join broadcasts."""
+    from financialtransactionmonitoringsystem_spark.operators import curate
+
+    df = curate._sharded_with_pid(spark, sf_dir, n_parts=8)
+    assert not P.has_cartesian(df)
+    assert "BroadcastHashJoin" in P.plan_str(df, "simple")
+    spread = (df.groupBy("shard")
+              .agg(F.countDistinct("pid").alias("n_pids"))
+              .agg(F.max("n_pids").alias("mx")).collect()[0].mx)
+    assert spread > 1, f"every shard landed on a single partition: {spread}"
+
+
+def test_linededup_is_chunk_keyed_not_pairwise(spark, sf_dir):
+    """Cross-doc duplicate-chunk detection joins on the chunk
+    fingerprint (an equi-join) -- no doc-pair comparison, no cartesian,
+    and partial aggregation before the chunk-count shuffle."""
+    from financialtransactionmonitoringsystem_spark.operators import text
+
+    df = text.q_text_linededup(spark, sf_dir)
+    assert not P.has_cartesian(df)
+    assert P.has_partial_aggregation(df)
+
+
+def test_embed_quantize_is_narrow_scan_projection(spark, sf_dir):
+    """Quantization is a pure per-row projection: zero exchanges."""
+    from financialtransactionmonitoringsystem_spark.operators import similarity
+
+    assert P.n_shuffles(similarity.q_embed_quantize(spark, sf_dir)) == 0
+
+
+def test_agg_corr_is_partial_before_shuffle(spark, sf_dir):
+    """corr/covar/stddev are algebraic: the plan must show partial
+    aggregation below the single group exchange."""
+    from financialtransactionmonitoringsystem_spark.operators import aggregates as agg
+
+    df = agg.q_agg_corr(spark, sf_dir)
+    assert P.has_partial_aggregation(df)
+    assert P.n_shuffles(df) == 1
