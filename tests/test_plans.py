@@ -366,3 +366,43 @@ def test_agg_corr_is_partial_before_shuffle(spark, sf_dir):
     df = agg.q_agg_corr(spark, sf_dir)
     assert P.has_partial_aggregation(df)
     assert P.n_shuffles(df) == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """The 100 TB join-pruning mechanism beyond static pushdown: when a
+    selective dimension filter feeds a shuffle equi-join, Catalyst
+    injects a runtime bloom filter (bloom_filter_agg on the dim side,
+    might_contain on the fact side) so fact rows that cannot match die
+    at the scan instead of shuffling.  Local sizes are below the
+    production thresholds, so the test lowers them to prove the engine
+    config path works; at real scale the defaults (10 MB creation side)
+    trigger on their own."""
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "1KB")
+        orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .filter(F.col("o_totalprice") > 400000)
+                  .select("o_orderkey"))
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        plan = P.plan_str(li.join(orders, li.l_orderkey == orders.o_orderkey),
+                          "simple")
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
