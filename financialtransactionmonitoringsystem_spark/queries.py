@@ -116,6 +116,9 @@ TOUCHED = (
     "q_sim_ivf", "q_dedup_embed", "q_text_decontam",
     "q_dedup_ngram", "q_dedup_prefix", "q_dedup_minhash",
     "q_dedup_incremental",
+    # _wordgrams rewritten as a zip_with chain (designed byte-identical;
+    # re-attest the keys that evaluate it)
+    "q_text_bpe_pairs", "q_text_repetition",
 )
 
 # Among equally-stale keys, spread families across the window edge instead of
