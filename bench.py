@@ -74,6 +74,7 @@ HEADLINE = [
     # round-5 late additions: sessionization, export sharding,
     # cross-doc chunk dedup, vector quantization, bivariate stats
     "q_sessionize",
+    "q_sample_proportional",
     "q_export_shards",
     "q_text_linededup",
     "q_embed_quantize",

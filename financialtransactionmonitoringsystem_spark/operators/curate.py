@@ -233,6 +233,50 @@ def _sharded_with_pid(spark: SparkSession, sf_dir: str,
                                ["h", "doc_id"], n_parts)
 
 
+# Target mixture as integer percents (sum 100): the pretraining-mix
+# shape where the corpus must be downsampled to prescribed language
+# shares rather than per-stratum keep RATES (q_sample_stratified).
+MIX_TARGET_PCT = {"en": 50, "zh": 20, "de": 10, "es": 10, "fr": 10}
+
+
+def q_sample_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-to-target-proportions sampling: find the largest dataset size
+    T every language can fill at its target share (T = min over langs of
+    floor(100*n_l / pct_l)), then keep the first floor(pct_l*T/100) docs
+    of each language in deterministic md5 order.  The output set hits
+    the target mixture exactly (up to floor), wastes no language's
+    budget, and is a pure function of the corpus -- re-runs reproduce it.
+
+    All share arithmetic is integer-derived (counts and percents; the
+    two floors see exact doubles below 2^53), so both engines compute
+    identical cutoffs.  Shape: the per-lang counts/caps are O(langs)
+    rows (broadcast back); the per-lang rank reuses the
+    range-partitioned running count (:func:`_ranged_running_sum`), so a
+    dominant language ranks across many tasks, not one window task.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.create_map(
+        *[F.lit(x) for kv in MIX_TARGET_PCT.items() for x in kv])
+    counts = (docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+              .select("lang", F.element_at(pct, F.col("lang")).alias("p"),
+                      "n")
+              .filter(F.col("p").isNotNull()))
+    caps = counts.select(
+        "lang", "p", F.floor(F.lit(100) * F.col("n") / F.col("p")).alias("cap"))
+    t_total = caps.agg(F.min("cap").alias("t"))
+    limits = (caps.crossJoin(F.broadcast(t_total))
+              .select("lang",
+                      F.floor(F.col("p") * F.col("t") / F.lit(100)).alias("k")))
+    h = F.md5(F.concat_ws("-", F.lit("mixp"), F.col("doc_id")))
+    base = docs.select("doc_id", "lang", h.alias("h"), F.lit(1).alias("one"))
+    ranked = _ranged_running_sum(spark, base, "one", "lang", ["h", "doc_id"])
+    return (
+        ranked.join(F.broadcast(limits), "lang")
+        .filter(F.col("run") <= F.col("k"))
+        .select("lang", "doc_id", F.col("run").alias("pos"))
+    )
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: keep each near-dup cluster's canonical
     representative, drop low-quality docs (same predicate as
@@ -276,7 +320,31 @@ def _mix_sql(q: str = "") -> str:
         < (CASE WHEN {q}lang = 'en' THEN '{MIX_CEIL_EN}'
            ELSE '{MIX_CEIL_OTHER}' END)"""
 
+_MIX_TARGET_ROWS = ", ".join(
+    f"('{lang}', {pct})" for lang, pct in sorted(MIX_TARGET_PCT.items()))
+
 ORACLES: dict[str, str] = {
+    "q_sample_proportional": f"""
+        WITH tgt(lang, p) AS (VALUES {_MIX_TARGET_ROWS}),
+        c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        caps AS (
+          SELECT c.lang, tgt.p, floor(1e2 * n / p) AS cap
+          FROM c JOIN tgt USING (lang)
+        ), tt AS (SELECT min(cap) AS t FROM caps),
+        lim AS (
+          SELECT lang, CAST(floor(p * t / 1e2) AS BIGINT) AS k
+          FROM caps, tt
+        ), r AS (
+          SELECT lang, doc_id,
+                 row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5('mixp-' || CAST(doc_id AS VARCHAR)), doc_id)
+                 AS pos
+          FROM documents
+        )
+        SELECT r.lang, r.doc_id, r.pos
+        FROM r JOIN lim USING (lang) WHERE r.pos <= lim.k
+    """,
     "q_export_shards": """
         WITH s AS (
           SELECT doc_id, n_chars,

@@ -406,3 +406,25 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sample_proportional_spreads_langs_over_partitions(spark, sf_dir):
+    """The per-lang rank behind mix-to-proportions sampling must come
+    from the range-partitioned running count (many tasks per language),
+    with the O(langs) limit table broadcast back -- never a shuffle join
+    against the corpus or a one-task-per-lang window."""
+    from financialtransactionmonitoringsystem_spark.operators import curate
+
+    df = curate.q_sample_proportional(spark, sf_dir)
+    plan = P.plan_str(df, "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert not P.has_cartesian(df) or "BroadcastNestedLoopJoin" in plan
+    # mixture correctness at test scale: shares land within one doc of
+    # floor(pct * T / 100) for every target language
+    got = {r.lang: r.n for r in
+           df.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= set(curate.MIX_TARGET_PCT)
+    total = sum(got.values())
+    for lang, n in got.items():
+        target = curate.MIX_TARGET_PCT[lang] / 100
+        assert abs(n - target * total) <= 0.02 * total + 1, (lang, n, total)
