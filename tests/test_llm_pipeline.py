@@ -415,6 +415,26 @@ def test_artifact_fingerprint_detects_stale_corpus(spark, sf_dir, tmp_path,
         spark.read.parquet(f"{sf}/documents.parquet"))).collect()}
     assert p_art == p_inline
 
+    # --- MinHash band table ---
+    dedup.build_band_table(spark, sf)
+
+    with monkeypatch.context() as m:
+        m.setattr(dedup, "minhash_signatures", _boom)
+        dedup.build_band_table(spark, sf)             # no-op: marker current
+        assert dedup.corpus_band_table(spark, sf).count() > 0
+        m.undo()
+        os.utime(corpus / "documents.parquet")
+        m.setattr(dedup, "minhash_signatures", _boom)
+        with pytest.raises(AssertionError, match="unchanged corpus"):
+            dedup.build_band_table(spark, sf)
+    dedup.build_band_table(spark, sf)                 # real rebuild succeeds
+    # artifact-backed and inline band tables agree exactly
+    b_art = {tuple(r) for r in dedup.corpus_band_table(spark, sf).collect()}
+    b_inline = {tuple(r) for r in dedup._band_table(dedup.minhash_signatures(
+        dedup._tok_sets(
+            spark.read.parquet(f"{sf}/documents.parquet")))).collect()}
+    assert b_art == b_inline
+
     # --- IVF index ---
     from pyspark.ml.clustering import KMeans
 
