@@ -651,14 +651,70 @@ def simhash_pairs(docs: DataFrame, bits: int = SIMHASH_BITS,
         _scoped_build(_chunk_table(sig, bits, n_chunks)), max_hamming)
 
 
+def _simhash_fingerprint(sf_dir: str) -> str:
+    from ..artifacts import corpus_fingerprint
+
+    # Width is NOT a fingerprint param: it derives from the corpus size,
+    # which the corpus files themselves fingerprint.
+    return corpus_fingerprint(
+        [os.path.join(sf_dir, "documents.parquet")],
+        {"algo": "simhash-chunks",
+         "wide_threshold": SIMHASH_WIDE_THRESHOLD})
+
+
+def _simhash_base(sf_dir: str) -> str:
+    return os.path.normpath(os.path.join(
+        _CLUSTER_ROOT, "..", "simhash_table",
+        re.sub(r"\W+", "_", sf_dir.strip("/"))))
+
+
+def build_simhash_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build and PERSIST the corpus SimHash chunk table (doc_id, lang,
+    simhash, chunk, cv) at the width :func:`_simhash_width` picks for
+    this corpus size.  Persisting moves the signature fold (O(bits x
+    tokens), the expensive half of simhash dedup) AND the corpus count
+    behind the width choice to build time -- the query path neither
+    re-hashes nor re-counts.  Same fingerprinted-marker idempotence as
+    the band table / prefix index."""
+    from ..artifacts import marker_current, write_marker
+
+    base = _simhash_base(sf_dir)
+    done = os.path.join(base, "_BUILT")
+    fp = _simhash_fingerprint(sf_dir)
+    if marker_current(done, fp):
+        return base
+    docs = load_table(spark, sf_dir, "documents")
+    bits, n_chunks = _simhash_width(docs.count())
+    _chunk_table(simhash_signatures(docs, bits), bits, n_chunks) \
+        .write.mode("overwrite").parquet(os.path.join(base, "chunks"))
+    write_marker(done, fp)
+    return base
+
+
+def corpus_simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus SimHash chunk table: artifact when current, else the
+    inline derivation materialized once (:func:`_scoped_build`)."""
+    from ..artifacts import marker_current
+
+    base = _simhash_base(sf_dir)
+    if marker_current(os.path.join(base, "_BUILT"),
+                      _simhash_fingerprint(sf_dir)):
+        return spark.read.parquet(os.path.join(base, "chunks"))
+    docs = load_table(spark, sf_dir, "documents")
+    bits, n_chunks = _simhash_width(docs.count())
+    return _scoped_build(_chunk_table(simhash_signatures(docs, bits),
+                                      bits, n_chunks))
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs.  Signature width scales with the corpus
     (:func:`_simhash_width`): 48-bit/4-chunk below 10^5 docs (every test
     SF), 64-bit/6-chunk above, where 12-bit chunk buckets would start
-    drowning in collisions."""
-    docs = load_table(spark, sf_dir, "documents")
-    bits, n_chunks = _simhash_width(docs.count())
-    return simhash_pairs(docs, bits, n_chunks)
+    drowning in collisions.  Candidates come from the persisted chunk
+    table artifact when current (:func:`build_simhash_table`); the
+    Hamming cutoff 3 keeps recall 1 under the pigeonhole guarantee at
+    both widths (3 < 4 chunks <= 6 chunks)."""
+    return _chunk_join(corpus_simhash_table(spark, sf_dir), max_hamming=3)
 
 
 def dot_fold(x: Column, y: Column) -> Column:

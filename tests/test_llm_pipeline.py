@@ -435,6 +435,27 @@ def test_artifact_fingerprint_detects_stale_corpus(spark, sf_dir, tmp_path,
             spark.read.parquet(f"{sf}/documents.parquet")))).collect()}
     assert b_art == b_inline
 
+    # --- SimHash chunk table ---
+    dedup.build_simhash_table(spark, sf)
+
+    with monkeypatch.context() as m:
+        m.setattr(dedup, "simhash_signatures", _boom)
+        dedup.build_simhash_table(spark, sf)          # no-op: marker current
+        assert dedup.corpus_simhash_table(spark, sf).count() > 0
+        m.undo()
+        os.utime(corpus / "documents.parquet")
+        m.setattr(dedup, "simhash_signatures", _boom)
+        with pytest.raises(AssertionError, match="unchanged corpus"):
+            dedup.build_simhash_table(spark, sf)
+    dedup.build_simhash_table(spark, sf)              # real rebuild succeeds
+    # artifact-backed and inline chunk tables agree exactly
+    s_art = {tuple(r) for r in dedup.corpus_simhash_table(spark, sf).collect()}
+    _docs = spark.read.parquet(f"{sf}/documents.parquet")
+    _bits, _nc = dedup._simhash_width(_docs.count())
+    s_inline = {tuple(r) for r in dedup._chunk_table(
+        dedup.simhash_signatures(_docs, _bits), _bits, _nc).collect()}
+    assert s_art == s_inline
+
     # --- IVF index ---
     from pyspark.ml.clustering import KMeans
 
