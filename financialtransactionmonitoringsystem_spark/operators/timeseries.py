@@ -109,7 +109,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``session_window`` (pipeline.session_per_user): the streaming form
     can only sessionize the live tail, while reprocessing 100 TB of
     history needs this window+aggregate form.  Ties in ``ts`` break on
-    ``event_id`` so the session assignment is a total order.
+    ``event_id`` so the session assignment is a total order.  Boundary
+    semantics differ from ``session_window`` by design: Spark's gap is
+    exclusive at microsecond precision (a gap of exactly 30:00.000000
+    starts a new session), while this operator splits on
+    whole-second gaps STRICTLY greater than the threshold -- the
+    convention its DuckDB oracle can replicate exactly.
 
     Shape: ONE hash exchange on ``user_id`` serves the lag window, the
     running-sum window, and the (user_id, sess) aggregation (grouping
