@@ -42,7 +42,14 @@ def q_ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     PromQL range vector) provides and a raw event log lacks.
     """
     ev = load_table(spark, sf_dir, "events")
-    hourly = (
+    # hourly feeds BOTH the bounds aggregate and the grid join; without
+    # reuse the events scan + aggregation runs twice.  The result is
+    # O(types x hours) -- metadata-sized -- so materialize it once
+    # (reference-tracked localCheckpoint, the dedup-family pattern); at
+    # corpus scale this halves the only data-sized pass the query has.
+    from .dedup import _scoped_build
+
+    hourly = _scoped_build(
         ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
         .agg(F.count(F.lit(1)).alias("n_events"), rnd(F.sum("value")).alias("sv"))
     )

@@ -119,7 +119,7 @@ TOUCHED = (
     # _wordgrams rewritten as a zip_with chain (designed byte-identical;
     # re-attest the keys that evaluate it)
     "q_text_bpe_pairs", "q_text_repetition", "q_text_tfidf",
-    "q_text_linededup",
+    "q_text_linededup", "q_ts_resample",
 )
 
 # Among equally-stale keys, spread families across the window edge instead of
