@@ -79,7 +79,17 @@ def _ranged_running_sum(spark: SparkSession, df: DataFrame, val_col: str,
         .withColumn("pid", F.spark_partition_id())
     )
     w_loc = W.partitionBy(part_col, "pid").orderBy(*order_cols)
-    local = ranged.withColumn("__run", F.sum(val_col).over(w_loc))
+    # local feeds BOTH the per-partition totals and the final offset
+    # join; materialize it once (the dedup-family _scoped_build).  This
+    # halves the range exchange + window work AND removes the only
+    # cross-evaluation consistency dependency: pid comes from
+    # spark_partition_id(), which is only guaranteed consistent between
+    # the two consumers because repartitionByRange samples bounds with a
+    # fixed seed -- with a single evaluation nothing relies on that.
+    from .dedup import _scoped_build
+
+    local = _scoped_build(
+        ranged.withColumn("__run", F.sum(val_col).over(w_loc)))
     totals = local.groupBy(part_col, "pid").agg(
         F.max("__run").alias("part_tot"))
     w_off = W.partitionBy(part_col).orderBy("pid")
