@@ -66,6 +66,26 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard LATERAL correlated subquery with per-row LIMIT: each
+    customer's two most recent orders -- the "top-N per entity" query as
+    users actually write it.  Catalyst DECORRELATES the lateral into the
+    scalable plan (row_number window over orders + equi-join back to
+    customer; verified in test_plans) -- per-row re-execution never
+    happens, so the SQL-surface form and the hand-built
+    ``q_topk_per_group`` window form share one physical shape.
+    """
+    register_views(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(f"""
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+               {R('o.o_totalprice')} AS totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+                 FROM orders WHERE o_custkey = c.c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o
+    """)
+
+
 def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTE pipeline: per-customer spend -> nation rollup of big spenders."""
     register_views(spark, sf_dir, ("customer", "orders", "nation"))
@@ -279,6 +299,14 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_join_lateral": f"""
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+               {R('o.o_totalprice')} AS totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+                 FROM orders WHERE o_custkey = c.c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o
+    """,
     "q_anomaly": f"""
         WITH s AS (
           SELECT event_type,

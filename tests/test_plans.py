@@ -428,3 +428,16 @@ def test_sample_proportional_spreads_langs_over_partitions(spark, sf_dir):
     for lang, n in got.items():
         target = curate.MIX_TARGET_PCT[lang] / 100
         assert abs(n - target * total) <= 0.02 * total + 1, (lang, n, total)
+
+
+def test_lateral_subquery_decorrelates_to_window_join(spark, sf_dir):
+    """The LATERAL correlated LIMIT subquery must compile to the
+    decorrelated window + equi-join plan (row_number <= k over orders,
+    joined back to customer) -- never nested per-row re-execution, never
+    a cartesian."""
+    from financialtransactionmonitoringsystem_spark.operators import extras
+
+    df = extras.q_join_lateral(spark, sf_dir)
+    plan = P.plan_str(df, "simple")
+    assert "Window" in plan and "row_number" in plan, plan
+    assert not P.has_cartesian(df)
