@@ -81,35 +81,26 @@ LAST_ATTESTED: dict[str, int] = {
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history (round 5: pack_sequences range-partitioned scale form; simhash
-# width parameterization; mm worker self-containment; cluster-table + IVF
-# artifact fingerprinting).  q_dedup_minhash / q_dedup_prefix (persist
-# scoping) and q_sim_ivf (fingerprinting) are also touched but already
-# r3-stale, so they sit in the window without needing a TOUCHED slot.
-# The r5 stream_topk sink fixes changed only the live foreachBatch path
-# (pipeline.py) -- the attested batch twin is byte-identical, so it takes
-# no slot either.  New round-5 keys (q_sample_weighted, q_curate_budget,
-# q_text_perplexity, q_dedup_incremental, q_merge_upsert, q_funnel,
-# q_retention, q_profile, q_anomaly, and the round-5 tail:
-# q_ts_resample, q_scd2, q_agg_histogram, q_text_bpe_pairs,
-# q_stream_join, q_agg_approx_quantile, q_udaf_centsum, q_udtf_gaps,
-# q_layout_zorder, q_mm_decode, q_stream_join_agg, q_mm_frames,
-# q_agg_mode, q_cte_recursive, q_dq_checks, q_win_timerange, q_fn_try)
-# are absent from LAST_ATTESTED and sort most-stale automatically.
-# With 120 keys the stale set (44 r3-attested + 15 touched + 26 new =
-# 85) exceeds the 50-slot window by 35: the overflow is taken from the
-# tail of the oldest-attested cohort
-# (alphabetically last r3 keys), which the window picks up over the next
-# two rounds.
-# Late-round-5 perf rewrites (norm hoisting in the similarity family and
-# q_dedup_embed; simhash join-residual hamming; hashed decontam grams;
-# xxhash64 token fingerprints in _tok_sets, which feed q_dedup_ngram /
-# q_dedup_prefix / q_dedup_minhash / q_dedup_incremental verification)
-# are designed value-identical, but identical-by-design is exactly what
-# the driver window exists to attest -- they take slots too.  New
-# round-5 keys (q_ts_resample, q_scd2, q_agg_histogram,
-# q_text_bpe_pairs, ...) are absent from LAST_ATTESTED and sort
-# most-stale automatically.
+# history.  Round-5 touches, in order: the mid-round rewrites
+# (pack_sequences range-partitioned scale form; adaptive simhash width;
+# mm worker self-containment; artifact fingerprinting; norm hoisting in
+# the similarity family; hashed decontam grams; xxhash64 token
+# fingerprints feeding the whole dedup verify family) and the
+# late-round perf pass (_wordgrams rewritten as a zip_with chain;
+# _scoped_build materializations in tfidf / linededup / ts_resample /
+# the ranged running sum behind pack_sequences+curate_budget+
+# export_shards+sample_proportional; persisted band-table and
+# simhash-chunk artifacts behind q_dedup_minhash / q_dedup_simhash).
+# All are designed value-identical, but identical-by-design is exactly
+# what the driver window exists to attest -- each takes a slot.  Keys
+# absent from LAST_ATTESTED (the 26 mid-round-5 keys plus the 7
+# late-round-5 keys: q_sessionize, q_sample_proportional,
+# q_export_shards, q_text_linededup, q_embed_quantize, q_agg_corr,
+# q_join_lateral) sort most-stale automatically.  At 127 keys the
+# zero-stale set (TOUCHED + never-attested) is 50 -- exactly the window
+# -- with the 44 r3-attested keys rotating in over the following
+# rounds; tests/test_oracle_parity.py remains the full-registry gate
+# every round regardless.
 TOUCHED = (
     "q_pack_sequences", "q_dedup_simhash", "q_mm_features", "q_mm_meta",
     "q_dedup_cluster", "q_sim_cosine", "q_sim_knn_per_label", "q_sim_lsh",
