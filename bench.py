@@ -139,16 +139,8 @@ def main() -> None:
     # JSON output, because the affected queries then fold the build into
     # their probe timings.
     build_errors: dict[str, str] = {}
-    from financialtransactionmonitoringsystem_spark.operators.dedup import (
-        build_band_table, build_cluster_table, build_prefix_index,
-        build_simhash_table, build_token_table)
-    from financialtransactionmonitoringsystem_spark.operators.similarity import build_ivf_index
-    for name, build in (("ivf_index", build_ivf_index),
-                        ("token_table", build_token_table),
-                        ("prefix_index", build_prefix_index),
-                        ("band_table", build_band_table),
-                        ("simhash_table", build_simhash_table),
-                        ("cluster_table", build_cluster_table)):
+    from financialtransactionmonitoringsystem_spark.artifacts import corpus_builders
+    for name, build in corpus_builders().items():
         try:
             build(spark, sf_dir)
         except Exception as exc:  # noqa: BLE001 - bench must still run
