@@ -441,3 +441,43 @@ def test_lateral_subquery_decorrelates_to_window_join(spark, sf_dir):
     plan = P.plan_str(df, "simple")
     assert "Window" in plan and "row_number" in plan, plan
     assert not P.has_cartesian(df)
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """Runtime skew handling, the AQE half of the skew story (the
+    deterministic-salting half lives in operators/skew.py): a 90%-hot
+    key must come out of execution as SortMergeJoin(skew=true) with an
+    AQEShuffleRead that split the hot partition.  Local sizes sit below
+    the production thresholds, so the test lowers them -- at real scale
+    the defaults (256 MB / factor 5) trigger on their own.  The final
+    plan is only visible on the SAME QueryExecution that ran (count()
+    plans a fresh one), hence the execute() on the adaptive plan."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(2_000_000).select(
+            F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") * 2).alias("v"))
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), F.lit("x").alias("tag"))
+        j = fact.join(dim, "k")
+        qe = j._jdf.queryExecution()
+        qe.executedPlan().execute().count()
+        plan = qe.executedPlan().toString()
+        assert "skew=true" in plan, plan
+        assert "skewed" in plan, plan  # the AQEShuffleRead split marker
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
