@@ -29,6 +29,10 @@ FEATURE_SCHEMA = (
     "doc_id bigint, width int, height int, n_bytes int, mean_px double"
 )
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_px double"
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_w int, out_h int, "
+    "q00 bigint, q01 bigint, q10 bigint, q11 bigint"
+)
 
 
 def with_binary_content(docs: DataFrame) -> DataFrame:
@@ -177,12 +181,66 @@ def _make_decode_pgm():
     return decode_pgm
 
 
+def _make_resize_pgm():
+    """Factory for the resize worker: parse the real P5 file, 2x2
+    box-downsample the 4x4 pixel grid to 2x2 (each output cell is the
+    INTEGER sum of its 2x2 box -- exact, so the SQL oracle reproduces it
+    bit-for-bit; divide by 4 client-side for the mean).  Resize is the
+    one image verb (decode / feature-extract / resize / frame-sample)
+    the family was missing; same Arrow batch shape and ship-by-value
+    closure as the others."""
+
+    def resize_pgm(it):
+        import pandas as pd
+
+        def parse_px(raw: bytes):
+            # header is the fixed PGM_HEADER for these files; parse it
+            # anyway so foreign 4x4 P5 bytes work too
+            if raw[:2] != b"P5":
+                raise ValueError("not a P5 PGM")
+            vals, i = [], 2
+            while len(vals) < 3:
+                while raw[i:i + 1].isspace():
+                    i += 1
+                if raw[i:i + 1] == b"#":
+                    while raw[i:i + 1] != b"\n":
+                        i += 1
+                    continue
+                j = i
+                while not raw[j:j + 1].isspace():
+                    j += 1
+                vals.append(int(raw[i:j]))
+                i = j
+            i += 1
+            w, h, _ = vals
+            if (w, h) != (4, 4):
+                raise ValueError("resize demo expects 4x4 input")
+            return raw[i:i + 16]
+
+        def box(b):
+            return [b[8 * r + 2 * c] + b[8 * r + 2 * c + 1]
+                    + b[8 * r + 2 * c + 4] + b[8 * r + 2 * c + 5]
+                    for r in (0, 1) for c in (0, 1)]
+
+        for pdf in it:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                q = box(parse_px(bytes(content)))
+                rows.append((doc_id, 2, 2, *q))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_w", "out_h",
+                               "q00", "q01", "q10", "q11"])
+
+    return resize_pgm
+
+
 # Public bindings keep the established names; being `<locals>` closures
 # they are unimportable by qualname, which is exactly what forces
 # cloudpickle to serialize them by value.
 extract_features = _make_extract_features()
 sample_frames = _make_sample_frames()
 decode_pgm = _make_decode_pgm()
+resize_pgm = _make_resize_pgm()
 
 
 def q_mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +284,35 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pgm_content(docs).mapInPandas(decode_pgm, FEATURE_SCHEMA)
 
 
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize via mapInPandas: the real PGM files 2x2
+    box-downsampled in the Arrow worker; output cells are exact integer
+    box sums, so the oracle rebuilds them from the digest hex."""
+    docs = load_table(spark, sf_dir, "documents")
+    return with_pgm_content(docs).mapInPandas(resize_pgm, RESIZE_SCHEMA)
+
+
+# DuckDB twin of the digest-byte lookup: byte k of md5(text) as an int.
+_MDBYTE = ("((strpos('0123456789abcdef', substr(h, ({k})*2 + 1, 1)) - 1) * 16"
+           " + (strpos('0123456789abcdef', substr(h, ({k})*2 + 2, 1)) - 1))")
+
+
+def _box_sql(r: int, c: int) -> str:
+    ks = (8 * r + 2 * c, 8 * r + 2 * c + 1, 8 * r + 2 * c + 4, 8 * r + 2 * c + 5)
+    return " + ".join(_MDBYTE.format(k=k) for k in ks)
+
+
 ORACLES: dict[str, str] = {
+    "q_mm_resize": f"""
+        WITH b AS (SELECT doc_id, md5(text) AS h FROM documents)
+        SELECT doc_id,
+               CAST(2 AS INTEGER) AS out_w, CAST(2 AS INTEGER) AS out_h,
+               CAST({_box_sql(0, 0)} AS BIGINT) AS q00,
+               CAST({_box_sql(0, 1)} AS BIGINT) AS q01,
+               CAST({_box_sql(1, 0)} AS BIGINT) AS q10,
+               CAST({_box_sql(1, 1)} AS BIGINT) AS q11
+        FROM b
+    """,
     # fake_decode is md5-derived and DuckDB has md5(): rebuild the digest
     # bytes from hex pairs and reproduce width/height/n_bytes/mean_px
     # exactly (round-2 VERDICT "Next round" #5 -- graduates the key from

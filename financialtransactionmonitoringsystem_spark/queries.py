@@ -97,7 +97,7 @@ LAST_ATTESTED: dict[str, int] = {
 # late-round-5 keys: q_sessionize, q_sample_proportional,
 # q_export_shards, q_text_linededup, q_embed_quantize, q_agg_corr,
 # q_join_lateral) sort most-stale automatically.  At 127 keys the
-# zero-stale set (TOUCHED + never-attested) is 49 of the 50-slot window
+# zero-stale set (TOUCHED + never-attested) fills the 50-slot window exactly
 # -- with the 44 r3-attested keys rotating in over the following
 # rounds; tests/test_oracle_parity.py remains the full-registry gate
 # every round regardless.

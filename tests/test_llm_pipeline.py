@@ -174,7 +174,8 @@ def test_mm_workers_pickle_self_contained(tmp_path):
     ser = CloudPickleSerializer()
     for name, fn in (("extract_features", multimodal.extract_features),
                      ("sample_frames", multimodal.sample_frames),
-                     ("decode_pgm", multimodal.decode_pgm)):
+                     ("decode_pgm", multimodal.decode_pgm),
+                     ("resize_pgm", multimodal.resize_pgm)):
         (tmp_path / f"{name}.pkl").write_bytes(ser.dumps(fn))
 
     runner = tmp_path / "runner.py"
@@ -187,9 +188,11 @@ sys.modules.pop('financialtransactionmonitoringsystem_spark', None)
 import pandas as pd
 batch = pd.DataFrame({"doc_id": [1, 2], "content": [b"alpha", b"beta"]})
 pgm = pd.DataFrame({"doc_id": [1], "content": [b"P5\\n2 2\\n255\\n" + bytes([9, 9, 9, 9])]})
+pgm4 = pd.DataFrame({"doc_id": [1], "content": [b"P5\\n4 4\\n255\\n" + bytes(range(16))]})
 for name, data, n_rows in (("extract_features", batch, 2),
                            ("sample_frames", batch, 8),
-                           ("decode_pgm", pgm, 1)):
+                           ("decode_pgm", pgm, 1),
+                           ("resize_pgm", pgm4, 1)):
     fn = pickle.loads(open(sys.argv[2] + "/" + name + ".pkl", "rb").read())
     out = pd.concat(list(fn(iter([data]))))
     assert len(out) == n_rows, (name, out)
