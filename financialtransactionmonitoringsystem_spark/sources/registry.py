@@ -81,6 +81,50 @@ def read_kafka(spark: SparkSession, bootstrap: str, topic: str) -> DataFrame:
         ) from exc
 
 
+# The exact record schema the kafka connector emits (Structured Streaming
+# Kafka integration guide); synthetic frames with this schema exercise
+# everything downstream of the connector without a broker.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
+
+def parse_kafka_transactions(raw: DataFrame) -> DataFrame:
+    """Decode a Kafka wire frame (``KAFKA_WIRE_SCHEMA``, as produced by
+    :func:`read_kafka` or any synthetic/test frame with the same shape)
+    into typed transactions.
+
+    This is the half of the Kafka pipeline that contains actual logic --
+    value bytes -> JSON -> typed columns, plus the ingest sequence -- so
+    it is factored off the connector and attested without a broker (the
+    env-gated broker test covers the connector itself).  ``ingest_seq``
+    is derived from (partition, offset): dense per partition, globally
+    unique, totally ordered within a partition -- the production
+    replacement for the driver-side max()+1 sequence (api.py scale
+    note; Kafka only orders within a partition, so this is exactly the
+    ordering guarantee the source provides, no more).
+
+    Works identically on batch and streaming frames: every expression is
+    a stateless projection, so the streaming query inherits the
+    connector's micro-batch boundaries untouched.
+    """
+    from ..schemas import TRANSACTION_JSON_SCHEMA
+
+    parsed = raw.select(
+        F.col("partition"), F.col("offset"),
+        F.col("timestamp").alias("broker_ts"),
+        F.from_json(F.col("value").cast("string"),
+                    TRANSACTION_JSON_SCHEMA).alias("t"),
+    )
+    return parsed.select(
+        "t.*",
+        (F.col("partition").cast("bigint") * F.lit(1 << 40) + F.col("offset"))
+        .alias("ingest_seq"),
+        "broker_ts",
+    )
+
+
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:
     """JDBC source (reference's 'move this to Redis or TigerBeetle'
     durability note, main.rs:24 -- a real DB behind JDBC is the Spark

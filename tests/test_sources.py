@@ -178,3 +178,49 @@ def test_jsonl_sink_datasource_roundtrip(spark, sf_dir, tmp_path):
     b = {(r.event_id, r.user_id, r.event_type, round(r.value, 6))
          for r in src.collect()}
     assert a == b
+
+
+def test_kafka_wire_parse_without_broker(spark, tmp_path_factory):
+    """The Kafka pipeline's logic half, attested broker-free: a
+    synthetic frame with the connector's exact record schema
+    (KAFKA_WIRE_SCHEMA) runs through parse_kafka_transactions in BOTH
+    batch and streaming form.  Checks: typed columns parse, a malformed
+    value yields a NULL-field row (not a crash), and ingest_seq orders
+    rows exactly as (partition, offset) does."""
+    import datetime
+
+    bodies = [
+        (0, 0, b'{"transaction_id": "t-1", "user_id": 1001, "amount": 10.5,'
+               b' "currency": "USD", "type": "credit",'
+               b' "metadata": {"merchant": "Amazon"},'
+               b' "timestamp": "2025-09-27T12:42:57.289182Z"}'),
+        (0, 1, b'{"transaction_id": "t-2", "user_id": 1002, "amount": 3.25,'
+               b' "currency": "EUR", "type": "debit", "metadata": {},'
+               b' "timestamp": "2025-09-27T13:42:57.289182Z"}'),
+        (1, 0, b"not json at all"),
+    ]
+    ts = datetime.datetime(2025, 9, 27, 12, 0, 0)
+    wire = spark.createDataFrame(
+        [(None, v, "tx", p, o, ts, 0) for p, o, v in bodies],
+        registry.KAFKA_WIRE_SCHEMA)
+
+    out = registry.parse_kafka_transactions(wire)
+    rows = {r.transaction_id: r for r in out.collect()}
+    assert rows["t-1"].user_id == 1001 and rows["t-1"].currency == "USD"
+    assert rows["t-2"].amount == 3.25
+    assert None in rows  # malformed value -> NULL fields, row preserved
+    seqs = sorted((r.ingest_seq, r.transaction_id) for r in out.collect())
+    assert [t for _, t in seqs] == ["t-1", "t-2", None]  # (partition, offset)
+
+    # streaming path: same schema from a file stream, same results
+    src = tmp_path_factory.mktemp("kafka_wire")
+    wire.write.mode("overwrite").parquet(str(src / "raw"))
+    stream = (spark.readStream.schema(registry.KAFKA_WIRE_SCHEMA)
+              .parquet(str(src / "raw")))
+    q = (registry.parse_kafka_transactions(stream)
+         .writeStream.format("memory").queryName("t_kafka_wire")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r.transaction_id: r.ingest_seq
+           for r in spark.sql("SELECT * FROM t_kafka_wire").collect()}
+    assert got == {r.transaction_id: r.ingest_seq for r in out.collect()}
