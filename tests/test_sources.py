@@ -71,19 +71,30 @@ def test_kafka_roundtrip_attests_read_kafka(spark, tmp_path):
     classpath: publish via Spark's batch kafka sink, read back through
     registry.read_kafka with an availableNow trigger, compare values."""
     topic = f"fintxmon_it_{os.getpid()}"
-    (spark.createDataFrame(
-        [(str(i), f"v{i}") for i in range(5)], "key string, value string")
+    bodies = [
+        (str(i),
+         f'{{"transaction_id": "t-{i}", "user_id": {1000 + i}, '
+         f'"amount": {i}.5, "currency": "USD", "type": "credit", '
+         f'"metadata": {{}}, '
+         f'"timestamp": "2025-09-27T12:42:57.289182Z"}}')
+        for i in range(5)
+    ]
+    (spark.createDataFrame(bodies, "key string, value string")
         .write.format("kafka")
         .option("kafka.bootstrap.servers", _KAFKA)
         .option("topic", topic).save())
-    q = (registry.read_kafka(spark, _KAFKA, topic)
-         .selectExpr("CAST(value AS STRING) AS value")
+    # same parse stage the broker-free test attests: connector + logic
+    # are one continuous path
+    q = (registry.parse_kafka_transactions(
+            registry.read_kafka(spark, _KAFKA, topic))
          .writeStream.format("memory").queryName("t_kafka_it")
          .option("checkpointLocation", str(tmp_path / "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
-    got = {r.value for r in spark.sql("SELECT value FROM t_kafka_it").collect()}
-    assert got == {f"v{i}" for i in range(5)}
+    got = {(r.transaction_id, r.user_id)
+           for r in spark.sql(
+               "SELECT transaction_id, user_id FROM t_kafka_it").collect()}
+    assert got == {(f"t-{i}", 1000 + i) for i in range(5)}
 
 
 def test_bucketed_tables_join_without_shuffle(spark, events, tmp_path_factory):
