@@ -91,3 +91,28 @@ def corpus_builders() -> dict:
         "cluster_table": build_cluster_table,
         "ivf_index": build_ivf_index,
     }
+
+
+def ensure_parquet_artifact(base: str, subdir: str, fingerprint: str,
+                            derive) -> str:
+    """The build half of a single-parquet persisted artifact: no-op when
+    the ``_BUILT`` marker records exactly ``fingerprint``, else write
+    ``derive()`` to ``base/subdir`` and stamp the marker.  Shared by
+    every artifact family so fingerprint/marker mechanics cannot drift
+    between them (review finding: the 5th copy-paste of this quartet
+    omitted a fingerprint param)."""
+    done = os.path.join(base, "_BUILT")
+    if marker_current(done, fingerprint):
+        return base
+    derive().write.mode("overwrite").parquet(os.path.join(base, subdir))
+    write_marker(done, fingerprint)
+    return base
+
+
+def parquet_artifact_or(spark, base: str, subdir: str, fingerprint: str,
+                        fallback):
+    """The read half: the persisted parquet when the marker is current
+    for ``fingerprint``, else ``fallback()`` (the inline derivation)."""
+    if marker_current(os.path.join(base, "_BUILT"), fingerprint):
+        return spark.read.parquet(os.path.join(base, subdir))
+    return fallback()

@@ -278,7 +278,12 @@ def q_sample_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("lang",
                       F.floor(F.col("p") * F.col("t") / F.lit(100)).alias("k")))
     h = F.md5(F.concat_ws("-", F.lit("mixp"), F.col("doc_id")))
-    base = docs.select("doc_id", "lang", h.alias("h"), F.lit(1).alias("one"))
+    # Non-target languages are dropped by the limits join anyway; filter
+    # them BEFORE the range exchange + windows + checkpoint so excluded
+    # volume never shuffles (per-lang ranks are unaffected by other
+    # langs, so the output is identical).
+    base = (docs.filter(F.element_at(pct, F.col("lang")).isNotNull())
+            .select("doc_id", "lang", h.alias("h"), F.lit(1).alias("one")))
     ranked = _ranged_running_sum(spark, base, "one", "lang", ["h", "doc_id"])
     return (
         ranked.join(F.broadcast(limits), "lang")

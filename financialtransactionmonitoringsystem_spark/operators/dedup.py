@@ -109,19 +109,13 @@ def build_token_table(spark: SparkSession, sf_dir: str) -> str:
     verification) reads the compact fingerprint table instead of
     re-splitting 100 TB of text per query.  Same fingerprinted-marker
     idempotence as the IVF index / cluster table (ADVICE r3/r4)."""
-    from ..artifacts import marker_current, write_marker
+    from ..artifacts import ensure_parquet_artifact
 
     base = os.path.join(_CLUSTER_ROOT, "..", "tok_sets",
                         re.sub(r"\W+", "_", sf_dir.strip("/")))
-    base = os.path.normpath(base)
-    done = os.path.join(base, "_BUILT")
-    fp = _tokens_fingerprint(sf_dir)
-    if marker_current(done, fp):
-        return base
-    _tok_sets(load_table(spark, sf_dir, "documents")) \
-        .write.mode("overwrite").parquet(os.path.join(base, "tok_sets"))
-    write_marker(done, fp)
-    return base
+    return ensure_parquet_artifact(
+        os.path.normpath(base), "tok_sets", _tokens_fingerprint(sf_dir),
+        lambda: _tok_sets(load_table(spark, sf_dir, "documents")))
 
 
 def corpus_tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,14 +123,14 @@ def corpus_tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact when one is current for this corpus snapshot, else the
     inline tokenization pipeline -- value-identical either way (the
     build persists exactly the inline computation)."""
-    from ..artifacts import marker_current
+    from ..artifacts import parquet_artifact_or
 
     base = os.path.normpath(os.path.join(
         _CLUSTER_ROOT, "..", "tok_sets",
         re.sub(r"\W+", "_", sf_dir.strip("/"))))
-    if marker_current(os.path.join(base, "_BUILT"), _tokens_fingerprint(sf_dir)):
-        return spark.read.parquet(os.path.join(base, "tok_sets"))
-    return _tok_sets(load_table(spark, sf_dir, "documents"))
+    return parquet_artifact_or(
+        spark, base, "tok_sets", _tokens_fingerprint(sf_dir),
+        lambda: _tok_sets(load_table(spark, sf_dir, "documents")))
 
 
 def _prefix_fingerprint(sf_dir: str) -> str:
@@ -161,17 +155,11 @@ def build_prefix_index(spark: SparkSession, sf_dir: str) -> str:
     re-deriving prefixes for the whole corpus (explode + global token
     frequencies + per-doc rarest-first ranking, the expensive half of
     exact dedup).  Fingerprinted like the token table."""
-    from ..artifacts import marker_current, write_marker
+    from ..artifacts import ensure_parquet_artifact
 
-    base = _prefix_base(sf_dir)
-    done = os.path.join(base, "_BUILT")
-    fp = _prefix_fingerprint(sf_dir)
-    if marker_current(done, fp):
-        return base
-    _prefix_table(corpus_tok_sets(spark, sf_dir)) \
-        .write.mode("overwrite").parquet(os.path.join(base, "prefix"))
-    write_marker(done, fp)
-    return base
+    return ensure_parquet_artifact(
+        _prefix_base(sf_dir), "prefix", _prefix_fingerprint(sf_dir),
+        lambda: _prefix_table(corpus_tok_sets(spark, sf_dir)))
 
 
 def corpus_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,12 +167,11 @@ def corpus_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inline derivation materialized once via :func:`_scoped_build`
     (the artifact read needs no checkpoint -- parquet IS the
     materialization)."""
-    from ..artifacts import marker_current
+    from ..artifacts import parquet_artifact_or
 
-    base = _prefix_base(sf_dir)
-    if marker_current(os.path.join(base, "_BUILT"), _prefix_fingerprint(sf_dir)):
-        return spark.read.parquet(os.path.join(base, "prefix"))
-    return _scoped_build(_prefix_table(corpus_tok_sets(spark, sf_dir)))
+    return parquet_artifact_or(
+        spark, _prefix_base(sf_dir), "prefix", _prefix_fingerprint(sf_dir),
+        lambda: _scoped_build(_prefix_table(corpus_tok_sets(spark, sf_dir))))
 
 
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,17 +475,11 @@ def build_band_table(spark: SparkSession, sf_dir: str) -> str:
     the same fingerprinted-marker idempotence as the prefix index and
     token table.  The build itself reads the token-table artifact, so a
     full cold build is still one pass over the corpus text."""
-    from ..artifacts import marker_current, write_marker
+    from ..artifacts import ensure_parquet_artifact
 
-    base = _band_base(sf_dir)
-    done = os.path.join(base, "_BUILT")
-    fp = _band_fingerprint(sf_dir)
-    if marker_current(done, fp):
-        return base
-    _band_table(minhash_signatures(corpus_tok_sets(spark, sf_dir))) \
-        .write.mode("overwrite").parquet(os.path.join(base, "bands"))
-    write_marker(done, fp)
-    return base
+    return ensure_parquet_artifact(
+        _band_base(sf_dir), "bands", _band_fingerprint(sf_dir),
+        lambda: _band_table(minhash_signatures(corpus_tok_sets(spark, sf_dir))))
 
 
 def corpus_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,13 +487,12 @@ def corpus_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     current, else the inline derivation materialized once via
     :func:`_scoped_build` (the self-join needs ONE materialization
     either way; parquet serves as it for the artifact path)."""
-    from ..artifacts import marker_current
+    from ..artifacts import parquet_artifact_or
 
-    base = _band_base(sf_dir)
-    if marker_current(os.path.join(base, "_BUILT"), _band_fingerprint(sf_dir)):
-        return spark.read.parquet(os.path.join(base, "bands"))
-    return _scoped_build(
-        _band_table(minhash_signatures(corpus_tok_sets(spark, sf_dir))))
+    return parquet_artifact_or(
+        spark, _band_base(sf_dir), "bands", _band_fingerprint(sf_dir),
+        lambda: _scoped_build(
+            _band_table(minhash_signatures(corpus_tok_sets(spark, sf_dir)))))
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -654,12 +634,17 @@ def simhash_pairs(docs: DataFrame, bits: int = SIMHASH_BITS,
 def _simhash_fingerprint(sf_dir: str) -> str:
     from ..artifacts import corpus_fingerprint
 
-    # Width is NOT a fingerprint param: it derives from the corpus size,
-    # which the corpus files themselves fingerprint.
+    # The chosen width derives from the corpus size (which the corpus
+    # files fingerprint), but the width TABLE itself -- the narrow/wide
+    # (bits, chunks) pairs and the threshold -- is code, and changing it
+    # must invalidate the artifact (review finding: the sibling
+    # fingerprints pin their shape params; this one initially didn't).
     return corpus_fingerprint(
         [os.path.join(sf_dir, "documents.parquet")],
         {"algo": "simhash-chunks",
-         "wide_threshold": SIMHASH_WIDE_THRESHOLD})
+         "wide_threshold": SIMHASH_WIDE_THRESHOLD,
+         "narrow": _simhash_width(0),
+         "wide": _simhash_width(SIMHASH_WIDE_THRESHOLD)})
 
 
 def _simhash_base(sf_dir: str) -> str:
@@ -676,34 +661,31 @@ def build_simhash_table(spark: SparkSession, sf_dir: str) -> str:
     behind the width choice to build time -- the query path neither
     re-hashes nor re-counts.  Same fingerprinted-marker idempotence as
     the band table / prefix index."""
-    from ..artifacts import marker_current, write_marker
+    from ..artifacts import ensure_parquet_artifact
 
-    base = _simhash_base(sf_dir)
-    done = os.path.join(base, "_BUILT")
-    fp = _simhash_fingerprint(sf_dir)
-    if marker_current(done, fp):
-        return base
-    docs = load_table(spark, sf_dir, "documents")
-    bits, n_chunks = _simhash_width(docs.count())
-    _chunk_table(simhash_signatures(docs, bits), bits, n_chunks) \
-        .write.mode("overwrite").parquet(os.path.join(base, "chunks"))
-    write_marker(done, fp)
-    return base
+    def derive():
+        docs = load_table(spark, sf_dir, "documents")
+        bits, n_chunks = _simhash_width(docs.count())
+        return _chunk_table(simhash_signatures(docs, bits), bits, n_chunks)
+
+    return ensure_parquet_artifact(
+        _simhash_base(sf_dir), "chunks", _simhash_fingerprint(sf_dir), derive)
 
 
 def corpus_simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus SimHash chunk table: artifact when current, else the
     inline derivation materialized once (:func:`_scoped_build`)."""
-    from ..artifacts import marker_current
+    from ..artifacts import parquet_artifact_or
 
-    base = _simhash_base(sf_dir)
-    if marker_current(os.path.join(base, "_BUILT"),
-                      _simhash_fingerprint(sf_dir)):
-        return spark.read.parquet(os.path.join(base, "chunks"))
-    docs = load_table(spark, sf_dir, "documents")
-    bits, n_chunks = _simhash_width(docs.count())
-    return _scoped_build(_chunk_table(simhash_signatures(docs, bits),
-                                      bits, n_chunks))
+    def fallback():
+        docs = load_table(spark, sf_dir, "documents")
+        bits, n_chunks = _simhash_width(docs.count())
+        return _scoped_build(_chunk_table(simhash_signatures(docs, bits),
+                                          bits, n_chunks))
+
+    return parquet_artifact_or(
+        spark, _simhash_base(sf_dir), "chunks", _simhash_fingerprint(sf_dir),
+        fallback)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -862,17 +844,11 @@ def build_cluster_table(spark: SparkSession, sf_dir: str) -> str:
     path, new content) or changed threshold forces a rebuild instead of
     silently serving stale clusters (ADVICE r3/r4).
     """
-    from ..artifacts import marker_current, write_marker
+    from ..artifacts import ensure_parquet_artifact
 
-    base = _cluster_base(sf_dir)
-    done = os.path.join(base, "_BUILT")
-    fp = _cluster_fingerprint(sf_dir)
-    if marker_current(done, fp):
-        return base
-    _compute_clusters(spark, sf_dir).write.mode("overwrite") \
-        .parquet(os.path.join(base, "clusters"))
-    write_marker(done, fp)
-    return base
+    return ensure_parquet_artifact(
+        _cluster_base(sf_dir), "clusters", _cluster_fingerprint(sf_dir),
+        lambda: _compute_clusters(spark, sf_dir))
 
 
 def _compute_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -906,12 +882,12 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     the build runs the same deterministic computation); otherwise
     computes inline.
     """
-    from ..artifacts import marker_current
+    from ..artifacts import parquet_artifact_or
 
-    base = _cluster_base(sf_dir)
-    if marker_current(os.path.join(base, "_BUILT"), _cluster_fingerprint(sf_dir)):
-        return spark.read.parquet(os.path.join(base, "clusters"))
-    return _compute_clusters(spark, sf_dir)
+    return parquet_artifact_or(
+        spark, _cluster_base(sf_dir), "clusters",
+        _cluster_fingerprint(sf_dir),
+        lambda: _compute_clusters(spark, sf_dir))
 
 
 _J_SQL = """CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)

@@ -290,12 +290,17 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     amax = F.array_max(F.transform(v, F.abs))
     scale = F.lit(127.0) / F.nullif(amax, F.lit(0.0))
     q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
+    # Empty-vector alignment: DuckDB's list_sum over [] is NULL while a
+    # fold with a 0 seed would be 0 -- gate the sum on non-emptiness so
+    # both engines emit an all-NULL summary for a dimensionless vector.
+    q_sum = F.when(
+        F.size("embedding") > 0,
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x))
     return emb.select(
         "vec_id", "label",
         F.size("embedding").alias("n_dims"),
         rnd(amax, 6).alias("amax"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x)
-        .alias("q_sum"),
+        q_sum.alias("q_sum"),
         F.array_min(q).alias("q_min"),
         F.array_max(q).alias("q_max"),
     )

@@ -93,10 +93,10 @@ LAST_ATTESTED: dict[str, int] = {
 # simhash-chunk artifacts behind q_dedup_minhash / q_dedup_simhash).
 # All are designed value-identical, but identical-by-design is exactly
 # what the driver window exists to attest -- each takes a slot.  Keys
-# absent from LAST_ATTESTED (the 26 mid-round-5 keys plus the 7
+# absent from LAST_ATTESTED (the 26 mid-round-5 keys plus the 8
 # late-round-5 keys: q_sessionize, q_sample_proportional,
 # q_export_shards, q_text_linededup, q_embed_quantize, q_agg_corr,
-# q_join_lateral) sort most-stale automatically.  At 127 keys the
+# q_join_lateral, q_mm_resize) sort most-stale automatically.  At 128 keys the
 # zero-stale set (TOUCHED + never-attested) fills the 50-slot window exactly
 # -- with the 44 r3-attested keys rotating in over the following
 # rounds; tests/test_oracle_parity.py remains the full-registry gate

@@ -103,7 +103,11 @@ def parse_kafka_transactions(raw: DataFrame) -> DataFrame:
     unique, totally ordered within a partition -- the production
     replacement for the driver-side max()+1 sequence (api.py scale
     note; Kafka only orders within a partition, so this is exactly the
-    ordering guarantee the source provides, no more).
+    ordering guarantee the source provides, no more).  The packing is
+    ``partition * 2^48 + offset`` with ``assert_true`` guards on both
+    fields -- 2^15 partitions x 2^48 offsets fills int64 exactly, and a
+    topic exceeding either bound fails loudly instead of silently
+    colliding sequences across partitions.
 
     Works identically on batch and streaming frames: every expression is
     a stateless projection, so the streaming query inherits the
@@ -117,9 +121,16 @@ def parse_kafka_transactions(raw: DataFrame) -> DataFrame:
         F.from_json(F.col("value").cast("string"),
                     TRANSACTION_JSON_SCHEMA).alias("t"),
     )
+    in_range = F.assert_true(
+        (F.col("partition") >= 0) & (F.col("partition") < F.lit(1 << 15))
+        & (F.col("offset") >= 0) & (F.col("offset") < F.lit(1 << 48)),
+        F.lit("ingest_seq packing overflow: partition >= 2^15 or "
+              "offset >= 2^48"))
     return parsed.select(
         "t.*",
-        (F.col("partition").cast("bigint") * F.lit(1 << 40) + F.col("offset"))
+        F.when(in_range.isNull(),
+               F.col("partition").cast("bigint") * F.lit(1 << 48)
+               + F.col("offset"))
         .alias("ingest_seq"),
         "broker_ts",
     )

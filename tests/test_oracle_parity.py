@@ -87,35 +87,134 @@ def test_hll_sketch_estimates_bounded_error_and_lossless_merge(spark, sf_dir):
 
 
 EXPECTED_KEYS = {
-    "q_agg_approx", "q_agg_collect", "q_agg_cube", "q_agg_distinct",
-    "q_agg_global", "q_agg_group", "q_agg_gsets", "q_agg_having",
-    "q_agg_hll", "q_agg_rollup", "q_agg_salted", "q_agg_stats", "q_cte",
-    "q_dedup", "q_dedup_cluster", "q_dedup_embed", "q_dedup_exact",
-    "q_dedup_fuzzy", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_prefix",
-    "q_dedup_simhash", "q_curate_budget", "q_dedup_incremental",
-    "q_merge_upsert", "q_funnel", "q_retention", "q_profile", "q_anomaly",
-    "q_embed_stats", "q_except",
-    "q_filter_compound", "q_filter_null", "q_filter_range", "q_fn_array",
-    "q_fn_cond", "q_fn_date", "q_fn_decimal", "q_fn_json", "q_fn_map",
-    "q_fn_math", "q_fn_string", "q_ingest_feed", "q_ingest_json",
-    "q_intersect", "q_join_anti", "q_join_asof", "q_join_asof_fwd",
-    "q_join_broadcast", "q_join_full", "q_join_inner", "q_join_interval",
-    "q_join_left", "q_join_multiway", "q_join_salted", "q_join_semi",
-    "q_join_theta", "q_mm_features", "q_mm_meta", "q_pack_sequences",
-    "q_pipeline_curate", "q_pivot",
-    "q_point_lookup", "q_project_compute", "q_sample_hash",
-    "q_sample_weighted", "q_text_perplexity",
-    "q_sample_stratified", "q_scan_all", "q_scan_prune",
-    "q_sim_cosine", "q_sim_ivf", "q_sim_knn_per_label", "q_sim_lsh",
-    "q_sort_multi", "q_stream_distinct", "q_stream_flag", "q_stream_session",
+    "q_agg_approx",
+    "q_agg_approx_quantile",
+    "q_agg_collect",
+    "q_agg_corr",
+    "q_agg_cube",
+    "q_agg_distinct",
+    "q_agg_global",
+    "q_agg_group",
+    "q_agg_gsets",
+    "q_agg_having",
+    "q_agg_histogram",
+    "q_agg_hll",
+    "q_agg_mode",
+    "q_agg_rollup",
+    "q_agg_salted",
+    "q_agg_stats",
+    "q_anomaly",
+    "q_cte",
+    "q_cte_recursive",
+    "q_curate_budget",
+    "q_dedup",
+    "q_dedup_cluster",
+    "q_dedup_embed",
+    "q_dedup_exact",
+    "q_dedup_fuzzy",
+    "q_dedup_incremental",
+    "q_dedup_minhash",
+    "q_dedup_ngram",
+    "q_dedup_prefix",
+    "q_dedup_simhash",
+    "q_dq_checks",
+    "q_embed_quantize",
+    "q_embed_stats",
+    "q_except",
+    "q_export_shards",
+    "q_filter_compound",
+    "q_filter_null",
+    "q_filter_range",
+    "q_fn_array",
+    "q_fn_cond",
+    "q_fn_date",
+    "q_fn_decimal",
+    "q_fn_json",
+    "q_fn_map",
+    "q_fn_math",
+    "q_fn_string",
+    "q_fn_try",
+    "q_funnel",
+    "q_ingest_feed",
+    "q_ingest_json",
+    "q_intersect",
+    "q_join_anti",
+    "q_join_asof",
+    "q_join_asof_fwd",
+    "q_join_broadcast",
+    "q_join_full",
+    "q_join_inner",
+    "q_join_interval",
+    "q_join_lateral",
+    "q_join_left",
+    "q_join_multiway",
+    "q_join_salted",
+    "q_join_semi",
+    "q_join_theta",
+    "q_layout_zorder",
+    "q_merge_upsert",
+    "q_mm_decode",
+    "q_mm_features",
+    "q_mm_frames",
+    "q_mm_meta",
+    "q_mm_resize",
+    "q_pack_sequences",
+    "q_pipeline_curate",
+    "q_pivot",
+    "q_point_lookup",
+    "q_profile",
+    "q_project_compute",
+    "q_retention",
+    "q_sample_hash",
+    "q_sample_proportional",
+    "q_sample_stratified",
+    "q_sample_weighted",
+    "q_scan_all",
+    "q_scan_prune",
+    "q_scd2",
+    "q_sessionize",
+    "q_sim_cosine",
+    "q_sim_ivf",
+    "q_sim_knn_per_label",
+    "q_sim_lsh",
+    "q_sort_multi",
+    "q_stream_distinct",
+    "q_stream_flag",
+    "q_stream_join",
+    "q_stream_join_agg",
+    "q_stream_session",
     "q_stream_sliding",
-    "q_stream_state", "q_stream_topk", "q_stream_tumbling", "q_subquery_in",
-    "q_subquery_scalar", "q_text_decontam", "q_text_fingerprint",
-    "q_text_langid", "q_text_pii", "q_text_quality", "q_text_repetition",
+    "q_stream_state",
+    "q_stream_topk",
+    "q_stream_tumbling",
+    "q_subquery_in",
+    "q_subquery_scalar",
+    "q_text_bpe_pairs",
+    "q_text_decontam",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_linededup",
+    "q_text_perplexity",
+    "q_text_pii",
+    "q_text_quality",
+    "q_text_repetition",
     "q_text_stats",
-    "q_text_tfidf", "q_text_tokencount", "q_text_tokens",
-    "q_topk", "q_topk_per_group", "q_union", "q_unpivot", "q_win_frame",
-    "q_win_lag", "q_win_ntile", "q_win_range", "q_win_rank",
+    "q_text_tfidf",
+    "q_text_tokencount",
+    "q_text_tokens",
+    "q_topk",
+    "q_topk_per_group",
+    "q_ts_resample",
+    "q_udaf_centsum",
+    "q_udtf_gaps",
+    "q_union",
+    "q_unpivot",
+    "q_win_frame",
+    "q_win_lag",
+    "q_win_ntile",
+    "q_win_range",
+    "q_win_rank",
+    "q_win_timerange",
 }
 
 

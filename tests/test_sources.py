@@ -235,3 +235,10 @@ def test_kafka_wire_parse_without_broker(spark, tmp_path_factory):
     got = {r.transaction_id: r.ingest_seq
            for r in spark.sql("SELECT * FROM t_kafka_wire").collect()}
     assert got == {r.transaction_id: r.ingest_seq for r in out.collect()}
+
+    # the ingest_seq packing must fail loudly past its bounds, never
+    # silently collide across partitions
+    bad = spark.createDataFrame(
+        [(None, b"{}", "tx", 0, 1 << 48, ts, 0)], registry.KAFKA_WIRE_SCHEMA)
+    with pytest.raises(Exception, match="overflow"):
+        registry.parse_kafka_transactions(bad).collect()
