@@ -291,11 +291,14 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = F.lit(127.0) / F.nullif(amax, F.lit(0.0))
     q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
     # Empty-vector alignment: DuckDB's list_sum over [] is NULL while a
-    # fold with a 0 seed would be 0 -- gate the sum on non-emptiness so
-    # both engines emit an all-NULL summary for a dimensionless vector.
-    q_sum = F.when(
-        F.size("embedding") > 0,
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x))
+    # fold with a 0 seed would be 0 -- a NULL seed with coalesce inside
+    # the fold yields NULL for [] and the plain sum otherwise.  (The
+    # when(size>0, aggregate) form is semantically identical but wraps
+    # the fold in a CaseWhen that falls out of codegen -- measured 6x
+    # slower at sf0.1.)
+    q_sum = F.aggregate(
+        q, F.lit(None).cast("long"),
+        lambda a, x: F.coalesce(a, F.lit(0).cast("long")) + x)
     return emb.select(
         "vec_id", "label",
         F.size("embedding").alias("n_dims"),
