@@ -663,3 +663,30 @@ def test_pgm_decoder_parses_real_netpbm(spark, sf_dir):
     fake = {r.doc_id: (r.width, r.height, r.mean_px)
             for r in multimodal.q_mm_features(spark, sf_dir).collect()}
     assert dec == fake and len(dec) > 0
+
+
+def test_build_corpus_artifacts_builds_all_and_is_idempotent(spark, sf_dir,
+                                                             tmp_path):
+    """The one-call warm-up must cover every artifact family and no-op
+    on a second call (markers current)."""
+    import os
+    import shutil
+
+    from financialtransactionmonitoringsystem_spark.artifacts import (
+        build_corpus_artifacts, corpus_builders)
+
+    corpus = tmp_path / "sf_api"
+    corpus.mkdir()
+    for t in ("documents", "embeddings"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", corpus / f"{t}.parquet")
+
+    out = build_corpus_artifacts(spark, str(corpus))
+    assert set(out) == set(corpus_builders())
+    for base in out.values():
+        assert os.path.exists(os.path.join(base, "_BUILT")), base
+    mtimes = {n: os.path.getmtime(os.path.join(b, "_BUILT"))
+              for n, b in out.items()}
+    again = build_corpus_artifacts(spark, str(corpus))
+    assert again == out
+    for n, b in again.items():
+        assert os.path.getmtime(os.path.join(b, "_BUILT")) == mtimes[n], n
