@@ -101,6 +101,12 @@ def _tokens_fingerprint(sf_dir: str) -> str:
         {"algo": "xxhash64-token-sets"})
 
 
+def _tok_base(sf_dir: str) -> str:
+    return os.path.normpath(os.path.join(
+        _CLUSTER_ROOT, "..", "tok_sets",
+        re.sub(r"\W+", "_", sf_dir.strip("/"))))
+
+
 def build_token_table(spark: SparkSession, sf_dir: str) -> str:
     """Build and PERSIST the corpus token-set table (doc_id, lang,
     toks[bigint], n_toks): tokenization is a property of the corpus, not
@@ -111,10 +117,8 @@ def build_token_table(spark: SparkSession, sf_dir: str) -> str:
     idempotence as the IVF index / cluster table (ADVICE r3/r4)."""
     from ..artifacts import ensure_parquet_artifact
 
-    base = os.path.join(_CLUSTER_ROOT, "..", "tok_sets",
-                        re.sub(r"\W+", "_", sf_dir.strip("/")))
     return ensure_parquet_artifact(
-        os.path.normpath(base), "tok_sets", _tokens_fingerprint(sf_dir),
+        _tok_base(sf_dir), "tok_sets", _tokens_fingerprint(sf_dir),
         lambda: _tok_sets(load_table(spark, sf_dir, "documents")))
 
 
@@ -125,11 +129,8 @@ def corpus_tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     build persists exactly the inline computation)."""
     from ..artifacts import parquet_artifact_or
 
-    base = os.path.normpath(os.path.join(
-        _CLUSTER_ROOT, "..", "tok_sets",
-        re.sub(r"\W+", "_", sf_dir.strip("/"))))
     return parquet_artifact_or(
-        spark, base, "tok_sets", _tokens_fingerprint(sf_dir),
+        spark, _tok_base(sf_dir), "tok_sets", _tokens_fingerprint(sf_dir),
         lambda: _tok_sets(load_table(spark, sf_dir, "documents")))
 
 

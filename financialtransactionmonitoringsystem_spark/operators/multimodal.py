@@ -195,19 +195,24 @@ def _make_resize_pgm():
 
         def parse_px(raw: bytes):
             # header is the fixed PGM_HEADER for these files; parse it
-            # anyway so foreign 4x4 P5 bytes work too
+            # anyway so foreign 4x4 P5 bytes work too.  Every scan is
+            # bounds-checked: a truncated header must RAISE, not spin
+            # (b''.isspace() is False, so an unguarded token scan runs
+            # off the end forever -- review finding).
             if raw[:2] != b"P5":
                 raise ValueError("not a P5 PGM")
-            vals, i = [], 2
+            vals, i, n = [], 2, len(raw)
             while len(vals) < 3:
-                while raw[i:i + 1].isspace():
+                while i < n and raw[i:i + 1].isspace():
                     i += 1
+                if i >= n:
+                    raise ValueError("truncated PGM header")
                 if raw[i:i + 1] == b"#":
-                    while raw[i:i + 1] != b"\n":
+                    while i < n and raw[i:i + 1] != b"\n":
                         i += 1
                     continue
                 j = i
-                while not raw[j:j + 1].isspace():
+                while j < n and not raw[j:j + 1].isspace():
                     j += 1
                 vals.append(int(raw[i:j]))
                 i = j
@@ -215,7 +220,10 @@ def _make_resize_pgm():
             w, h, _ = vals
             if (w, h) != (4, 4):
                 raise ValueError("resize demo expects 4x4 input")
-            return raw[i:i + 16]
+            px = raw[i:i + 16]
+            if len(px) != 16:
+                raise ValueError("truncated pixel data")
+            return px
 
         def box(b):
             return [b[8 * r + 2 * c] + b[8 * r + 2 * c + 1]
@@ -292,9 +300,15 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_pgm_content(docs).mapInPandas(resize_pgm, RESIZE_SCHEMA)
 
 
-# DuckDB twin of the digest-byte lookup: byte k of md5(text) as an int.
+# DuckDB twin of the digest-byte lookup: byte {k} of md5(text) as an
+# int.  {k} may be a literal or a SQL lambda variable -- EVERY mm oracle
+# derives its pixel bytes through this one expression (review finding:
+# it was previously inlined in three places).
 _MDBYTE = ("((strpos('0123456789abcdef', substr(h, ({k})*2 + 1, 1)) - 1) * 16"
            " + (strpos('0123456789abcdef', substr(h, ({k})*2 + 2, 1)) - 1))")
+
+
+mdbyte_i = _MDBYTE.format(k="i")  # the SQL lambda-variable instantiation
 
 
 def _box_sql(r: int, c: int) -> str:
@@ -319,7 +333,7 @@ ORACLES: dict[str, str] = {
     # rows-only to hash-match).  mean_px: int sum <= 4080, /16 is exact in
     # double, then one IEEE division by 255 -- bit-identical both engines.
     # 2.55e2 (not 255.0): bare decimals parse as DECIMAL in DuckDB.
-    "q_mm_features": """
+    "q_mm_features": f"""
         WITH b AS (
           SELECT doc_id, md5(text) AS h,
                  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
@@ -329,35 +343,31 @@ ORACLES: dict[str, str] = {
                CAST(4 AS INTEGER) AS width,
                CAST(4 AS INTEGER) AS height,
                n_bytes,
-               CAST(list_reduce(list_transform(range(0, 16), i ->
-                     (strpos('0123456789abcdef', substr(h, i*2 + 1, 1)) - 1) * 16
-                   + (strpos('0123456789abcdef', substr(h, i*2 + 2, 1)) - 1)),
+               CAST(list_reduce(list_transform(range(0, 16),
+                     i -> {mdbyte_i}),
                    (x, y) -> x + y) AS DOUBLE) / 16 / 2.55e2 AS mean_px
         FROM b
     """,
     # 1->N fanout: frames are digest bytes 0, 5, 10, 15; each frame_px is
     # one byte / 255 (single IEEE division -- bit-identical both engines).
-    "q_mm_frames": """
+    "q_mm_frames": f"""
         WITH b AS (SELECT doc_id, md5(text) AS h FROM documents)
         SELECT doc_id,
                CAST(i AS INTEGER) AS frame_idx,
-               CAST((strpos('0123456789abcdef', substr(h, i*2 + 1, 1)) - 1) * 16
-                  + (strpos('0123456789abcdef', substr(h, i*2 + 2, 1)) - 1)
-                  AS DOUBLE) / 2.55e2 AS frame_px
+               CAST({mdbyte_i} AS DOUBLE) / 2.55e2 AS frame_px
         FROM b, unnest([0, 5, 10, 15]) AS t(i)
     """,
     # Same digest arithmetic as q_mm_features, but over the real PGM
     # bytes: n_bytes = 11-byte header + 16 pixels = 27, and mean_px is
     # the parsed pixel mean (digest sum / 16 / maxval).
-    "q_mm_decode": """
+    "q_mm_decode": f"""
         WITH b AS (SELECT doc_id, md5(text) AS h FROM documents)
         SELECT doc_id,
                CAST(4 AS INTEGER) AS width,
                CAST(4 AS INTEGER) AS height,
                CAST(27 AS INTEGER) AS n_bytes,
-               CAST(list_reduce(list_transform(range(0, 16), i ->
-                     (strpos('0123456789abcdef', substr(h, i*2 + 1, 1)) - 1) * 16
-                   + (strpos('0123456789abcdef', substr(h, i*2 + 2, 1)) - 1)),
+               CAST(list_reduce(list_transform(range(0, 16),
+                     i -> {mdbyte_i}),
                    (x, y) -> x + y) AS DOUBLE) / 16 / 2.55e2 AS mean_px
         FROM b
     """,

@@ -290,15 +290,16 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     amax = F.array_max(F.transform(v, F.abs))
     scale = F.lit(127.0) / F.nullif(amax, F.lit(0.0))
     q = F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"))
-    # Empty-vector alignment: DuckDB's list_sum over [] is NULL while a
-    # fold with a 0 seed would be 0 -- a NULL seed with coalesce inside
-    # the fold yields NULL for [] and the plain sum otherwise.  (The
-    # when(size>0, aggregate) form is semantically identical but wraps
-    # the fold in a CaseWhen that falls out of codegen -- measured 6x
-    # slower at sf0.1.)
+    # Exact SUM semantics in one fold, matching DuckDB's list_sum on
+    # every edge: [] -> NULL (NULL seed), NULL elements are skipped not
+    # absorbed ([1, NULL, 3] -> 4), all-NULL -> NULL.  coalesce(a+x, a,
+    # x) is SQL SUM's accumulator: keep the sum when both sides exist,
+    # else whichever exists.  (A when(size>0, aggregate) wrapper has the
+    # same [] behavior but falls out of codegen -- measured 6x slower;
+    # and a coalesce(a,0)+x fold silently RESETS after a NULL element.)
     q_sum = F.aggregate(
         q, F.lit(None).cast("long"),
-        lambda a, x: F.coalesce(a, F.lit(0).cast("long")) + x)
+        lambda a, x: F.coalesce(a + x, a, x))
     return emb.select(
         "vec_id", "label",
         F.size("embedding").alias("n_dims"),

@@ -114,26 +114,33 @@ def parse_kafka_transactions(raw: DataFrame) -> DataFrame:
     connector's micro-batch boundaries untouched.
     """
     from ..schemas import TRANSACTION_JSON_SCHEMA
+    from .json_ingest import with_derived
 
     parsed = raw.select(
         F.col("partition"), F.col("offset"),
         F.col("timestamp").alias("broker_ts"),
         F.from_json(F.col("value").cast("string"),
                     TRANSACTION_JSON_SCHEMA).alias("t"),
-    )
-    in_range = F.assert_true(
-        (F.col("partition") >= 0) & (F.col("partition") < F.lit(1 << 15))
-        & (F.col("offset") >= 0) & (F.col("offset") < F.lit(1 << 48)),
+    ).select("t.*", "partition", "offset", "broker_ts")
+    # NULL partition/offset (a hand-built frame; the connector never
+    # emits them) degrades to a NULL ingest_seq -- the same
+    # row-preserving policy as a malformed value -- while a NON-NULL
+    # field outside the packing bounds fails loudly (assert_true raises
+    # on false; the isNull arms make NULL fields pass the assert).
+    ok = F.assert_true(
+        F.col("partition").isNull() | F.col("offset").isNull()
+        | ((F.col("partition") >= 0) & (F.col("partition") < F.lit(1 << 15))
+           & (F.col("offset") >= 0) & (F.col("offset") < F.lit(1 << 48))),
         F.lit("ingest_seq packing overflow: partition >= 2^15 or "
               "offset >= 2^48"))
-    return parsed.select(
-        "t.*",
-        F.when(in_range.isNull(),
-               F.col("partition").cast("bigint") * F.lit(1 << 48)
-               + F.col("offset"))
-        .alias("ingest_seq"),
-        "broker_ts",
-    )
+    seq = F.when(
+        ok.isNull() & F.col("partition").isNotNull()
+        & F.col("offset").isNotNull(),
+        F.col("partition").cast("bigint") * F.lit(1 << 48) + F.col("offset"))
+    # shared canonical derivation (metadata_json, event-time ts) so the
+    # Kafka route lands on the same table schema as every other ingest
+    # path -- with the source's real ordering key as ingest_seq.
+    return with_derived(parsed, ingest_seq=seq).drop("partition", "offset")
 
 
 def read_jdbc(spark: SparkSession, url: str, table: str, **options) -> DataFrame:

@@ -346,8 +346,23 @@ def test_cluster_table_probe_path_skips_recompute(spark, sf_dir, monkeypatch):
     assert probed == inline and probed
 
 
+def _artifact_bases(sf):
+    """Every on-disk artifact base for a corpus path (cleanup helper:
+    test corpora live in throwaway tmp dirs, but their artifacts land
+    under the repo spark-warehouse keyed by the tmp path's slug and
+    would otherwise accumulate forever -- review finding)."""
+    import os
+    import re as _re
+
+    slug = _re.sub(r"\W+", "_", sf.strip("/"))
+    return [dedup._cluster_base(sf), dedup._tok_base(sf),
+            dedup._prefix_base(sf), dedup._band_base(sf),
+            dedup._simhash_base(sf),
+            os.path.join(similarity._IVF_ROOT, slug)]
+
+
 def test_artifact_fingerprint_detects_stale_corpus(spark, sf_dir, tmp_path,
-                                                   monkeypatch):
+                                                   monkeypatch, request):
     """ADVICE r3/r4: a _BUILT marker with no fingerprint serves stale
     artifacts after the corpus regenerates at the same path.  With a
     private corpus copy: build once; an unchanged corpus must NOT
@@ -360,6 +375,8 @@ def test_artifact_fingerprint_detects_stale_corpus(spark, sf_dir, tmp_path,
     for t in ("documents", "embeddings"):
         shutil.copy(f"{sf_dir}/{t}.parquet", corpus / f"{t}.parquet")
     sf = str(corpus)
+    request.addfinalizer(lambda: [
+        shutil.rmtree(b, ignore_errors=True) for b in _artifact_bases(sf)])
 
     # --- cluster table ---
     dedup.build_cluster_table(spark, sf)
@@ -666,7 +683,8 @@ def test_pgm_decoder_parses_real_netpbm(spark, sf_dir):
 
 
 def test_build_corpus_artifacts_builds_all_and_is_idempotent(spark, sf_dir,
-                                                             tmp_path):
+                                                             tmp_path,
+                                                             request):
     """The one-call warm-up must cover every artifact family and no-op
     on a second call (markers current)."""
     import os
@@ -679,6 +697,9 @@ def test_build_corpus_artifacts_builds_all_and_is_idempotent(spark, sf_dir,
     corpus.mkdir()
     for t in ("documents", "embeddings"):
         shutil.copy(f"{sf_dir}/{t}.parquet", corpus / f"{t}.parquet")
+    request.addfinalizer(lambda: [
+        shutil.rmtree(b, ignore_errors=True)
+        for b in _artifact_bases(str(corpus))])
 
     out = build_corpus_artifacts(spark, str(corpus))
     assert set(out) == set(corpus_builders())

@@ -220,8 +220,19 @@ def test_kafka_wire_parse_without_broker(spark, tmp_path_factory):
     assert rows["t-1"].user_id == 1001 and rows["t-1"].currency == "USD"
     assert rows["t-2"].amount == 3.25
     assert None in rows  # malformed value -> NULL fields, row preserved
+    # canonical derived columns (same schema as every other ingest path)
+    assert rows["t-1"].metadata_json == '{"merchant":"Amazon"}'
+    assert rows["t-1"].ts is not None and rows["t-1"].ts.year == 2025
     seqs = sorted((r.ingest_seq, r.transaction_id) for r in out.collect())
     assert [t for _, t in seqs] == ["t-1", "t-2", None]  # (partition, offset)
+
+    # NULL partition/offset (hand-built frame): row preserved with a
+    # NULL ingest_seq, same policy as a malformed value
+    nullp = spark.createDataFrame(
+        [(None, bodies[0][2], "tx", None, None, ts, 0)],
+        registry.KAFKA_WIRE_SCHEMA)
+    r0 = registry.parse_kafka_transactions(nullp).collect()[0]
+    assert r0.transaction_id == "t-1" and r0.ingest_seq is None
 
     # streaming path: same schema from a file stream, same results
     src = tmp_path_factory.mktemp("kafka_wire")
