@@ -43,18 +43,34 @@ for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
 # authoritative full-registry gate regardless of window position, and
 # test_window_rotation pins that every stale key actually fits the window.
 LAST_ATTESTED: dict[str, int] = {
-    # round 4 window (CORRECTNESS_r04.json: 48 hash-green + 2 no_oracle
-    # rows-only verdicts, all 50 attested)
+    # round 5 window (CORRECTNESS_r05.json: 46 hash-green + 4 no_oracle
+    # rows-only verdicts, all 50 attested, zero errors)
+    **{k: 5 for k in (
+        "q_agg_approx_quantile", "q_agg_corr", "q_agg_histogram",
+        "q_agg_mode", "q_anomaly", "q_cte_recursive", "q_curate_budget",
+        "q_dedup_cluster", "q_dedup_embed", "q_dedup_incremental",
+        "q_dedup_minhash", "q_dedup_ngram", "q_dedup_prefix",
+        "q_dedup_simhash", "q_dq_checks", "q_embed_quantize",
+        "q_export_shards", "q_fn_try", "q_funnel", "q_join_lateral",
+        "q_layout_zorder", "q_merge_upsert", "q_mm_decode",
+        "q_mm_features", "q_mm_frames", "q_mm_meta", "q_mm_resize",
+        "q_pack_sequences", "q_profile", "q_retention",
+        "q_sample_proportional", "q_sample_weighted", "q_scd2",
+        "q_sessionize", "q_sim_cosine", "q_sim_ivf",
+        "q_sim_knn_per_label", "q_sim_lsh", "q_stream_join",
+        "q_stream_join_agg", "q_text_bpe_pairs", "q_text_decontam",
+        "q_text_linededup", "q_text_perplexity", "q_text_repetition",
+        "q_text_tfidf", "q_ts_resample", "q_udaf_centsum",
+        "q_udtf_gaps", "q_win_timerange",
+    )},
+    # round 4 window remainder (CORRECTNESS_r04.json minus r5 re-attests)
     **{k: 4 for k in (
         "q_agg_approx", "q_agg_group", "q_agg_rollup", "q_agg_salted",
-        "q_agg_stats", "q_cte", "q_dedup", "q_dedup_cluster",
-        "q_dedup_exact", "q_dedup_ngram", "q_dedup_simhash",
+        "q_agg_stats", "q_cte", "q_dedup", "q_dedup_exact",
         "q_filter_range", "q_fn_array", "q_fn_date", "q_fn_json",
         "q_ingest_feed", "q_join_asof", "q_join_inner",
         "q_join_interval", "q_join_multiway", "q_join_salted",
-        "q_mm_features", "q_mm_meta", "q_pack_sequences",
-        "q_pipeline_curate", "q_pivot", "q_scan_all", "q_sim_cosine",
-        "q_sim_knn_per_label", "q_sim_lsh", "q_stream_flag",
+        "q_pipeline_curate", "q_pivot", "q_scan_all", "q_stream_flag",
         "q_stream_session", "q_stream_sliding", "q_stream_state",
         "q_stream_topk", "q_stream_tumbling", "q_subquery_in",
         "q_subquery_scalar", "q_text_fingerprint", "q_text_langid",
@@ -62,56 +78,29 @@ LAST_ATTESTED: dict[str, int] = {
         "q_text_tokens", "q_topk_per_group", "q_union", "q_unpivot",
         "q_win_frame", "q_win_range", "q_win_rank",
     )},
-    # round 3 window remainder (CORRECTNESS_r03.json); no verdict since
+    # round 3 window remainder (CORRECTNESS_r03.json); no verdict since --
+    # these 37 keys ARE the round-6 window (37 + round-6 TOUCHED <= 50)
     **{k: 3 for k in (
         "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_global",
-        "q_agg_gsets", "q_agg_having", "q_agg_hll", "q_dedup_embed",
-        "q_dedup_fuzzy", "q_dedup_minhash", "q_dedup_prefix",
+        "q_agg_gsets", "q_agg_having", "q_agg_hll", "q_dedup_fuzzy",
         "q_embed_stats", "q_except", "q_filter_compound",
         "q_filter_null", "q_fn_cond", "q_fn_decimal", "q_fn_map",
         "q_fn_math", "q_fn_string", "q_ingest_json", "q_intersect",
         "q_join_anti", "q_join_asof_fwd", "q_join_broadcast",
         "q_join_full", "q_join_left", "q_join_semi", "q_join_theta",
         "q_point_lookup", "q_project_compute", "q_sample_hash",
-        "q_sample_stratified", "q_scan_prune", "q_sim_ivf",
-        "q_sort_multi", "q_stream_distinct", "q_text_decontam",
-        "q_text_pii", "q_text_repetition", "q_text_tfidf", "q_topk",
+        "q_sample_stratified", "q_scan_prune", "q_sort_multi",
+        "q_stream_distinct", "q_text_pii", "q_topk",
         "q_win_lag", "q_win_ntile",
     )},
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  Round-5 touches, in order: the mid-round rewrites
-# (pack_sequences range-partitioned scale form; adaptive simhash width;
-# mm worker self-containment; artifact fingerprinting; norm hoisting in
-# the similarity family; hashed decontam grams; xxhash64 token
-# fingerprints feeding the whole dedup verify family) and the
-# late-round perf pass (_wordgrams rewritten as a zip_with chain;
-# _scoped_build materializations in tfidf / linededup / ts_resample /
-# the ranged running sum behind pack_sequences+curate_budget+
-# export_shards+sample_proportional; persisted band-table and
-# simhash-chunk artifacts behind q_dedup_minhash / q_dedup_simhash).
-# All are designed value-identical, but identical-by-design is exactly
-# what the driver window exists to attest -- each takes a slot.  Keys
-# absent from LAST_ATTESTED (the 26 mid-round-5 keys plus the 8
-# late-round-5 keys: q_sessionize, q_sample_proportional,
-# q_export_shards, q_text_linededup, q_embed_quantize, q_agg_corr,
-# q_join_lateral, q_mm_resize) sort most-stale automatically.  At 128 keys the
-# zero-stale set (TOUCHED + never-attested) fills the 50-slot window exactly
-# -- with the 44 r3-attested keys rotating in over the following
-# rounds; tests/test_oracle_parity.py remains the full-registry gate
-# every round regardless.
-TOUCHED = (
-    "q_pack_sequences", "q_dedup_simhash", "q_mm_features", "q_mm_meta",
-    "q_dedup_cluster", "q_sim_cosine", "q_sim_knn_per_label", "q_sim_lsh",
-    "q_sim_ivf", "q_dedup_embed", "q_text_decontam",
-    "q_dedup_ngram", "q_dedup_prefix", "q_dedup_minhash",
-    "q_dedup_incremental",
-    # _wordgrams rewritten as a zip_with chain (designed byte-identical;
-    # re-attest the keys that evaluate it)
-    "q_text_bpe_pairs", "q_text_repetition", "q_text_tfidf",
-    "q_text_linededup", "q_ts_resample",
-)
+# history.  All round-5 touches received green r5 verdicts and were
+# transcribed above; TOUCHED restarts empty each round and accumulates as
+# round-6 changes land.  Budget: 37 r3-stale keys + len(TOUCHED) must stay
+# <= the ~50-slot driver window.
+TOUCHED: tuple[str, ...] = ()
 
 # Among equally-stale keys, spread families across the window edge instead of
 # alphabetical clumping; anything unlisted tiebreaks alphabetically after.

@@ -224,10 +224,12 @@ def test_window_rotation():
     metadata must resolve in the registry (a typo would silently backfill
     the window), and every key needing a fresh driver verdict -- new,
     touched, or oldest-attested -- must land inside the observed ~50-key
-    window.  With 97 keys the stale set can exceed 50 by a bounded
-    remainder; overflow is only legal from the oldest-attested cohort
-    (never a new or touched key), and the 50 slots must all be spent on
-    stale keys (no fresh key occupying a slot a stale key needs)."""
+    window.  With 128 keys the stale set can exceed 50 by a bounded
+    remainder; since slots fill oldest-attestation-first, overflow is
+    only legal from the LEAST-stale attested cohort (never a new or
+    touched key, and never while a staler cohort holds a slot), and the
+    50 slots must all be spent on stale keys (no fresh key occupying a
+    slot a stale key needs)."""
     keys = set(ALL)
     for name, named in (("LAST_ATTESTED", set(registry.LAST_ATTESTED)),
                         ("TOUCHED", set(registry.TOUCHED)),
@@ -247,12 +249,12 @@ def test_window_rotation():
         f"new/touched keys fell outside the 50-key window: "
         f"{sorted(priority & missed)}")
     if missed:
-        oldest = min(registry.LAST_ATTESTED[k] for k in stale - priority)
-        not_oldest = {k for k in missed
-                      if registry.LAST_ATTESTED.get(k) != oldest}
-        assert not not_oldest, (
-            f"window overflow must come only from the round-{oldest} "
-            f"cohort, got: {sorted(not_oldest)}")
+        least_stale = max(registry.LAST_ATTESTED[k] for k in stale - priority)
+        not_least = {k for k in missed
+                     if registry.LAST_ATTESTED.get(k) != least_stale}
+        assert not not_least, (
+            f"window overflow must come only from the round-{least_stale} "
+            f"cohort, got: {sorted(not_least)}")
         assert window <= stale, (
             "window holds fresh keys while stale keys overflow: "
             f"{sorted(window - stale)}")
