@@ -302,19 +302,52 @@ def _prefix_probe(index: DataFrame, probe: DataFrame,
     )
 
 
+# Materialization mode for _scoped_build.  "local" (default) =
+# localCheckpoint: blocks live on executors only -- fastest on local[*]
+# (measured 3-6.5x vs recompute) but NOT fault-tolerant; losing an
+# executor mid-job on a preemptible cluster kills the query
+# unrecoverably.  "reliable" = checkpoint() into the engine checkpoint
+# dir (HDFS/object store on a cluster): survives executor loss at the
+# cost of a write+read round-trip -- the production setting for 100 TB
+# runs (VERDICT r5 #2).
+SCOPED_BUILD_MODE_CONF = "spark.fintxmon.scopedBuild.mode"
+
+_CHECKPOINT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse", "_checkpoints")
+
+
 def _scoped_build(build_side: DataFrame) -> DataFrame:
-    """Materialize a self-join's build table ONCE via an eager
-    ``localCheckpoint`` -- the scoped replacement for the old unscoped
-    ``persist`` (VERDICT r4 #5).  The self-join's two sides then read
-    the same blocks instead of recomputing the derivation pipeline per
-    side (measured 3x slower end-to-end at sf0.1 without any reuse),
-    the downstream join/verify stays lazy and fuses into the caller's
-    single action, and nothing registers in the DataFrame cache
-    manager: checkpoint blocks are reference-tracked and reclaimed by
-    the ContextCleaner when the frame goes out of scope.  Build tables
-    here are O(|docs| * prefix/band/chunk factor) -- derived, bounded,
-    and orders of magnitude smaller than the exploded intermediates
-    that produce them."""
+    """Materialize a self-join's build table ONCE -- the scoped
+    replacement for the old unscoped ``persist`` (VERDICT r4 #5).  The
+    self-join's two sides then read the same blocks instead of
+    recomputing the derivation pipeline per side (measured 3x slower
+    end-to-end at sf0.1 without any reuse), the downstream join/verify
+    stays lazy and fuses into the caller's single action, and nothing
+    registers in the DataFrame cache manager.  Build tables here are
+    O(|docs| * prefix/band/chunk factor) -- derived, bounded, and orders
+    of magnitude smaller than the exploded intermediates that produce
+    them.
+
+    Mode (``spark.fintxmon.scopedBuild.mode``):
+
+    * ``local`` (default): eager ``localCheckpoint`` -- blocks are
+      reference-tracked and reclaimed by the ContextCleaner when the
+      frame goes out of scope.  Right on local[*] and on clusters
+      without preemption.
+    * ``reliable``: eager ``checkpoint()`` to the session checkpoint
+      dir (set it to durable storage on a cluster; defaults to the
+      engine's ``spark-warehouse/_checkpoints`` when unset).  Survives
+      executor loss; enable
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` so
+      out-of-scope checkpoint files are garbage-collected.
+    """
+    spark = build_side.sparkSession
+    if spark.conf.get(SCOPED_BUILD_MODE_CONF, "local") == "reliable":
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(_CHECKPOINT_DIR)
+        return build_side.checkpoint(eager=True)
     return build_side.localCheckpoint(eager=True)
 
 
@@ -773,21 +806,25 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     instead of returning silently-wrong labels.  The change count that
     drives termination is the only driver-side value.
 
-    Iterative lineage MUST be truncated with ``localCheckpoint``, not
+    Iterative lineage MUST be truncated with a checkpoint, not
     ``persist``: a persisted frame still carries the full logical plan,
     which nests one level deeper per iteration -- by ~10 rounds merely
     *rendering* that plan (explainString) OOMs a default-1g driver, long
     before any executor runs out.  Checkpointed labels are a few rows per
-    node; the cost per round is one small materialization.
+    node; the cost per round is one small materialization.  Truncation
+    goes through :func:`_scoped_build` so the reliable mode
+    (``spark.fintxmon.scopedBuild.mode=reliable``) also covers the
+    iterative state here -- an executor lost in round k of a cluster
+    build otherwise restarts the whole build.
     """
     fwd = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # Checkpoint the undirected edge table up front: every iteration (and
     # its convergence count) re-reads it, and without it each pass
     # recomputes the full upstream candidate join.
-    und = fwd.union(
-        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))).localCheckpoint()
-    labels = (und.select(F.col("u").alias("id")).distinct()
-              .withColumn("comp", F.col("id")).localCheckpoint())
+    und = _scoped_build(fwd.union(
+        fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    labels = _scoped_build(und.select(F.col("u").alias("id")).distinct()
+                           .withColumn("comp", F.col("id")))
     for _ in range(max_iter):
         neigh = (und.join(labels, und.u == labels.id)
                  .groupBy("v").agg(F.min("comp").alias("n_comp")))
@@ -803,8 +840,8 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                .join(ptr, F.col("x.comp") == F.col("p_id"), "left")
                .select(F.col("x.id").alias("id"),
                        F.least(F.col("x.comp"),
-                               F.coalesce("p_comp", F.col("x.comp"))).alias("comp"))
-               .localCheckpoint())
+                               F.coalesce("p_comp", F.col("x.comp"))).alias("comp")))
+        new = _scoped_build(new)
         changed = (new.alias("n").join(labels.alias("o"), "id")
                    .filter(F.col("n.comp") != F.col("o.comp")).count())
         labels = new

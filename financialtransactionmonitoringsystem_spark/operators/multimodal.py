@@ -150,26 +150,39 @@ def _make_decode_pgm():
         import pandas as pd
 
         def parse(raw: bytes):
+            # Bounds-checked like the resize worker's parser: a
+            # truncated header must RAISE, not spin (b''.isspace() is
+            # False, so an unguarded token scan runs off the end).
             if raw[:2] != b"P5":
                 raise ValueError("not a P5 PGM")
-            vals, i = [], 2
+            vals, i, n = [], 2, len(raw)
             while len(vals) < 3:
-                while raw[i:i + 1].isspace():
+                while i < n and raw[i:i + 1].isspace():
                     i += 1
+                if i >= n:
+                    raise ValueError("truncated PGM header")
                 if raw[i:i + 1] == b"#":          # comment to end of line
-                    while raw[i:i + 1] != b"\n":
+                    while i < n and raw[i:i + 1] != b"\n":
                         i += 1
                     continue
                 j = i
-                while not raw[j:j + 1].isspace():
+                while j < n and not raw[j:j + 1].isspace():
                     j += 1
                 vals.append(int(raw[i:j]))
                 i = j
-            i += 1                                 # single ws after maxval
+            # Exactly ONE whitespace byte separates maxval from the
+            # raster (Netpbm spec); it must BE whitespace, and the
+            # raster must be exactly w*h bytes.  A CRLF- or padded-
+            # header file would otherwise silently read the extra
+            # whitespace as its first pixel (ADVICE r5).
+            if i >= n or not raw[i:i + 1].isspace():
+                raise ValueError("missing raster separator")
+            i += 1
             w, h, maxval = vals
-            px = raw[i:i + w * h]
+            px = raw[i:]
             if len(px) != w * h:
-                raise ValueError("truncated pixel data")
+                raise ValueError(
+                    f"raster must be exactly {w * h} bytes, got {len(px)}")
             return w, h, len(raw), (sum(px) / (w * h)) / maxval
 
         for pdf in it:
@@ -216,13 +229,19 @@ def _make_resize_pgm():
                     j += 1
                 vals.append(int(raw[i:j]))
                 i = j
+            # single whitespace separator + exact raster length, for the
+            # same CRLF/padded-header silent-corruption reason as the
+            # decode worker (ADVICE r5).
+            if i >= n or not raw[i:i + 1].isspace():
+                raise ValueError("missing raster separator")
             i += 1
             w, h, _ = vals
             if (w, h) != (4, 4):
                 raise ValueError("resize demo expects 4x4 input")
-            px = raw[i:i + 16]
+            px = raw[i:]
             if len(px) != 16:
-                raise ValueError("truncated pixel data")
+                raise ValueError(
+                    f"raster must be exactly 16 bytes, got {len(px)}")
             return px
 
         def box(b):

@@ -96,11 +96,23 @@ LAST_ATTESTED: dict[str, int] = {
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  All round-5 touches received green r5 verdicts and were
-# transcribed above; TOUCHED restarts empty each round and accumulates as
-# round-6 changes land.  Budget: 37 r3-stale keys + len(TOUCHED) must stay
-# <= the ~50-slot driver window.
-TOUCHED: tuple[str, ...] = ()
+# history.  Round-6 touches: the _scoped_build mode switch (local
+# localCheckpoint vs reliable checkpoint, VERDICT r5 #2) sits under every
+# key below bar the last; default mode is designed byte-identical but
+# identical-by-design is exactly what the window attests.
+# connected_components' iterative truncation also routes through it
+# (q_dedup_cluster; q_pipeline_curate's cluster dependency is covered by
+# that re-attest, the r5-footnote pattern).  q_mm_resize: the resize
+# worker's PGM parser gained the strict raster-separator/length checks
+# (ADVICE r5) -- valid corpus files parse identically.
+# Budget: 37 r3-stale + 13 TOUCHED = 50 = the driver window, exactly.
+TOUCHED: tuple[str, ...] = (
+    "q_dedup_prefix", "q_dedup_incremental", "q_dedup_minhash",
+    "q_dedup_simhash", "q_dedup_cluster", "q_text_tfidf",
+    "q_text_linededup", "q_ts_resample", "q_pack_sequences",
+    "q_curate_budget", "q_export_shards", "q_sample_proportional",
+    "q_mm_resize",
+)
 
 # Among equally-stale keys, spread families across the window edge instead of
 # alphabetical clumping; anything unlisted tiebreaks alphabetically after.
