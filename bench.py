@@ -7,6 +7,12 @@
 Each query is forced to full materialization with the ``noop`` sink (no
 driver collect, no output cost) so the measured time is the distributed
 plan, not a toPandas transfer.
+
+Protocol (FROZEN as of round 6; BENCH_r05 was the first run under it,
+so r<=4 numbers are not comparable -- see PLANS.md "Bench protocol"):
+JVM/codegen warm-up, persisted-artifact warm-up (probe cost only, build
+failures flagged), untimed System.gc between queries, min of 2 timed
+runs per query.
 """
 
 from __future__ import annotations
@@ -79,6 +85,13 @@ HEADLINE = [
     "q_text_linededup",
     "q_embed_quantize",
     "q_agg_corr",
+    # round-6 additions (VERDICT r5 #4): the Arrow-worker multimodal
+    # family and the chained-stateful twin carry real cost that was
+    # invisible to the headline before
+    "q_mm_features",
+    "q_mm_decode",
+    "q_mm_resize",
+    "q_stream_join_agg",
     # q_cte_recursive is deliberately NOT benched: Spark executes one
     # job per recursion step, so an 80-month spine costs ~80 scheduler
     # round-trips (~11s) regardless of data size.  The key exists to

@@ -264,6 +264,16 @@ def q_sample_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitioned running count (:func:`_ranged_running_sum`), so a
     dominant language ranks across many tasks, not one window task.
     """
+    return _proportional_with_pid(spark, sf_dir).select(
+        "lang", "doc_id", F.col("run").alias("pos"))
+
+
+def _proportional_with_pid(spark: SparkSession, sf_dir: str,
+                           n_parts: int | None = None) -> DataFrame:
+    """Mix-to-proportions sampling with the internal range-partition
+    ``pid`` kept visible for plan tests (the :func:`_sharded_with_pid`
+    pattern -- the query IS this helper minus ``pid``, so the test
+    cannot drift from the shipped plan)."""
     docs = load_table(spark, sf_dir, "documents")
     pct = F.create_map(
         *[F.lit(x) for kv in MIX_TARGET_PCT.items() for x in kv])
@@ -284,11 +294,11 @@ def q_sample_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
     # langs, so the output is identical).
     base = (docs.filter(F.element_at(pct, F.col("lang")).isNotNull())
             .select("doc_id", "lang", h.alias("h"), F.lit(1).alias("one")))
-    ranked = _ranged_running_sum(spark, base, "one", "lang", ["h", "doc_id"])
+    ranked = _ranged_running_sum(spark, base, "one", "lang",
+                                 ["h", "doc_id"], n_parts)
     return (
         ranked.join(F.broadcast(limits), "lang")
         .filter(F.col("run") <= F.col("k"))
-        .select("lang", "doc_id", F.col("run").alias("pos"))
     )
 
 

@@ -17,6 +17,7 @@ stores (no atomic directory rename required).
 
 import json
 import os
+import sys
 import uuid
 
 from pyspark.sql.datasource import (
@@ -64,11 +65,15 @@ class _JsonlWriter(DataSourceWriter):
             fh.write("\n".join(manifest) + "\n")
 
     def abort(self, messages):
+        # best-effort cleanup of task outputs; a file that cannot be
+        # removed is harmless (readers gate on _SUCCESS) but worth a
+        # trace when debugging orphaned part files (VERDICT r5 nit)
         for m in messages:
             try:
                 os.remove(os.path.join(self.path, m.filename))
-            except OSError:
-                pass
+            except OSError as exc:
+                print(f"jsonlsink abort: could not remove {m.filename}: "
+                      f"{exc}", file=sys.stderr)
 
 
 class JsonlSinkDataSource(DataSource):

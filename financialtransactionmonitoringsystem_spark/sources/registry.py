@@ -137,9 +137,12 @@ def parse_kafka_transactions(raw: DataFrame) -> DataFrame:
         ok.isNull() & F.col("partition").isNotNull()
         & F.col("offset").isNotNull(),
         F.col("partition").cast("bigint") * F.lit(1 << 48) + F.col("offset"))
-    # shared canonical derivation (metadata_json, event-time ts) so the
-    # Kafka route lands on the same table schema as every other ingest
-    # path -- with the source's real ordering key as ingest_seq.
+    # shared canonical derivation (metadata_json, event-time ts): the
+    # Kafka route lands on the canonical table schema PLUS one extra
+    # source-metadata column, broker_ts (broker append time -- the
+    # ingest-lag observability a monitoring pipeline wants).  A union
+    # with another ingest route must either carry it (unionByName with
+    # allowMissingColumns) or .drop("broker_ts") first (ADVICE r5).
     return with_derived(parsed, ingest_seq=seq).drop("partition", "offset")
 
 

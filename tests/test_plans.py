@@ -415,10 +415,18 @@ def test_sample_proportional_spreads_langs_over_partitions(spark, sf_dir):
     against the corpus or a one-task-per-lang window."""
     from financialtransactionmonitoringsystem_spark.operators import curate
 
-    df = curate.q_sample_proportional(spark, sf_dir)
+    df = curate._proportional_with_pid(spark, sf_dir, n_parts=8)
     plan = P.plan_str(df, "simple")
     assert "BroadcastHashJoin" in plan, plan
     assert not P.has_cartesian(df) or "BroadcastNestedLoopJoin" in plan
+    # the spread the name promises (ADVICE r5): the dominant language
+    # must actually span >1 range partition, or a regression to a
+    # one-task-per-lang window would still pass here
+    spread = (df.groupBy("lang")
+              .agg(F.countDistinct("pid").alias("n_pids"))
+              .agg(F.max("n_pids").alias("mx")).collect()[0].mx)
+    assert spread > 1, f"every lang landed on a single partition: {spread}"
+    df = curate.q_sample_proportional(spark, sf_dir)
     # mixture correctness at test scale: shares land within one doc of
     # floor(pct * T / 100) for every target language
     got = {r.lang: r.n for r in
