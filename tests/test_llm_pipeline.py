@@ -219,6 +219,28 @@ def test_png_decoder_unfilters_all_filter_types():
     assert multimodal.decode_png(png) == (w, h, "RGB", pixels)
 
 
+def test_png_roundtrip_property():
+    """Property form of the round-trip: any dims 1..8 x 1..8, any mode,
+    arbitrary pixel bytes -- decode(encode(px)) == px.  Exercises the
+    one-pixel-wide edge (Sub/Paeth left-neighbor absent), single-row
+    (Up/Average up-neighbor absent), and whitespace-valued pixel bytes
+    that a sloppy separator scan would eat."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.integers(1, 8), st.integers(1, 8),
+           st.sampled_from(["L", "LA", "RGB", "RGBA"]), st.randoms())
+    def prop(w, h, mode, rng):
+        ch = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}[mode]
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        assert multimodal.decode_png(
+            multimodal.encode_png(w, h, mode, px)) == (w, h, mode, px)
+
+    prop()
+
+
 def test_png_decoder_rejects_corruption():
     png = bytearray(multimodal.encode_png(2, 2, "L", bytes(4)))
     png[-6] ^= 0xFF                      # flip a byte inside IEND's CRC
