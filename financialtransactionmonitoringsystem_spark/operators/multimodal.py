@@ -98,15 +98,17 @@ def decode_png(content: bytes) -> tuple[int, int, str, bytes]:
     ihdr, idat, i, n = None, bytearray(), 8, len(content)
     while i + 12 <= n:
         (length,) = struct.unpack(">I", content[i:i + 4])
+        if i + 12 + length > n:
+            raise ValueError("truncated chunk")
         ctype = content[i + 4:i + 8]
         data = content[i + 8:i + 8 + length]
-        if len(data) != length:
-            raise ValueError("truncated chunk")
         (crc,) = struct.unpack(
             ">I", content[i + 8 + length:i + 12 + length])
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if length != 13:
+                raise ValueError("bad IHDR length")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data
