@@ -269,3 +269,16 @@ def test_registry_is_complete():
     got = set(E.queries())
     missing = EXPECTED_KEYS - got
     assert not missing, f"registry lost keys (broken module import?): {sorted(missing)}"
+
+
+def test_bench_headline_keys_all_resolve():
+    """bench.py silently skips HEADLINE keys missing from the registry
+    (deliberate during development); this pins that none are actually
+    missing, so a typo'd key cannot silently shrink the benchmark."""
+    import __spark_entry__ as E
+    from bench import HEADLINE
+
+    got = set(E.queries())
+    unknown = [k for k in HEADLINE if k not in got]
+    assert not unknown, f"HEADLINE names unregistered keys: {unknown}"
+    assert len(set(HEADLINE)) == len(HEADLINE), "duplicate HEADLINE keys"
