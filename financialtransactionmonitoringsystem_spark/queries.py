@@ -43,27 +43,42 @@ for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
 # authoritative full-registry gate regardless of window position, and
 # test_window_rotation pins that every stale key actually fits the window.
 LAST_ATTESTED: dict[str, int] = {
-    # round 5 window (CORRECTNESS_r05.json: 46 hash-green + 4 no_oracle
+    # round 6 window (CORRECTNESS_r06.json: 46 hash-green + 4 no_oracle
     # rows-only verdicts, all 50 attested, zero errors)
+    **{k: 6 for k in (
+        "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_global",
+        "q_agg_gsets", "q_agg_having", "q_agg_hll", "q_curate_budget",
+        "q_dedup_cluster", "q_dedup_fuzzy", "q_dedup_incremental",
+        "q_dedup_minhash", "q_dedup_prefix", "q_dedup_simhash",
+        "q_embed_stats", "q_except", "q_export_shards",
+        "q_filter_compound", "q_filter_null", "q_fn_cond",
+        "q_fn_decimal", "q_fn_map", "q_fn_math", "q_fn_string",
+        "q_ingest_json", "q_intersect", "q_join_anti",
+        "q_join_asof_fwd", "q_join_broadcast", "q_join_full",
+        "q_join_left", "q_join_semi", "q_join_theta", "q_mm_resize",
+        "q_pack_sequences", "q_point_lookup", "q_project_compute",
+        "q_sample_hash", "q_sample_proportional", "q_sample_stratified",
+        "q_scan_prune", "q_sort_multi", "q_stream_distinct",
+        "q_text_linededup", "q_text_pii", "q_text_tfidf", "q_topk",
+        "q_ts_resample", "q_win_lag", "q_win_ntile",
+    )},
+    # round 5 window remainder (CORRECTNESS_r05.json minus r6 re-attests)
     **{k: 5 for k in (
         "q_agg_approx_quantile", "q_agg_corr", "q_agg_histogram",
-        "q_agg_mode", "q_anomaly", "q_cte_recursive", "q_curate_budget",
-        "q_dedup_cluster", "q_dedup_embed", "q_dedup_incremental",
-        "q_dedup_minhash", "q_dedup_ngram", "q_dedup_prefix",
-        "q_dedup_simhash", "q_dq_checks", "q_embed_quantize",
-        "q_export_shards", "q_fn_try", "q_funnel", "q_join_lateral",
-        "q_layout_zorder", "q_merge_upsert", "q_mm_decode",
-        "q_mm_features", "q_mm_frames", "q_mm_meta", "q_mm_resize",
-        "q_pack_sequences", "q_profile", "q_retention",
-        "q_sample_proportional", "q_sample_weighted", "q_scd2",
-        "q_sessionize", "q_sim_cosine", "q_sim_ivf",
-        "q_sim_knn_per_label", "q_sim_lsh", "q_stream_join",
-        "q_stream_join_agg", "q_text_bpe_pairs", "q_text_decontam",
-        "q_text_linededup", "q_text_perplexity", "q_text_repetition",
-        "q_text_tfidf", "q_ts_resample", "q_udaf_centsum",
-        "q_udtf_gaps", "q_win_timerange",
+        "q_agg_mode", "q_anomaly", "q_cte_recursive", "q_dedup_embed",
+        "q_dedup_ngram", "q_dq_checks", "q_embed_quantize", "q_fn_try",
+        "q_funnel", "q_join_lateral", "q_layout_zorder",
+        "q_merge_upsert", "q_mm_decode", "q_mm_features",
+        "q_mm_frames", "q_mm_meta", "q_profile", "q_retention",
+        "q_sample_weighted", "q_scd2", "q_sessionize", "q_sim_cosine",
+        "q_sim_ivf", "q_sim_knn_per_label", "q_sim_lsh",
+        "q_stream_join", "q_stream_join_agg", "q_text_bpe_pairs",
+        "q_text_decontam", "q_text_perplexity", "q_text_repetition",
+        "q_udaf_centsum", "q_udtf_gaps", "q_win_timerange",
     )},
-    # round 4 window remainder (CORRECTNESS_r04.json minus r5 re-attests)
+    # round 4 window remainder (CORRECTNESS_r04.json minus later
+    # re-attests); no verdict since -- these 41 keys ARE the round-7
+    # window (41 + round-7 TOUCHED + new keys <= 50)
     **{k: 4 for k in (
         "q_agg_approx", "q_agg_group", "q_agg_rollup", "q_agg_salted",
         "q_agg_stats", "q_cte", "q_dedup", "q_dedup_exact",
@@ -78,40 +93,17 @@ LAST_ATTESTED: dict[str, int] = {
         "q_text_tokens", "q_topk_per_group", "q_union", "q_unpivot",
         "q_win_frame", "q_win_range", "q_win_rank",
     )},
-    # round 3 window remainder (CORRECTNESS_r03.json); no verdict since --
-    # these 37 keys ARE the round-6 window (37 + round-6 TOUCHED <= 50)
-    **{k: 3 for k in (
-        "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_global",
-        "q_agg_gsets", "q_agg_having", "q_agg_hll", "q_dedup_fuzzy",
-        "q_embed_stats", "q_except", "q_filter_compound",
-        "q_filter_null", "q_fn_cond", "q_fn_decimal", "q_fn_map",
-        "q_fn_math", "q_fn_string", "q_ingest_json", "q_intersect",
-        "q_join_anti", "q_join_asof_fwd", "q_join_broadcast",
-        "q_join_full", "q_join_left", "q_join_semi", "q_join_theta",
-        "q_point_lookup", "q_project_compute", "q_sample_hash",
-        "q_sample_stratified", "q_scan_prune", "q_sort_multi",
-        "q_stream_distinct", "q_text_pii", "q_topk",
-        "q_win_lag", "q_win_ntile",
-    )},
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  Round-6 touches: the _scoped_build mode switch (local
-# localCheckpoint vs reliable checkpoint, VERDICT r5 #2) sits under every
-# key below bar the last; default mode is designed byte-identical but
-# identical-by-design is exactly what the window attests.
-# connected_components' iterative truncation also routes through it
-# (q_dedup_cluster; q_pipeline_curate's cluster dependency is covered by
-# that re-attest, the r5-footnote pattern).  q_mm_resize: the resize
-# worker's PGM parser gained the strict raster-separator/length checks
-# (ADVICE r5) -- valid corpus files parse identically.
-# Budget: 37 r3-stale + 13 TOUCHED = 50 = the driver window, exactly.
+# history.  Round-7 touches: q_sim_lsh's sign width became
+# corpus-adaptive (VERDICT r6 #2) and q_dedup_ngram dropped its forced
+# corpus broadcast (VERDICT r6 #3, plan change only but the window
+# attests the claim).  New keys (absent from LAST_ATTESTED) sort
+# most-stale automatically and need no entry here.
+# Budget: 41 r4-stale + TOUCHED + new keys <= 50 = the driver window.
 TOUCHED: tuple[str, ...] = (
-    "q_dedup_prefix", "q_dedup_incremental", "q_dedup_minhash",
-    "q_dedup_simhash", "q_dedup_cluster", "q_text_tfidf",
-    "q_text_linededup", "q_ts_resample", "q_pack_sequences",
-    "q_curate_budget", "q_export_shards", "q_sample_proportional",
-    "q_mm_resize",
+    "q_sim_lsh", "q_dedup_ngram",
 )
 
 # Among equally-stale keys, spread families across the window edge instead of
