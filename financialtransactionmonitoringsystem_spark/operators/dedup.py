@@ -346,9 +346,24 @@ def _scoped_build(build_side: DataFrame) -> DataFrame:
     if spark.conf.get(SCOPED_BUILD_MODE_CONF, "local") == "reliable":
         sc = spark.sparkContext
         if sc.getCheckpointDir() is None:
+            _guard_reliable_checkpoint_default(sc.master)
             sc.setCheckpointDir(_CHECKPOINT_DIR)
         return build_side.checkpoint(eager=True)
     return build_side.localCheckpoint(eager=True)
+
+
+def _guard_reliable_checkpoint_default(master: str) -> None:
+    """The repo-local checkpoint default only makes sense on a local
+    master: on a multi-node cluster -- the exact scenario reliable mode
+    targets -- local-filesystem checkpoints do not survive executor
+    loss, silently defeating the mode (ADVICE r6).  Refuse rather than
+    degrade quietly."""
+    if not master.startswith("local"):
+        raise RuntimeError(
+            "scopedBuild.mode=reliable on a non-local master "
+            f"({master!r}) requires an explicit durable "
+            "sc.setCheckpointDir(...) (HDFS/object store); "
+            "refusing the repo-local default")
 
 
 def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:

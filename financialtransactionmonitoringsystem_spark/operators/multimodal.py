@@ -127,7 +127,13 @@ def decode_png(content: bytes) -> tuple[int, int, str, bytes]:
             f"interlace={interlace}")
     bpp = _PNG_CHANNELS[color]
     stride = w * bpp
-    raw = zlib.decompress(bytes(idat))
+    try:
+        # empty or corrupt IDAT (e.g. IHDR+IEND with no IDAT) passes the
+        # chunk-CRC walk but fails inflate -- normalize zlib.error to the
+        # ValueError contract the corruption tests pin (ADVICE r6)
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt IDAT stream: {exc}") from exc
     if len(raw) != (stride + 1) * h:
         raise ValueError("decompressed size does not match dimensions")
     out = bytearray()

@@ -154,8 +154,20 @@ def test_frame_sampling_fanout(spark, sf_dir):
     assert frames.groupBy("doc_id").count().filter(F.col("count") != 4).count() == 0
 
 
-def test_decode_image_non_png_without_pillow_raises():
-    with pytest.raises(NotImplementedError):
+def test_decode_image_non_png_raises():
+    """Without Pillow the non-PNG path must raise NotImplementedError;
+    with Pillow installed (the supported JPEG configuration) the same
+    bytes raise PIL's UnidentifiedImageError instead -- accept either so
+    the test is valid in both environments (ADVICE r6)."""
+    import importlib.util
+
+    if importlib.util.find_spec("PIL") is None:
+        expected: tuple[type[BaseException], ...] = (NotImplementedError,)
+    else:
+        from PIL import UnidentifiedImageError
+
+        expected = (UnidentifiedImageError,)
+    with pytest.raises(expected):
         multimodal.decode_image(b"not-an-image")
 
 
@@ -251,6 +263,26 @@ def test_png_decoder_rejects_corruption():
     good = multimodal.encode_png(2, 2, "L", bytes(4))
     with pytest.raises(ValueError):
         multimodal.decode_png(good[:-12])  # IEND stripped
+    # valid chunk CRCs but no IDAT at all: inflate fails, and the
+    # decoder must surface it as ValueError, not a raw zlib.error
+    # (ADVICE r6)
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    no_idat = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        multimodal.decode_png(no_idat)
+    # garbage IDAT with a correct CRC fails the same way
+    bad_idat = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", b"\xff\xff\xff") + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="corrupt IDAT"):
+        multimodal.decode_png(bad_idat)
 
 
 def test_mm_workers_pickle_self_contained(tmp_path):
@@ -879,3 +911,17 @@ def test_scoped_build_reliable_mode(spark, sf_dir, tmp_path):
         assert written, "reliable mode wrote no checkpoint files"
     finally:
         spark.conf.unset(SCOPED_BUILD_MODE_CONF)
+
+
+def test_reliable_mode_refuses_local_default_off_local_master():
+    """ADVICE r6: reliable mode with no checkpoint dir set must REFUSE
+    on a non-local master instead of silently defaulting to a
+    repo-local path that would not survive executor loss."""
+    from financialtransactionmonitoringsystem_spark.operators.dedup import (
+        _guard_reliable_checkpoint_default)
+
+    _guard_reliable_checkpoint_default("local[8]")          # fine
+    _guard_reliable_checkpoint_default("local-cluster[2,1,1024]")
+    for master in ("spark://host:7077", "yarn", "k8s://https://host"):
+        with pytest.raises(RuntimeError, match="durable"):
+            _guard_reliable_checkpoint_default(master)
