@@ -179,11 +179,15 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs within a lang block.
 
     This is the ground-truth form MinHash approximates; blocked so the
-    pair space is |block|^2, not |corpus|^2.
+    pair space is |block|^2, not |corpus|^2.  The self-join carries no
+    broadcast hint: Catalyst's stats pick broadcast at test scale and
+    reverse themselves as the corpus grows, exactly like the verify
+    joins (VERDICT r6 #1 -- the old forced ``F.broadcast(t)`` pinned
+    the full corpus token table to every executor forever).
     """
     t = corpus_tok_sets(spark, sf_dir)
     a = t.alias("a")
-    b = F.broadcast(t).alias("b")
+    b = t.alias("b")
     j = _jaccard(F.col("a.toks"), F.col("b.toks"), F.col("a.n_toks"), F.col("b.n_toks"))
     return (
         a.join(b, (F.col("a.lang") == F.col("b.lang"))

@@ -121,6 +121,47 @@ def test_lsh_similarity_recall(spark, sf_dir):
     assert a and recall >= 0.2, f"ANN recall {recall:.2f}"
 
 
+def test_lsh_width_selection():
+    """VERDICT r6 #2: the sign-LSH width must be corpus-adaptive, the
+    ANN twin of dedup._simhash_width -- 4 bits / Hamming<=1 below the
+    threshold, 12 bits / Hamming<=2 at or above it -- and the probe-mask
+    generator must enumerate exactly the Hamming ball."""
+    from financialtransactionmonitoringsystem_spark.operators.similarity import (
+        LSH_SIGN_DIMS, LSH_SIGN_DIMS_WIDE, LSH_WIDE_THRESHOLD, _lsh_params,
+        probe_masks)
+
+    assert _lsh_params(0) == (LSH_SIGN_DIMS, 1)
+    assert _lsh_params(LSH_WIDE_THRESHOLD - 1) == (LSH_SIGN_DIMS, 1)
+    assert _lsh_params(LSH_WIDE_THRESHOLD) == (LSH_SIGN_DIMS_WIDE, 2)
+    assert _lsh_params(10**9) == (LSH_SIGN_DIMS_WIDE, 2)
+    assert sorted(probe_masks(4, 1)) == [0, 1, 2, 4, 8]
+    wide = probe_masks(12, 2)
+    assert len(wide) == len(set(wide)) == 1 + 12 + 66  # C(12,0)+C(12,1)+C(12,2)
+    assert all(bin(m).count("1") <= 2 and m < (1 << 12) for m in wide)
+
+
+def test_lsh_wide_width_recall(spark, sf_dir):
+    """Recall quantified at the WIDE width too (VERDICT r6 #2): force
+    12-bit buckets / Hamming<=2 probing on the test corpus via the
+    override and measure against exact top-3.  4096 buckets over a few
+    hundred vectors is far past the design point, so recall is lower
+    than the narrow width's -- it must still find a nonzero fraction,
+    return only true bucket-ball candidates, and never exceed top-3 per
+    query."""
+    exact = similarity.q_sim_cosine(spark, sf_dir).filter(F.col("rn") <= 3)
+    ann = similarity.q_sim_lsh(spark, sf_dir, dims=12, radius=2)
+    rows = ann.collect()
+    a = {(r.q_id, r.vec_id) for r in rows}
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    recall = len(e & a) / len(e)
+    assert a and recall >= 0.05, f"wide-width ANN recall {recall:.2f}"
+    per_q: dict[int, int] = {}
+    for r in rows:
+        per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
+        assert 1 <= r.rn <= 3
+    assert all(n <= 3 for n in per_q.values())
+
+
 def test_knn_per_label_agrees_with_bruteforce_on_same_label(spark, sf_dir):
     knn = similarity.q_sim_knn_per_label(spark, sf_dir)
     brute = similarity.q_sim_cosine(spark, sf_dir)
