@@ -4,6 +4,8 @@ near-duplicates, multimodal plumbing shapes."""
 
 from __future__ import annotations
 
+import struct
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -294,6 +296,68 @@ def test_png_roundtrip_property():
     prop()
 
 
+def test_png_encoder_filter_types_roundtrip():
+    """The encoder's forward filters (r7, backing q_mm_decode_png) must
+    invert through the decoder bit-exactly for ANY per-row filter
+    assignment and mode -- property-based like the filter-0 test."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.integers(1, 6), st.integers(1, 6),
+           st.sampled_from(["L", "LA", "RGB", "RGBA"]),
+           st.lists(st.integers(0, 4), min_size=1, max_size=8),
+           st.randoms())
+    def prop(w, h, mode, filters, rng):
+        ch = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}[mode]
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        png = multimodal.encode_png(w, h, mode, px, filter_types=filters)
+        assert multimodal.decode_png(png) == (w, h, mode, px)
+
+    prop()
+    with pytest.raises(ValueError, match="unknown filter"):
+        multimodal.encode_png(1, 1, "L", b"\x00", filter_types=[7])
+
+
+def test_wav_parser_decodes_and_rejects_corruption():
+    """The q_mm_audio worker's RIFF/WAVE parser against an independent
+    struct-level reference, plus the malformed-input contract."""
+    import pandas as pd
+
+    payload = bytes(range(16))
+    wav = multimodal._WAV_HEADER + payload
+    pdf = pd.DataFrame({"doc_id": [7], "content": [wav]})
+    out = pd.concat(list(multimodal.decode_wav(iter([pdf]))))
+    samples = struct.unpack("<8h", payload)
+    assert len(out) == 2
+    for fi in range(2):
+        fr = samples[4 * fi:4 * fi + 4]
+        row = out[out.frame_idx == fi].iloc[0]
+        assert row.doc_id == 7 and row.sample_rate == 8000
+        assert row.sum_sq == sum(s * s for s in fr)
+        assert row.peak == max(abs(s) for s in fr)
+
+    def run(raw):
+        bad = pd.DataFrame({"doc_id": [0], "content": [raw]})
+        return list(multimodal.decode_wav(iter([bad])))
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        run(b"JUNK" + wav[4:])
+    with pytest.raises(ValueError, match="size"):
+        run(wav + b"\x00")            # RIFF size no longer matches
+    truncated = bytearray(wav[:-4])   # data chunk shorter than declared,
+    truncated[4:8] = struct.pack("<I", len(truncated) - 8)  # RIFF size OK
+    with pytest.raises(ValueError, match="truncated"):
+        run(bytes(truncated))
+    # fmt advertising stereo 8-bit -> unsupported, not garbage output
+    stereo = bytearray(wav)
+    stereo[22] = 2                    # nChannels
+    stereo[34] = 8                    # bitsPerSample
+    with pytest.raises(NotImplementedError):
+        run(bytes(stereo))
+
+
 def test_png_decoder_rejects_corruption():
     png = bytearray(multimodal.encode_png(2, 2, "L", bytes(4)))
     png[-6] ^= 0xFF                      # flip a byte inside IEND's CRC
@@ -339,10 +403,14 @@ def test_mm_workers_pickle_self_contained(tmp_path):
     from pyspark.serializers import CloudPickleSerializer
 
     ser = CloudPickleSerializer()
+    # png_roundtrip is deliberately absent: it captures the module's
+    # real decode_png by reference (its attestation target) and ships
+    # with --py-files instead -- see _make_png_roundtrip's docstring.
     for name, fn in (("extract_features", multimodal.extract_features),
                      ("sample_frames", multimodal.sample_frames),
                      ("decode_pgm", multimodal.decode_pgm),
-                     ("resize_pgm", multimodal.resize_pgm)):
+                     ("resize_pgm", multimodal.resize_pgm),
+                     ("decode_wav", multimodal.decode_wav)):
         (tmp_path / f"{name}.pkl").write_bytes(ser.dumps(fn))
 
     runner = tmp_path / "runner.py"
@@ -356,10 +424,18 @@ import pandas as pd
 batch = pd.DataFrame({"doc_id": [1, 2], "content": [b"alpha", b"beta"]})
 pgm = pd.DataFrame({"doc_id": [1], "content": [b"P5\\n2 2\\n255\\n" + bytes([9, 9, 9, 9])]})
 pgm4 = pd.DataFrame({"doc_id": [1], "content": [b"P5\\n4 4\\n255\\n" + bytes(range(16))]})
+wav_hdr = (b"RIFF" + (36 + 16).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+           + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+           + b"data" + (16).to_bytes(4, "little"))
+wav = pd.DataFrame({"doc_id": [1], "content": [wav_hdr + bytes(range(16))]})
 for name, data, n_rows in (("extract_features", batch, 2),
                            ("sample_frames", batch, 8),
                            ("decode_pgm", pgm, 1),
-                           ("resize_pgm", pgm4, 1)):
+                           ("resize_pgm", pgm4, 1),
+                           ("decode_wav", wav, 2)):
     fn = pickle.loads(open(sys.argv[2] + "/" + name + ".pkl", "rb").read())
     out = pd.concat(list(fn(iter([data]))))
     assert len(out) == n_rows, (name, out)

@@ -153,7 +153,9 @@ EXPECTED_KEYS = {
     "q_join_theta",
     "q_layout_zorder",
     "q_merge_upsert",
+    "q_mm_audio",
     "q_mm_decode",
+    "q_mm_decode_png",
     "q_mm_features",
     "q_mm_frames",
     "q_mm_meta",
