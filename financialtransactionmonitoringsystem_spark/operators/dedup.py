@@ -70,6 +70,81 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic raw-URL fixture column: the documents table ships
+    no URL, so each doc derives one from (source, doc_id) with the
+    messy variants real crawls produce -- scheme/host case, ``www.``,
+    an explicit default port, a trailing slash, tracking params in
+    shuffled order, a fragment.  Construction is fixture plumbing; the
+    OPERATOR under test is the canonicalizer below, which must collapse
+    all variants of the same logical URL without knowing how they were
+    made."""
+    d = F.col("doc_id")
+    s = lambda e: e.cast("string")  # noqa: E731
+    scheme = F.when(d % 3 == 0, F.lit("HTTPS")) \
+        .when(d % 3 == 1, F.lit("https")).otherwise(F.lit("Https"))
+    host = F.concat(
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.when(d % 5 == 0, F.lit(".example.com")).otherwise(F.lit(".Example.COM")),
+        F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")))
+    path = F.concat(F.lit("/docs/"), s(d % 40),
+                    F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")))
+    query = F.when(d % 2 == 0, F.concat(F.lit("?page="), s(d % 3),
+                                        F.lit("&utm_source=feed"))) \
+        .otherwise(F.concat(F.lit("?utm_campaign=x&page="), s(d % 3)))
+    frag = F.when(d % 6 == 0, F.lit("#sec2")).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(scheme, F.lit("://"), host, path, query, frag).alias("url"))
+
+
+def canonical_url(url: Column) -> Column:
+    """URL canonicalization -- the dedup key a crawl pipeline groups on
+    before content dedup even starts: lowercase scheme and host, strip
+    a leading ``www.`` and an explicit port, drop the fragment, strip a
+    trailing slash from a non-root path, drop ``utm_*`` tracking params
+    and sort the survivors.  Built on ``parse_url`` (JVM-side Catalyst
+    expression) + higher-order array ops -- no UDF, codegen-friendly,
+    so at 100 TB this is a pure scan-speed projection."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", "")
+    raw_path = F.parse_url(url, F.lit("PATH"))
+    # strip ONE trailing slash off a non-root path (conditional, not a
+    # lookbehind regex -- the oracle's RE2 engine has no lookbehind)
+    path = F.when(raw_path.endswith("/") & (F.length(raw_path) > 1),
+                  F.substring(raw_path, 1, F.length(raw_path) - 1)) \
+        .otherwise(raw_path)
+    params = F.array_sort(F.filter(
+        F.split(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
+        lambda p: (p != "") & ~p.startswith("utm_")))
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(F.size(params) > 0,
+               F.concat(F.lit("?"), F.array_join(params, "&")))
+        .otherwise(F.lit("")))
+
+
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (VERDICT r6 #4): group the corpus by
+    canonical URL, reporting group size, how many distinct raw variants
+    collapsed, and the kept (lowest-id) doc -- the fetch-dedup step that
+    runs before any content-based dedup in a crawl pipeline.
+
+    Shape: canonicalization is a narrow projection over the scan; the
+    only exchange is the final groupBy on the canonical key (map-side
+    combinable).  No UDFs, no window over the full corpus."""
+    urls = _doc_urls(load_table(spark, sf_dir, "documents"))
+    return (
+        urls.select("doc_id", "url", canonical_url(F.col("url")).alias("canon"))
+        .groupBy(F.col("canon").alias("canonical_url"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.countDistinct("url").alias("n_variants"),
+             F.min("doc_id").alias("keep_doc"))
+    )
+
+
 def _tok_sets(docs: DataFrame) -> DataFrame:
     """Distinct token sets as 64-bit xxhash fingerprints, not strings.
 
@@ -951,6 +1026,58 @@ _J_SQL = """CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / (a.n_toks + b.n_toks - len(list_intersect(a.toks, b.toks)))"""
 
 ORACLES: dict[str, str] = {
+    # Same raw-URL fixture construction, then an INDEPENDENT
+    # canonicalizer: RE2 regexps for scheme/host/path/query (DuckDB has
+    # no parse_url), list ops for the param filter+sort.
+    "q_dedup_url": """
+        WITH u AS (
+          SELECT doc_id,
+            (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS'
+                  WHEN doc_id % 3 = 1 THEN 'https' ELSE 'Https' END)
+            || '://'
+            || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+            || source
+            || (CASE WHEN doc_id % 5 = 0 THEN '.example.com'
+                     ELSE '.Example.COM' END)
+            || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+            || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
+            || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+            || (CASE WHEN doc_id % 2 = 0
+                     THEN '?page=' || CAST(doc_id % 3 AS VARCHAR)
+                          || '&utm_source=feed'
+                     ELSE '?utm_campaign=x&page='
+                          || CAST(doc_id % 3 AS VARCHAR) END)
+            || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+          FROM documents
+        ), parts AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url,
+                     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_replace(lower(regexp_extract(url,
+                     '://([^/?#:]+)', 1)), '^www\\.', '') AS host,
+                 regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
+                 regexp_extract(url, '\\?([^#]*)', 1) AS q
+          FROM u
+        ), c AS (
+          SELECT doc_id, url,
+                 scheme || '://' || host
+                 || (CASE WHEN p LIKE '%/' AND length(p) > 1
+                          THEN substr(p, 1, length(p) - 1) ELSE p END)
+                 || (CASE WHEN len(list_filter(string_split(q, '&'),
+                              x -> x <> '' AND NOT starts_with(x, 'utm_'))) > 0
+                     THEN '?' || array_to_string(list_sort(
+                              list_filter(string_split(q, '&'),
+                                  x -> x <> ''
+                                       AND NOT starts_with(x, 'utm_'))), '&')
+                     ELSE '' END) AS canon
+          FROM parts
+        )
+        SELECT canon AS canonical_url, COUNT(*) AS n_docs,
+               COUNT(DISTINCT url) AS n_variants,
+               MIN(doc_id) AS keep_doc
+        FROM c GROUP BY canon
+    """,
     # Recursive CTE closure: reach = every (node, reachable-id) pair over
     # the undirected near-dup edge graph (set-semantic UNION terminates);
     # min reachable id per node == the component's canonical id.

@@ -65,6 +65,27 @@ def test_simhash_width_steps_up_for_large_corpora():
     assert dedup._simhash_width(dedup.SIMHASH_WIDE_THRESHOLD) == (64, 6)
 
 
+def test_url_canonicalization_rules(spark):
+    """canonical_url (r7) on hand-picked URLs: every rule individually
+    -- scheme/host lowering, www strip, default-port strip, fragment
+    drop, non-root trailing-slash strip, utm_* drop + param sort --
+    and the invariants (root path kept, non-utm params preserved)."""
+    cases = [
+        ("HTTPS://WWW.A.Example.COM:443/docs/1?b=2&a=1#x",
+         "https://a.example.com/docs/1?a=1&b=2"),
+        ("https://a.example.com/docs/1/", "https://a.example.com/docs/1"),
+        ("https://a.example.com/", "https://a.example.com/"),
+        ("https://a.example.com/p?utm_source=x&utm_campaign=y",
+         "https://a.example.com/p"),
+        ("http://b.org/p?z=1&utm_source=x&a=2", "http://b.org/p?a=2&z=1"),
+        ("https://wwwx.net/p", "https://wwwx.net/p"),  # only 'www.' strips
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r.c for r in df.select(
+        dedup.canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+
+
 def test_dedup_queries_leave_no_dataframe_cache(spark, sf_dir):
     """VERDICT r4 #5: the self-join caches inside the dedup operators
     must be scoped to the call -- after running and materializing every
