@@ -151,6 +151,52 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed sessionized funnel (VERDICT r6 #4): the q_funnel
+    composition applied WITHIN q_sessionize's gap-based sessions -- per
+    (user, session), the furthest stage of the ordered view -> click ->
+    purchase funnel reached inside that session, where each stage only
+    counts at or after the session's previous stage.  The per-user
+    funnel says "did this user ever convert"; the per-session form says
+    "does a single visit convert", the metric growth teams actually
+    track.
+
+    Shape: ONE hash exchange on ``user_id`` serves everything -- the
+    lag/running-sum session assignment (q_sessionize's plan), the three
+    chained conditional-min windows over (user_id, sess) (a subset
+    partitioning, so no re-exchange, only a sort), and the final
+    (user_id, sess) aggregation.  Same single-exchange guarantee
+    tests/test_plans.py pins for q_sessionize/q_scd2.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("long")
+    gap = secs - F.lag(secs).over(wo)
+    new_s = F.when(gap.isNull() | (gap > SESSION_GAP_S), 1).otherwise(0)
+    ws = W.partitionBy("user_id", "sess")
+    ts, et = F.col("ts"), F.col("event_type")
+    staged = (
+        ev.withColumn("new_s", new_s)
+        .withColumn("sess", F.sum("new_s").over(
+            wo.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("vt", F.min(F.when(et == "view", ts)).over(ws))
+        .withColumn("ct", F.min(F.when((et == "click")
+                                       & (ts >= F.col("vt")), ts)).over(ws))
+        .withColumn("pt", F.min(F.when((et == "purchase")
+                                       & (ts >= F.col("ct")), ts)).over(ws))
+    )
+    stage = (F.when(F.col("pt").isNotNull(), 3)
+             .when(F.col("ct").isNotNull(), 2)
+             .when(F.col("vt").isNotNull(), 1).otherwise(0))
+    return (
+        staged.groupBy("user_id", "sess")
+        .agg(F.min("ts").alias("session_start"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.max(stage).alias("stage"))
+    )
+
+
 HIST_WIDTH = 25.0   # value-axis bin width
 HIST_TOP = 15       # values >= HIST_WIDTH * HIST_TOP clamp into the top bin
 
@@ -241,6 +287,45 @@ ORACLES: dict[str, str] = {
                CAST(floor(epoch(max(ts))) AS BIGINT)
                  - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_s
         FROM s GROUP BY 1, 2
+    """,
+    # Same session assignment as q_sessionize, then three chained
+    # conditional-min windows over (user_id, sess) for the staged funnel.
+    "q_funnel_sessionized": f"""
+        WITH g AS (
+          SELECT user_id, ts, event_id, event_type,
+                 CAST(floor(epoch(ts)) AS BIGINT)
+                   - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS gap
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts, event_type,
+                 CAST(SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_S}
+                               THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS sess
+          FROM g
+        ), v AS (
+          SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                      OVER (PARTITION BY user_id, sess) AS vt
+          FROM s
+        ), c AS (
+          SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= vt
+                             THEN ts END)
+                      OVER (PARTITION BY user_id, sess) AS ct
+          FROM v
+        ), p AS (
+          SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= ct
+                             THEN ts END)
+                      OVER (PARTITION BY user_id, sess) AS pt
+          FROM c
+        )
+        SELECT user_id, sess, MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               MAX(CASE WHEN pt IS NOT NULL THEN 3
+                        WHEN ct IS NOT NULL THEN 2
+                        WHEN vt IS NOT NULL THEN 1 ELSE 0 END) AS stage
+        FROM p GROUP BY 1, 2
     """,
     "q_agg_histogram": f"""
         SELECT event_type,

@@ -327,6 +327,13 @@ def test_sessionize_is_single_user_exchange(spark, sf_dir):
     s = P.plan_str(df, "simple")
     assert s.count("hashpartitioning(user_id") == 1, s
     assert not P.has_cartesian(df)
+    # the sessionized funnel (r7) layers three conditional-min windows
+    # over (user_id, sess) -- a SUBSET partitioning that must reuse the
+    # same exchange, not add one per window
+    df = timeseries.q_funnel_sessionized(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert s.count("hashpartitioning(user_id") == 1, s
+    assert not P.has_cartesian(df)
 
 
 def test_export_shards_spreads_shards_over_partitions(spark, sf_dir):
