@@ -243,6 +243,40 @@ def _sharded_with_pid(spark: SparkSession, sf_dir: str,
                                ["h", "doc_id"], n_parts)
 
 
+CARD_BUCKET_W = 16   # token-count histogram bin width
+CARD_TOP = 7         # >= CARD_BUCKET_W * CARD_TOP clamps into the top bin
+
+
+def q_shard_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard dataset card (VERDICT r6 #4): for every export shard
+    (the same md5-nibble assignment as ``q_export_shards``), a
+    token-count histogram plus exact totals/extrema -- the "datasheet"
+    a training pipeline publishes next to each shard so consumers can
+    check balance (are shards i.i.d.?) and length mix without reading
+    the data.  All arithmetic is integer-exact: fixed-width buckets via
+    integer division, clamped at the top bin.
+
+    Shape: shard + bucket are per-row scan expressions; ONE map-side-
+    combinable groupBy over (shard, bucket) -- 16 x 8 = 128 output rows
+    regardless of corpus size, so at 100 TB this is a single partial-agg
+    pass at parquet read speed with a trivially small shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("-", F.lit("shard"), F.col("doc_id")))
+    n_tok = F.size(F.split(F.col("text"), " "))
+    bucket = F.least(F.floor(n_tok / CARD_BUCKET_W), F.lit(CARD_TOP)) \
+        .cast("int")
+    return (
+        docs.select(F.substring(h, 1, 1).alias("shard"),
+                    bucket.alias("bucket"), n_tok.alias("n_tok"))
+        .groupBy("shard", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tok").alias("sum_tokens"),
+             F.min("n_tok").alias("min_tokens"),
+             F.max("n_tok").alias("max_tokens"))
+    )
+
+
 # Target mixture as integer percents (sum 100): the pretraining-mix
 # shape where the corpus must be downsampled to prescribed language
 # shares rather than per-stratum keep RATES (q_sample_stratified).
@@ -369,6 +403,22 @@ ORACLES: dict[str, str] = {
         )
         SELECT r.lang, r.doc_id, r.pos
         FROM r JOIN lim USING (lang) WHERE r.pos <= lim.k
+    """,
+    "q_shard_card": f"""
+        WITH s AS (
+          SELECT substring(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 1)
+                   AS shard,
+                 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
+          FROM documents
+        )
+        SELECT shard,
+               CAST(least(n_tok // {CARD_BUCKET_W}, {CARD_TOP}) AS INTEGER)
+                 AS bucket,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(MIN(n_tok) AS INTEGER) AS min_tokens,
+               CAST(MAX(n_tok) AS INTEGER) AS max_tokens
+        FROM s GROUP BY 1, 2
     """,
     "q_export_shards": """
         WITH s AS (

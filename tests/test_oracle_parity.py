@@ -117,6 +117,7 @@ EXPECTED_KEYS = {
     "q_dedup_ngram",
     "q_dedup_prefix",
     "q_dedup_simhash",
+    "q_dedup_url",
     "q_dq_checks",
     "q_embed_quantize",
     "q_embed_stats",
@@ -135,6 +136,7 @@ EXPECTED_KEYS = {
     "q_fn_string",
     "q_fn_try",
     "q_funnel",
+    "q_funnel_sessionized",
     "q_ingest_feed",
     "q_ingest_json",
     "q_intersect",
@@ -175,6 +177,7 @@ EXPECTED_KEYS = {
     "q_scan_prune",
     "q_scd2",
     "q_sessionize",
+    "q_shard_card",
     "q_sim_cosine",
     "q_sim_ivf",
     "q_sim_knn_per_label",
