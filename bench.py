@@ -92,6 +92,17 @@ HEADLINE = [
     "q_mm_decode",
     "q_mm_resize",
     "q_stream_join_agg",
+    # round-7 additions (VERDICT r6 #4): the new oracle-able keys --
+    # two more Arrow-worker multimodal verbs (PNG inflate+unfilter and
+    # WAV parse are real per-row Python cost), URL canonicalization
+    # (regexp/array-op heavy projection), the sessionized funnel
+    # (three chained windows), and the shard card (cheap by design --
+    # included so its single-pass claim stays measured)
+    "q_mm_decode_png",
+    "q_mm_audio",
+    "q_dedup_url",
+    "q_funnel_sessionized",
+    "q_shard_card",
     # q_cte_recursive is deliberately NOT benched: Spark executes one
     # job per recursion step, so an 80-month spine costs ~80 scheduler
     # round-trips (~11s) regardless of data size.  The key exists to

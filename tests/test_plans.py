@@ -336,6 +336,31 @@ def test_sessionize_is_single_user_exchange(spark, sf_dir):
     assert not P.has_cartesian(df)
 
 
+def test_url_dedup_and_shard_card_are_single_pass_jvm_plans(spark, sf_dir):
+    """The two r7 scan+agg keys must stay pure JVM single-aggregation
+    plans: canonicalization / bucketing are scan-level projections
+    (no Python eval in the plan), and the only exchange is the final
+    group-by's partial->final hash aggregate pair."""
+    from financialtransactionmonitoringsystem_spark.operators import curate, dedup
+
+    df = curate.q_shard_card(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert s.count("Exchange") == 1, s
+    assert s.count("HashAggregate") == 2, s  # partial + final
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    assert not P.has_cartesian(df)
+    # q_dedup_url carries a count(DISTINCT url), which Catalyst expands
+    # to the standard two-phase distinct-agg plan: exchange on
+    # (canon, url) then on canon -- exactly 2 exchanges, never more,
+    # and still no Python eval anywhere.
+    df = dedup.q_dedup_url(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert s.count("Exchange") == 2, s
+    assert "count(distinct url" in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    assert not P.has_cartesian(df)
+
+
 def test_export_shards_spreads_shards_over_partitions(spark, sf_dir):
     """The per-shard position must come from the range-partitioned
     running sum, not a one-task-per-shard window: the busiest shard
