@@ -103,6 +103,8 @@ HEADLINE = [
     "q_dedup_url",
     "q_funnel_sessionized",
     "q_shard_card",
+    "q_mm_keyframes",
+    "q_curate_epochs",
     # q_cte_recursive is deliberately NOT benched: Spark executes one
     # job per recursion step, so an 80-month spine costs ~80 scheduler
     # round-trips (~11s) regardless of data size.  The key exists to

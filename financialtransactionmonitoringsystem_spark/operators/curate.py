@@ -243,6 +243,33 @@ def _sharded_with_pid(spark: SparkSession, sf_dir: str,
                                ["h", "doc_id"], n_parts)
 
 
+def q_curate_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aware repetition budgeting: the data-mixing step where
+    higher-quality documents repeat MORE epochs in the training mix
+    (quality-scaled duplication, the practical form of "repeat good
+    data, see bad data once").  Quality tier is the type-token ratio,
+    tested by exact integer CROSS-MULTIPLICATION (4d >= 3n for
+    ttr >= 0.75, 2d >= n for ttr >= 0.5) -- no float ratio ever
+    computed, so the tier cut is bit-identical on any engine.  Each doc
+    then fans out to one row per epoch it participates in.
+
+    Shape: a pure projection + ``explode(sequence(1, epochs))`` over
+    the scan -- ZERO shuffles, no window, no UDF; at 100 TB this runs
+    at parquet read speed and the output feeds pack_sequences/
+    export_shards directly.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    epochs = F.when(4 * d >= 3 * n, 3).when(2 * d >= n, 2).otherwise(1)
+    return (
+        docs.select("doc_id", "lang", n.alias("n_tokens"),
+                    epochs.alias("epochs"))
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("epochs"))))
+    )
+
+
 CARD_BUCKET_W = 16   # token-count histogram bin width
 CARD_TOP = 7         # >= CARD_BUCKET_W * CARD_TOP clamps into the top bin
 
@@ -403,6 +430,27 @@ ORACLES: dict[str, str] = {
         )
         SELECT r.lang, r.doc_id, r.pos
         FROM r JOIN lim USING (lang) WHERE r.pos <= lim.k
+    """,
+    # Same integer cross-multiplication tiering; unnest(range(...)) is
+    # DuckDB's explode(sequence(...)) (lateral generate_series does not
+    # accept column arguments).
+    "q_curate_epochs": """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                 CAST(len(list_distinct(string_split(text, ' ')))
+                      AS INTEGER) AS d
+          FROM documents
+        ), e AS (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(CASE WHEN 4 * d >= 3 * n_tokens THEN 3
+                           WHEN 2 * d >= n_tokens THEN 2
+                           ELSE 1 END AS INTEGER) AS epochs
+          FROM t
+        )
+        SELECT doc_id, lang, n_tokens, epochs,
+               CAST(unnest(range(1, epochs + 1)) AS INTEGER) AS epoch
+        FROM e
     """,
     "q_shard_card": f"""
         WITH s AS (

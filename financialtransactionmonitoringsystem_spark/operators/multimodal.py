@@ -23,7 +23,7 @@ from __future__ import annotations
 import hashlib
 import struct as _struct
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -637,6 +637,39 @@ def q_mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         png_roundtrip, PNG_ROUNDTRIP_SCHEMA)
 
 
+KEYFRAME_DELTA = 64  # byte-scale scene-change threshold
+
+
+def q_mm_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe selection (the video curation verb after frame
+    sampling): from the sampled frame stream, keep a frame iff it is
+    the first of its doc or its brightness jumped more than
+    ``KEYFRAME_DELTA`` byte-levels vs the previous frame -- the
+    scene-change heuristic that picks which frames of a video feed a
+    vision-LM training set.
+
+    Deliberate engine split: frames come from the REAL Arrow fanout
+    worker (``sample_frames``, the q_mm_frames path), while the
+    selection itself is a JVM lag-window over the frame table -- at
+    100 TB the Python boundary is paid once to decode, and everything
+    after is Catalyst.  The comparison is pulled back to EXACT INTEGER
+    byte levels (round(px*255) recovers the byte exactly; |Δ| > 64 on
+    ints) so the oracle cannot drift on float-subtraction rounding.
+
+    Shape: one Arrow map + ONE hash exchange on doc_id for the lag
+    window; per-doc frame counts are bounded, so the window is not a
+    skew hazard."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = with_binary_content(docs).mapInPandas(sample_frames, FRAME_SCHEMA)
+    px = F.round(F.col("frame_px") * 255).cast("int")
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    staged = frames.select("doc_id", "frame_idx", px.alias("px_byte")) \
+        .withColumn("delta", F.abs(F.col("px_byte")
+                                   - F.lag("px_byte").over(w)))
+    return staged.filter(
+        F.col("delta").isNull() | (F.col("delta") > KEYFRAME_DELTA))
+
+
 def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode + frame analysis: genuine RIFF/WAVE files
     (PCM 16-bit mono, built JVM-side -- literal header + digest
@@ -766,6 +799,24 @@ ORACLES: dict[str, str] = {
                      i -> {mdbyte_i}),
                    (x, y) -> x + y) AS DOUBLE) / 16 / 2.55e2 AS mean_px
         FROM b
+    """,
+    # Frames are digest bytes 0/5/10/15 (the q_mm_frames fanout); the
+    # lag-window keyframe rule replays on exact integer byte levels.
+    "q_mm_keyframes": f"""
+        WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+        f AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                 CAST({mdbyte_i} AS INTEGER) AS px_byte
+          FROM b, unnest([0, 5, 10, 15]) AS t(i)
+        ), l AS (
+          SELECT doc_id, frame_idx, px_byte,
+                 abs(px_byte - lag(px_byte) OVER (PARTITION BY doc_id
+                                                  ORDER BY frame_idx))
+                   AS delta
+          FROM f
+        )
+        SELECT doc_id, frame_idx, px_byte, delta
+        FROM l WHERE delta IS NULL OR delta > {KEYFRAME_DELTA}
     """,
     # Exact integer energy/peak per 4-sample frame, int16 LE samples
     # rebuilt from digest byte pairs -- one UNION ALL arm per frame.

@@ -101,7 +101,8 @@ LAST_ATTESTED: dict[str, int] = {
 # corpus broadcast (VERDICT r6 #3, plan change only but the window
 # attests the claim).  New keys (absent from LAST_ATTESTED) sort
 # most-stale automatically and need no entry here.
-# Budget: 41 r4-stale + TOUCHED + new keys <= 50 = the driver window.
+# Budget: 41 r4-stale + 2 TOUCHED + 7 new = 50 = the driver window,
+# exactly full -- no further touches or keys can land this round.
 TOUCHED: tuple[str, ...] = (
     "q_sim_lsh", "q_dedup_ngram",
 )

@@ -107,6 +107,7 @@ EXPECTED_KEYS = {
     "q_cte",
     "q_cte_recursive",
     "q_curate_budget",
+    "q_curate_epochs",
     "q_dedup",
     "q_dedup_cluster",
     "q_dedup_embed",
@@ -160,6 +161,7 @@ EXPECTED_KEYS = {
     "q_mm_decode_png",
     "q_mm_features",
     "q_mm_frames",
+    "q_mm_keyframes",
     "q_mm_meta",
     "q_mm_resize",
     "q_pack_sequences",

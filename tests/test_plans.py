@@ -361,6 +361,26 @@ def test_url_dedup_and_shard_card_are_single_pass_jvm_plans(spark, sf_dir):
     assert not P.has_cartesian(df)
 
 
+def test_epochs_is_zero_shuffle_and_keyframes_single_exchange(spark, sf_dir):
+    """q_curate_epochs must be a pure projection + explode over the
+    scan -- zero exchanges, zero Python; q_mm_keyframes pays the Arrow
+    decode once (the frame worker) and exactly ONE doc_id exchange for
+    the lag window -- selection never re-enters Python."""
+    from financialtransactionmonitoringsystem_spark.operators import (
+        curate, multimodal)
+
+    df = curate.q_curate_epochs(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert "Exchange" not in s, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+
+    df = multimodal.q_mm_keyframes(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert s.count("Exchange") == 1 and "hashpartitioning(doc_id" in s, s
+    assert s.count("MapInPandas") == 1, s  # decode once, select JVM-side
+    assert not P.has_cartesian(df)
+
+
 def test_export_shards_spreads_shards_over_partitions(spark, sf_dir):
     """The per-shard position must come from the range-partitioned
     running sum, not a one-task-per-shard window: the busiest shard
