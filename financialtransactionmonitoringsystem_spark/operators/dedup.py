@@ -87,7 +87,10 @@ def _doc_urls(docs: DataFrame) -> DataFrame:
         F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
         F.col("source"),
         F.when(d % 5 == 0, F.lit(".example.com")).otherwise(F.lit(".Example.COM")),
-        F.when(d % 7 == 0, F.lit(":443")).otherwise(F.lit("")))
+        # an explicit DEFAULT port (must strip) and, rarer, a genuine
+        # non-default port (must KEEP -- a different origin)
+        F.when(d % 7 == 0, F.lit(":443"))
+        .when(d % 11 == 0, F.lit(":8443")).otherwise(F.lit("")))
     path = F.concat(F.lit("/docs/"), s(d % 40),
                     F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")))
     query = F.when(d % 2 == 0, F.concat(F.lit("?page="), s(d % 3),
@@ -102,14 +105,24 @@ def _doc_urls(docs: DataFrame) -> DataFrame:
 def canonical_url(url: Column) -> Column:
     """URL canonicalization -- the dedup key a crawl pipeline groups on
     before content dedup even starts: lowercase scheme and host, strip
-    a leading ``www.`` and an explicit port, drop the fragment, strip a
-    trailing slash from a non-root path, drop ``utm_*`` tracking params
-    and sort the survivors.  Built on ``parse_url`` (JVM-side Catalyst
-    expression) + higher-order array ops -- no UDF, codegen-friendly,
-    so at 100 TB this is a pure scan-speed projection."""
+    a leading ``www.`` and an explicit SCHEME-DEFAULT port (443/https,
+    80/http -- a non-default port is a different origin and is KEPT),
+    drop the fragment, strip a trailing slash from a non-root path,
+    drop ``utm_*`` tracking params and sort the survivors.  Built on
+    ``parse_url`` (JVM-side Catalyst expression) + higher-order array
+    ops -- no UDF, codegen-friendly, so at 100 TB this is a pure
+    scan-speed projection."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.regexp_replace(
         F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", "")
+    # parse_url(HOST) drops any port; recover it from the authority and
+    # keep it unless it is the scheme's default
+    authority = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    default_port = ((scheme == "https") & (port == "443")) \
+        | ((scheme == "http") & (port == "80"))
+    port_part = F.when((port != "") & ~default_port,
+                       F.concat(F.lit(":"), port)).otherwise(F.lit(""))
     raw_path = F.parse_url(url, F.lit("PATH"))
     # strip ONE trailing slash off a non-root path (conditional, not a
     # lookbehind regex -- the oracle's RE2 engine has no lookbehind)
@@ -120,7 +133,7 @@ def canonical_url(url: Column) -> Column:
         F.split(F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("")), "&"),
         lambda p: (p != "") & ~p.startswith("utm_")))
     return F.concat(
-        scheme, F.lit("://"), host, path,
+        scheme, F.lit("://"), host, port_part, path,
         F.when(F.size(params) > 0,
                F.concat(F.lit("?"), F.array_join(params, "&")))
         .otherwise(F.lit("")))
@@ -1039,7 +1052,8 @@ ORACLES: dict[str, str] = {
             || source
             || (CASE WHEN doc_id % 5 = 0 THEN '.example.com'
                      ELSE '.Example.COM' END)
-            || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+            || (CASE WHEN doc_id % 7 = 0 THEN ':443'
+                     WHEN doc_id % 11 = 0 THEN ':8443' ELSE '' END)
             || '/docs/' || CAST(doc_id % 40 AS VARCHAR)
             || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
             || (CASE WHEN doc_id % 2 = 0
@@ -1055,6 +1069,9 @@ ORACLES: dict[str, str] = {
                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
                  regexp_replace(lower(regexp_extract(url,
                      '://([^/?#:]+)', 1)), '^www\\.', '') AS host,
+                 regexp_extract(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                     ':([0-9]+)$', 1) AS port,
                  regexp_extract(url,
                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
                  regexp_extract(url, '\\?([^#]*)', 1) AS q
@@ -1062,6 +1079,10 @@ ORACLES: dict[str, str] = {
         ), c AS (
           SELECT doc_id, url,
                  scheme || '://' || host
+                 || (CASE WHEN port <> ''
+                          AND NOT ((scheme = 'https' AND port = '443')
+                                   OR (scheme = 'http' AND port = '80'))
+                          THEN ':' || port ELSE '' END)
                  || (CASE WHEN p LIKE '%/' AND length(p) > 1
                           THEN substr(p, 1, length(p) - 1) ELSE p END)
                  || (CASE WHEN len(list_filter(string_split(q, '&'),

@@ -79,11 +79,46 @@ def test_url_canonicalization_rules(spark):
          "https://a.example.com/p"),
         ("http://b.org/p?z=1&utm_source=x&a=2", "http://b.org/p?a=2&z=1"),
         ("https://wwwx.net/p", "https://wwwx.net/p"),  # only 'www.' strips
+        # ports: scheme-default strips, anything else is a distinct
+        # origin and survives
+        ("http://a.com:80/p", "http://a.com/p"),
+        ("https://a.com:8443/p", "https://a.com:8443/p"),
+        ("http://a.com:443/p", "http://a.com:443/p"),  # not http's default
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r.c for r in df.select(
         dedup.canonical_url(F.col("url")).alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_url_canonicalization_invariance_and_idempotence(spark):
+    """Exhaustive variant cross-product: every combination of scheme
+    case x www x default-port x trailing slash x param order x fragment
+    (324 variants) must collapse to exactly TWO canonical forms per
+    host (the default-port group and the :8443 distinct-origin group),
+    and canonical must be a projection: canonical(canonical(u)) ==
+    canonical(u) for every variant.  One Spark job for the whole
+    grid."""
+    from itertools import product
+
+    variants = [
+        f"{scheme}://{www}a.Example.COM{port}/docs/7{slash}{params}{frag}"
+        for scheme, www, port, slash, params, frag in product(
+            ("https", "HTTPS", "Https"), ("", "www.", "WWW."),
+            ("", ":443", ":8443"), ("", "/"),
+            ("?a=1&utm_source=x", "?utm_source=x&a=1", "?a=1"),
+            ("", "#z"))
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    c1 = dedup.canonical_url(F.col("url"))
+    rows = df.select(F.col("url"), c1.alias("c1"),
+                     dedup.canonical_url(c1).alias("c2")).collect()
+    assert len(rows) == 324
+    for r in rows:
+        assert r.c2 == r.c1, (r.url, r.c1, r.c2)          # idempotent
+        want = ("https://a.example.com:8443/docs/7?a=1"
+                if ":8443" in r.url else "https://a.example.com/docs/7?a=1")
+        assert r.c1 == want, (r.url, r.c1)
 
 
 def test_dedup_queries_leave_no_dataframe_cache(spark, sf_dir):
@@ -161,6 +196,23 @@ def test_lsh_width_selection():
     wide = probe_masks(12, 2)
     assert len(wide) == len(set(wide)) == 1 + 12 + 66  # C(12,0)+C(12,1)+C(12,2)
     assert all(bin(m).count("1") <= 2 and m < (1 << 12) for m in wide)
+
+
+def test_lsh_wide_width_oracle_parity(spark, duck, sf_dir):
+    """The q_sim_lsh oracle's WIDE branch (12 bits / Hamming<=2) is
+    never exercised by the sf0.01 driver run -- force it on both
+    engines here so the adaptive SQL is attested at both widths: drop
+    the threshold to 0 in the oracle text and pass the matching
+    overrides to the Spark side, then require a full frame match."""
+    from financialtransactionmonitoringsystem_spark.operators.similarity import (
+        LSH_WIDE_THRESHOLD, ORACLES)
+
+    from .compare import assert_frames_match
+
+    wide_sql = ORACLES["q_sim_lsh"].replace(str(LSH_WIDE_THRESHOLD), "0")
+    assert wide_sql != ORACLES["q_sim_lsh"]
+    sdf = similarity.q_sim_lsh(spark, sf_dir, dims=12, radius=2).toPandas()
+    assert_frames_match(sdf, duck.execute(wide_sql).df(), "q_sim_lsh[wide]")
 
 
 def test_lsh_wide_width_recall(spark, sf_dir):
