@@ -431,6 +431,56 @@ def test_wav_parser_decodes_and_rejects_corruption():
         run(bytes(stereo))
 
 
+def test_binary_parsers_fuzz_contract():
+    """Decode workers run on untrusted crawl bytes at 100 TB: for ANY
+    mutated input the parsers must either return a result or raise the
+    contract exceptions (ValueError / NotImplementedError) -- never
+    hang, never leak zlib.error / struct.error / IndexError /
+    KeyError.  Hypothesis mutates valid files (byte flips, truncation,
+    splices) and throws raw garbage."""
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    png = multimodal.encode_png(4, 4, "L", bytes(range(16)),
+                                filter_types=(0, 1, 2, 3))
+    pgm = multimodal.PGM_HEADER + bytes(range(16))
+    wav = multimodal._WAV_HEADER + bytes(range(16))
+
+    def wav_parse(raw: bytes):
+        pdf = pd.DataFrame({"doc_id": [0], "content": [raw]})
+        return list(multimodal.decode_wav(iter([pdf])))
+
+    def pgm_parse(raw: bytes):
+        pdf = pd.DataFrame({"doc_id": [0], "content": [raw]})
+        return list(multimodal.decode_pgm(iter([pdf])))
+
+    targets = ((multimodal.decode_png, png), (pgm_parse, pgm),
+               (wav_parse, wav))
+
+    @settings(max_examples=150, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.integers(0, 2),
+           st.lists(st.tuples(st.integers(0, 59), st.integers(0, 255)),
+                    max_size=6),
+           st.integers(0, 60),
+           st.binary(max_size=40))
+    def prop(which, flips, cut, garbage):
+        fn, valid = targets[which]
+        for raw in (
+            bytes(b if i not in dict(flips) else dict(flips)[i]
+                  for i, b in enumerate(valid))[:len(valid) - cut % len(valid)],
+            garbage,
+            garbage + valid[cut % len(valid):],
+        ):
+            try:
+                fn(raw)
+            except (ValueError, NotImplementedError):
+                pass  # the contract
+
+    prop()
+
+
 def test_png_decoder_rejects_corruption():
     png = bytearray(multimodal.encode_png(2, 2, "L", bytes(4)))
     png[-6] ^= 0xFF                      # flip a byte inside IEND's CRC
