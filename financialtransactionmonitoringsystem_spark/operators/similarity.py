@@ -160,12 +160,17 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str, *,
     auto_d, auto_r = _lsh_params(load_table(spark, sf_dir, "embeddings").count())
     d = auto_d if dims is None else dims
     r = auto_r if radius is None else radius
+    # Compute the bucket ONCE and XOR the resulting column: inlining the
+    # d-term sign expression into every probe element multiplies the
+    # generated code by |probes| (79 at the wide width), which overflows
+    # janino's method limit and silently drops the whole projection to
+    # interpreted mode -- measured 2x slower end-to-end at 150k vectors.
+    q = queries.withColumn("q_bucket", sign_bucket(F.col("q_emb"), d))
     probes = F.array(*[
-        sign_bucket(F.col("q_emb"), d).bitwiseXOR(F.lit(m).cast("long"))
+        F.col("q_bucket").bitwiseXOR(F.lit(m).cast("long"))
         for m in probe_masks(d, r)
     ])
-    q = queries.withColumn("q_bucket", sign_bucket(F.col("q_emb"), d)) \
-        .withColumn("probe", F.explode(probes))
+    q = q.withColumn("probe", F.explode(probes))
     e = emb.withColumn("bucket", sign_bucket(F.col("embedding"), d))
     cos = _pair_cos()
     scored = (
