@@ -215,6 +215,23 @@ def test_lsh_wide_width_oracle_parity(spark, duck, sf_dir):
     assert_frames_match(sdf, duck.execute(wide_sql).df(), "q_sim_lsh[wide]")
 
 
+def test_lsh_wide_width_compiles_codegen_strict(spark, sf_dir):
+    """Regression pin for the r7 janino overflow: the 79-probe wide
+    path must stay inside whole-stage codegen.  Inlining the 12-term
+    sign expression per probe element overflowed janino's method limit
+    and silently dropped to interpreted mode (measured ~9x slower at
+    150k vectors); with fallback disabled, any recurrence throws
+    instead of degrading."""
+    for conf, strict in (("spark.sql.codegen.fallback", "false"),
+                         ("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")):
+        spark.conf.set(conf, strict)
+    try:
+        assert similarity.q_sim_lsh(spark, sf_dir, dims=12, radius=2).count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+
+
 def test_lsh_wide_width_recall(spark, sf_dir):
     """Recall quantified at the WIDE width too (VERDICT r6 #2): force
     12-bit buckets / Hamming<=2 probing on the test corpus via the
