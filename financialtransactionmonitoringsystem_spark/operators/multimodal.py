@@ -189,6 +189,8 @@ def encode_png(width: int, height: int, mode: str, pixels: bytes,
     bpp = channels
     if len(pixels) != stride * height:
         raise ValueError("pixel buffer does not match dimensions")
+    if filter_types is not None and len(filter_types) == 0:
+        raise ValueError("filter_types must be non-empty (or None)")
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + ctype + data
@@ -349,6 +351,12 @@ def _make_decode_pgm():
                 raise ValueError("missing raster separator")
             i += 1
             w, h, maxval = vals
+            # zero dims / zero maxval parse "successfully" but make the
+            # mean a division by zero -- a corrupt header, not arithmetic
+            # (review finding: the fuzz contract bans non-ValueError)
+            if w <= 0 or h <= 0 or maxval <= 0:
+                raise ValueError(
+                    f"invalid PGM header values w={w} h={h} maxval={maxval}")
             px = raw[i:]
             if len(px) != w * h:
                 raise ValueError(
@@ -490,6 +498,8 @@ def _make_decode_wav():
                 if len(body) != sz:
                     raise ValueError(f"truncated {cid!r} chunk")
                 if cid == b"fmt ":
+                    if len(body) < 16:       # declared size under PCM minimum
+                        raise ValueError("fmt chunk shorter than 16 bytes")
                     fmt = struct.unpack("<HHIIHH", body[:16])
                 elif cid == b"data":
                     data = body
@@ -503,6 +513,8 @@ def _make_decode_wav():
                     f"ch={n_ch} bits={bits}")
             if rate != expect_rate:
                 raise ValueError(f"unexpected sample rate {rate}")
+            if len(data) % 2:
+                raise ValueError("odd data-chunk length for 16-bit PCM")
             samples = struct.unpack(f"<{len(data) // 2}h", data)
             return rate, samples
 

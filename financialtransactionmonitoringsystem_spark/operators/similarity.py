@@ -157,7 +157,13 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str, *,
     (quantified in tests vs q_sim_cosine at both widths).
     """
     queries, emb = _queries_and_corpus(spark, sf_dir)
-    auto_d, auto_r = _lsh_params(load_table(spark, sf_dir, "embeddings").count())
+    if dims is None or radius is None:
+        # the count is a parquet-metadata job; on a real deployment this
+        # is a catalog statistic.  Skipped entirely when both overrides
+        # are given (the width-parity tests) -- review finding.
+        auto_d, auto_r = _lsh_params(emb.count())
+    else:
+        auto_d = auto_r = None
     d = auto_d if dims is None else dims
     r = auto_r if radius is None else radius
     # Compute the bucket ONCE and XOR the resulting column: inlining the

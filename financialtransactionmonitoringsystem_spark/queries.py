@@ -103,6 +103,12 @@ LAST_ATTESTED: dict[str, int] = {
 # most-stale automatically and need no entry here.
 # Budget: 41 r4-stale + 2 TOUCHED + 7 new = 50 = the driver window,
 # exactly full -- no further touches or keys can land this round.
+# NOT listed despite late-r7 edits: q_mm_decode (decode_pgm gained
+# guards on zero-dim/zero-maxval headers -- inputs that previously
+# CRASHED with ZeroDivisionError, so no parseable input's output can
+# differ; unlike r6's q_mm_resize touch, no accept/reject boundary
+# moved) and q_mm_audio/q_mm_decode_png (same error-path-only class,
+# and both are new keys attested this round regardless).
 TOUCHED: tuple[str, ...] = (
     "q_sim_lsh", "q_dedup_ngram",
 )

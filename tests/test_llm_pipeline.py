@@ -222,14 +222,16 @@ def test_lsh_wide_width_compiles_codegen_strict(spark, sf_dir):
     and silently dropped to interpreted mode (measured ~9x slower at
     150k vectors); with fallback disabled, any recurrence throws
     instead of degrading."""
-    for conf, strict in (("spark.sql.codegen.fallback", "false"),
-                         ("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")):
-        spark.conf.set(conf, strict)
+    strict = {"spark.sql.codegen.fallback": "false",
+              "spark.sql.codegen.factoryMode": "CODEGEN_ONLY"}
+    prev = {c: spark.conf.get(c) for c in strict}
+    for c, v in strict.items():
+        spark.conf.set(c, v)
     try:
         assert similarity.q_sim_lsh(spark, sf_dir, dims=12, radius=2).count() > 0
     finally:
-        spark.conf.set("spark.sql.codegen.fallback", "true")
-        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        for c, v in prev.items():
+            spark.conf.set(c, v)
 
 
 def test_lsh_wide_width_recall(spark, sf_dir):
@@ -446,6 +448,27 @@ def test_wav_parser_decodes_and_rejects_corruption():
     stereo[34] = 8                    # bitsPerSample
     with pytest.raises(NotImplementedError):
         run(bytes(stereo))
+    # review findings: these one-byte mutations previously leaked
+    # struct.error (not a ValueError subclass) out of the worker
+    shortfmt = bytearray(wav)
+    shortfmt[16] = 8                  # fmt size under the PCM minimum
+    with pytest.raises(ValueError, match="fmt chunk"):
+        run(bytes(shortfmt))
+    odd = bytearray(wav)
+    odd[40] = 15                      # odd data length for 16-bit PCM
+    odd[4:8] = struct.pack("<I", 36 + 15)   # keep RIFF size consistent
+    with pytest.raises(ValueError, match="odd data"):
+        run(bytes(odd[:43 + 16]))
+    # PGM header with zero dims / zero maxval: ValueError, never a
+    # ZeroDivisionError (review finding)
+    import pandas as pd
+
+    for hdr, raster in ((b"P5\n0 4\n255\n", b""), (b"P5\n4 4\n0\n", bytes(16))):
+        pdf = pd.DataFrame({"doc_id": [0], "content": [hdr + raster]})
+        with pytest.raises(ValueError, match="invalid PGM header"):
+            list(multimodal.decode_pgm(iter([pdf])))
+    with pytest.raises(ValueError, match="non-empty"):
+        multimodal.encode_png(1, 1, "L", b"\x00", filter_types=[])
 
 
 def test_binary_parsers_fuzz_contract():
