@@ -495,12 +495,16 @@ def test_binary_parsers_fuzz_contract():
         pdf = pd.DataFrame({"doc_id": [0], "content": [raw]})
         return list(multimodal.decode_pgm(iter([pdf])))
 
+    def resize_parse(raw: bytes):
+        pdf = pd.DataFrame({"doc_id": [0], "content": [raw]})
+        return list(multimodal.resize_pgm(iter([pdf])))
+
     targets = ((multimodal.decode_png, png), (pgm_parse, pgm),
-               (wav_parse, wav))
+               (wav_parse, wav), (resize_parse, pgm))
 
     @settings(max_examples=150, deadline=None,
               suppress_health_check=[HealthCheck.too_slow])
-    @given(st.integers(0, 2),
+    @given(st.integers(0, 3),
            st.lists(st.tuples(st.integers(0, 59), st.integers(0, 255)),
                     max_size=6),
            st.integers(0, 60),
