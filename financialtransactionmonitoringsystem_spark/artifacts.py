@@ -22,6 +22,22 @@ import json
 import os
 
 
+def corpus_slug(sf_dir: str) -> str:
+    """Filesystem-safe, INJECTIVE directory slug for a corpus path: the
+    readable sanitized form plus a short hash of the exact path.  Plain
+    ``re.sub(r"\\W+", "_", ...)`` is not injective ('/data/sf0.1' and
+    '/data/sf0_1' collide), and a collision makes two corpora share one
+    on-disk artifact directory while per-process DataFrame caches keep
+    serving whichever build last overwrote it (review finding).  Every
+    artifact base path (token/prefix/band/simhash/cluster tables, the
+    IVF index) routes through here."""
+    import re
+
+    clean = sf_dir.strip("/")
+    return (re.sub(r"\W+", "_", clean) + "_"
+            + hashlib.md5(clean.encode()).hexdigest()[:8])
+
+
 def corpus_fingerprint(paths: list[str], params: dict) -> str:
     """Stable fingerprint of the given source files/dirs and build
     params.  Directories are walked; each file contributes its relative

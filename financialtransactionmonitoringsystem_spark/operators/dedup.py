@@ -42,6 +42,7 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..artifacts import corpus_slug
 from ..tables import load_table
 from ..util import rnd, sql_round as R
 
@@ -192,7 +193,7 @@ def _tokens_fingerprint(sf_dir: str) -> str:
 def _tok_base(sf_dir: str) -> str:
     return os.path.normpath(os.path.join(
         _CLUSTER_ROOT, "..", "tok_sets",
-        re.sub(r"\W+", "_", sf_dir.strip("/"))))
+        corpus_slug(sf_dir)))
 
 
 def build_token_table(spark: SparkSession, sf_dir: str) -> str:
@@ -234,7 +235,7 @@ def _prefix_fingerprint(sf_dir: str) -> str:
 def _prefix_base(sf_dir: str) -> str:
     return os.path.normpath(os.path.join(
         _CLUSTER_ROOT, "..", "prefix_index",
-        re.sub(r"\W+", "_", sf_dir.strip("/"))))
+        corpus_slug(sf_dir)))
 
 
 def build_prefix_index(spark: SparkSession, sf_dir: str) -> str:
@@ -605,7 +606,7 @@ def _band_fingerprint(sf_dir: str) -> str:
 def _band_base(sf_dir: str) -> str:
     return os.path.normpath(os.path.join(
         _CLUSTER_ROOT, "..", "band_table",
-        re.sub(r"\W+", "_", sf_dir.strip("/"))))
+        corpus_slug(sf_dir)))
 
 
 def build_band_table(spark: SparkSession, sf_dir: str) -> str:
@@ -791,7 +792,7 @@ def _simhash_fingerprint(sf_dir: str) -> str:
 def _simhash_base(sf_dir: str) -> str:
     return os.path.normpath(os.path.join(
         _CLUSTER_ROOT, "..", "simhash_table",
-        re.sub(r"\W+", "_", sf_dir.strip("/"))))
+        corpus_slug(sf_dir)))
 
 
 def build_simhash_table(spark: SparkSession, sf_dir: str) -> str:
@@ -865,12 +866,16 @@ def cosine_fold(a: Column, b: Column) -> Column:
     return dot_fold(a, b) / (norm_fold(a) * norm_fold(b))
 
 
+# Dim-agnostic: ranging over len(vector) instead of a hardcoded 64 keeps
+# the fold order identical while surviving a corpus regenerated at any
+# dimensionality (review finding: a 32-dim corpus made the out-of-bounds
+# terms NULL-poison the fold; a 128-dim one silently truncated).
 SQL_COSINE = """
-    list_reduce(list_transform(range(1, 65),
+    list_reduce(list_transform(range(1, len({a}) + 1),
         i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)
-    / (sqrt(list_reduce(list_transform(range(1, 65),
+    / (sqrt(list_reduce(list_transform(range(1, len({a}) + 1),
         i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), (x, y) -> x + y))
-     * sqrt(list_reduce(list_transform(range(1, 65),
+     * sqrt(list_reduce(list_transform(range(1, len({b}) + 1),
         i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)))
 """
 
@@ -966,7 +971,7 @@ _CLUSTER_ROOT = os.path.join(
 
 
 def _cluster_base(sf_dir: str) -> str:
-    return os.path.join(_CLUSTER_ROOT, re.sub(r"\W+", "_", sf_dir.strip("/")))
+    return os.path.join(_CLUSTER_ROOT, corpus_slug(sf_dir))
 
 
 def _cluster_fingerprint(sf_dir: str) -> str:

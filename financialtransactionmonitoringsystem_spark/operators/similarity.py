@@ -1,16 +1,20 @@
 """Similarity search over the ``embeddings`` table (driver mandate:
 LLM-data-pipeline extensions; SURVEY.md §2.2).
 
-Three tiers:
+Six operators:
 
-=================   ==============================================  ======
+=================   ==============================================  =========
 key                 method                                          oracle
-=================   ==============================================  ======
+=================   ==============================================  =========
 q_sim_cosine        brute-force cosine top-k (ground truth)         SQL
 q_sim_knn_per_label block-local top-k then merge (REPOSE-style      SQL
                     partition-then-merge; PAPERS.md ICDE'21)
-q_sim_lsh           sign-LSH bucketed ANN (the scale path)          SQL
-=================   ==============================================  ======
+q_sim_lsh           sign-LSH bucketed ANN, corpus-adaptive width    SQL
+q_sim_ivf           IVF probe against the PERSISTED cell-           rows-only
+                    partitioned index (build once, probe many)      + recall
+q_embed_quantize    symmetric int8 quantization + checksum row      SQL
+q_embed_stats       per-label norm hygiene stats                    SQL
+=================   ==============================================  =========
 
 Scale notes:
 * Query set broadcasts (it is small by construction); the corpus side
@@ -34,6 +38,7 @@ import re
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..artifacts import corpus_slug
 from ..tables import load_table
 from ..util import rnd, sql_round as R
 from .dedup import SQL_COSINE, dot_fold, norm_fold
@@ -56,12 +61,20 @@ LSH_SIGN_DIMS_WIDE = 12      # wide width (4096 buckets)
 LSH_WIDE_THRESHOLD = 100_000
 
 
+def _radius_for(dims: int) -> int:
+    """Probe radius is a function of the WIDTH, not the corpus: the
+    wide 12-bit signature needs Hamming<=2 to buy recall back, while
+    Hamming<=2 at 4 bits would probe 11/16 buckets -- ANN in name only
+    (review finding: an independent dims override must not pair with a
+    corpus-derived radius)."""
+    return 2 if dims >= LSH_SIGN_DIMS_WIDE else 1
+
+
 def _lsh_params(n_vecs: int) -> tuple[int, int]:
     """(sign_bits, probe_radius) for a corpus size -- 4/1 small, 12/2
     large; the ANN twin of ``dedup._simhash_width``."""
-    if n_vecs >= LSH_WIDE_THRESHOLD:
-        return LSH_SIGN_DIMS_WIDE, 2
-    return LSH_SIGN_DIMS, 1
+    d = LSH_SIGN_DIMS_WIDE if n_vecs >= LSH_WIDE_THRESHOLD else LSH_SIGN_DIMS
+    return d, _radius_for(d)
 
 
 def _queries_and_corpus(spark: SparkSession, sf_dir: str):
@@ -157,15 +170,12 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str, *,
     (quantified in tests vs q_sim_cosine at both widths).
     """
     queries, emb = _queries_and_corpus(spark, sf_dir)
-    if dims is None or radius is None:
-        # the count is a parquet-metadata job; on a real deployment this
-        # is a catalog statistic.  Skipped entirely when both overrides
-        # are given (the width-parity tests) -- review finding.
-        auto_d, auto_r = _lsh_params(emb.count())
-    else:
-        auto_d = auto_r = None
-    d = auto_d if dims is None else dims
-    r = auto_r if radius is None else radius
+    # The count is a parquet-metadata job (a catalog statistic on a real
+    # deployment), skipped entirely when dims is forced (review
+    # finding); the default radius follows the RESOLVED width, so a
+    # dims override alone still gets its sanctioned pairing.
+    d = dims if dims is not None else _lsh_params(emb.count())[0]
+    r = radius if radius is not None else _radius_for(d)
     # Compute the bucket ONCE and XOR the resulting column: inlining the
     # d-term sign expression into every probe element multiplies the
     # generated code by |probes| (79 at the wide width), which overflows
@@ -194,6 +204,11 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str, *,
 IVF_NLIST = 16
 IVF_NPROBE = 4  # scans ~nprobe/nlist of the corpus; recall@3 ~0.65 on testdata
 IVF_SAMPLE_CAP = 50_000  # max vectors the quantizer trains on
+# Quantizer training params, shared by the KMeans fit AND the staleness
+# fingerprint: duplicating them as literals let one be edited without
+# the other, making every existing _BUILT marker lie (review finding).
+IVF_KMEANS_SEED = 42
+IVF_KMEANS_MAX_ITER = 8
 
 # Persisted index root (under the repo's spark-warehouse; gitignored) and a
 # per-process handle cache so repeated probes don't re-open the parquet.
@@ -211,7 +226,8 @@ def _ivf_fingerprint(sf_dir: str, nlist: int = IVF_NLIST) -> str:
     return corpus_fingerprint(
         [os.path.join(sf_dir, "embeddings.parquet")],
         {"algo": "ivf-kmeans", "nlist": nlist,
-         "sample_cap": IVF_SAMPLE_CAP, "seed": 42, "max_iter": 8})
+         "sample_cap": IVF_SAMPLE_CAP, "seed": IVF_KMEANS_SEED,
+         "max_iter": IVF_KMEANS_MAX_ITER})
 
 
 def build_ivf_index(spark: SparkSession, sf_dir: str,
@@ -236,7 +252,7 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
 
     from ..artifacts import marker_current, write_marker
 
-    base = os.path.join(_IVF_ROOT, re.sub(r"\W+", "_", sf_dir.strip("/")))
+    base = os.path.join(_IVF_ROOT, corpus_slug(sf_dir))
     done = os.path.join(base, "_BUILT")
     fp = _ivf_fingerprint(sf_dir, nlist)
     if marker_current(done, fp):
@@ -244,9 +260,10 @@ def build_ivf_index(spark: SparkSession, sf_dir: str,
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     sample = emb if n <= IVF_SAMPLE_CAP else emb.sample(
-        fraction=IVF_SAMPLE_CAP / n, seed=42)
+        fraction=IVF_SAMPLE_CAP / n, seed=IVF_KMEANS_SEED)
     feat_cols = array_to_vector(F.col("embedding").cast("array<double>"))
-    model = KMeans(k=nlist, seed=42, maxIter=8).fit(
+    model = KMeans(k=nlist, seed=IVF_KMEANS_SEED,
+                   maxIter=IVF_KMEANS_MAX_ITER).fit(
         sample.withColumn("features", feat_cols))
     corpus = model.transform(emb.withColumn("features", feat_cols)).select(
         "vec_id", "embedding", "label", F.col("prediction").alias("cell"))
@@ -375,13 +392,9 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order noise is ~1e-15 relative).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v)
-
-    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    # the shared fold, not a local re-implementation: two copies of a
+    # bit-identical-determinism-critical expression drift (review)
+    norm = norm_fold(F.col("embedding"))
     return (
         emb.select("label", norm.alias("norm"))
         .groupBy("label")
@@ -411,7 +424,9 @@ _LSH_WIDTH_CTE = f"""w AS (
                 THEN 2 ELSE 1 END AS radius
     FROM embeddings)"""
 
-_NORM = """sqrt(list_reduce(list_transform(range(1, 65),
+# Dim-agnostic like SQL_COSINE (review finding: range(1, 65) hardcoded
+# the corpus dimensionality into the oracle).
+_NORM = """sqrt(list_reduce(list_transform(range(1, len(embedding) + 1),
     i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
     (x, y) -> x + y))"""
 

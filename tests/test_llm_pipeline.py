@@ -196,6 +196,26 @@ def test_lsh_width_selection():
     wide = probe_masks(12, 2)
     assert len(wide) == len(set(wide)) == 1 + 12 + 66  # C(12,0)+C(12,1)+C(12,2)
     assert all(bin(m).count("1") <= 2 and m < (1 << 12) for m in wide)
+    # radius is a function of the WIDTH: a dims override must never pair
+    # with the other width's radius (review finding)
+    from financialtransactionmonitoringsystem_spark.operators.similarity import (
+        _radius_for)
+
+    assert _radius_for(LSH_SIGN_DIMS) == 1
+    assert _radius_for(LSH_SIGN_DIMS_WIDE) == 2
+
+
+def test_corpus_slug_is_injective_and_stable():
+    """Review finding: the plain \\W+ sanitization collided
+    '/data/sf0.1' with '/data/sf0_1', making two corpora share one
+    artifact directory.  The slug must separate them, stay stable for
+    the same path, and ignore a trailing slash."""
+    from financialtransactionmonitoringsystem_spark.artifacts import corpus_slug
+
+    a, b = corpus_slug("/data/sf0.1"), corpus_slug("/data/sf0_1")
+    assert a != b
+    assert corpus_slug("/data/sf0.1") == a == corpus_slug("/data/sf0.1/")
+    assert all(ch.isalnum() or ch == "_" for ch in a)
 
 
 def test_lsh_wide_width_oracle_parity(spark, duck, sf_dir):
