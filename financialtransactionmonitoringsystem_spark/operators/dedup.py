@@ -36,7 +36,6 @@ Scale notes (the testdata corpus is 500 docs; design is for 10^9):
 from __future__ import annotations
 
 import os
-import re
 from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
@@ -58,6 +57,53 @@ JACCARD_THRESHOLD = 0.8
 # losslessness test).  All prune math must use these integers.
 JACCARD_NUM, JACCARD_DEN = 4, 5
 assert JACCARD_NUM / JACCARD_DEN == JACCARD_THRESHOLD
+# Verification emits pairs on the ROUNDED predicate rnd(J, 6) >= 0.8
+# (the oracle's own form), which admits true J down to
+# floor-half-up^-1(0.8) = 0.7999995 = 1599999/2000000.  The prunes must
+# bound THAT acceptance region, not the bare 4/5: with 4/5 a pair whose
+# true J lies in [0.7999995, 0.8) could be pruned before the verify
+# join yet emitted by the all-pairs oracle (review finding).  The two
+# rationals differ only for docs with >= 2,000,000 distinct tokens, so
+# every test-scale artifact is byte-identical -- but the prefix/length/
+# positional bounds below all use the PRUNE pair, keeping the
+# byte-identity contract true at design scale too.  Prunes may only be
+# MORE permissive than the verify filter, never less.
+PRUNE_NUM, PRUNE_DEN = 1_599_999, 2_000_000
+assert PRUNE_NUM / PRUNE_DEN < JACCARD_THRESHOLD
+
+
+def _ceil_div(num: Column, den: int) -> Column:
+    """ceil(num/den) for non-negative integral columns in PURE integer
+    arithmetic: (num + den - 1) DIV den via IntegralDivide.  A double
+    true-division here breaks the module's all-prune-math-in-integers
+    invariant once num approaches 2^52 (review finding) -- the exact
+    bug class JACCARD_NUM/JACCARD_DEN were introduced to kill."""
+    return F.call_function(
+        "div", num + F.lit(den - 1).cast("long"), F.lit(den).cast("long"))
+
+
+_WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "spark-warehouse")
+
+
+def _artifact_base(family: str, sf_dir: str) -> str:
+    """Canonical on-disk home of one persisted corpus-artifact family:
+    ``<repo>/spark-warehouse/<family>/<injective corpus slug>``.  ONE
+    helper instead of five hand-rolled copies -- the copy-paste family
+    is exactly where a subdir string or slug variant drifts (review
+    finding; artifacts.py records the same hazard class for the
+    ensure/read halves)."""
+    return os.path.join(_WAREHOUSE, family, corpus_slug(sf_dir))
+
+
+def _doc_fingerprint(sf_dir: str, params: dict) -> str:
+    """Staleness fingerprint of a documents.parquet-derived artifact --
+    the shared half of every build_*_table idempotence check."""
+    from ..artifacts import corpus_fingerprint
+
+    return corpus_fingerprint(
+        [os.path.join(sf_dir, "documents.parquet")], params)
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,8 +193,14 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs before any content-based dedup in a crawl pipeline.
 
     Shape: canonicalization is a narrow projection over the scan; the
-    only exchange is the final groupBy on the canonical key (map-side
-    combinable).  No UDFs, no window over the full corpus."""
+    ``count(DISTINCT url)`` then plans as Catalyst's standard two-phase
+    distinct rewrite -- partial agg on (canon, url), exchange on that
+    pair, partial+final on canon, exchange on canon: exactly TWO
+    exchanges, pinned in test_plans.py.  At 100 TB that first exchange
+    shuffles the distinct raw-URL set; if variant counts are not worth
+    that, drop ``n_variants`` (or approx_count_distinct it) and the
+    plan collapses to one map-side-combinable aggregation.  No UDFs,
+    no window over the full corpus."""
     urls = _doc_urls(load_table(spark, sf_dir, "documents"))
     return (
         urls.select("doc_id", "url", canonical_url(F.col("url")).alias("canon"))
@@ -183,17 +235,11 @@ def _jaccard(a_toks: Column, b_toks: Column, na: Column, nb: Column) -> Column:
 
 
 def _tokens_fingerprint(sf_dir: str) -> str:
-    from ..artifacts import corpus_fingerprint
-
-    return corpus_fingerprint(
-        [os.path.join(sf_dir, "documents.parquet")],
-        {"algo": "xxhash64-token-sets"})
+    return _doc_fingerprint(sf_dir, {"algo": "xxhash64-token-sets"})
 
 
 def _tok_base(sf_dir: str) -> str:
-    return os.path.normpath(os.path.join(
-        _CLUSTER_ROOT, "..", "tok_sets",
-        corpus_slug(sf_dir)))
+    return _artifact_base("tok_sets", sf_dir)
 
 
 def build_token_table(spark: SparkSession, sf_dir: str) -> str:
@@ -224,18 +270,14 @@ def corpus_tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _prefix_fingerprint(sf_dir: str) -> str:
-    from ..artifacts import corpus_fingerprint
-
-    return corpus_fingerprint(
-        [os.path.join(sf_dir, "documents.parquet")],
-        {"algo": "prefix-index", "jaccard_num": JACCARD_NUM,
-         "jaccard_den": JACCARD_DEN})
+    return _doc_fingerprint(
+        sf_dir, {"algo": "prefix-index", "jaccard_num": JACCARD_NUM,
+                 "jaccard_den": JACCARD_DEN,
+                 "prune": (PRUNE_NUM, PRUNE_DEN)})
 
 
 def _prefix_base(sf_dir: str) -> str:
-    return os.path.normpath(os.path.join(
-        _CLUSTER_ROOT, "..", "prefix_index",
-        corpus_slug(sf_dir)))
+    return _artifact_base("prefix_index", sf_dir)
 
 
 def build_prefix_index(spark: SparkSession, sf_dir: str) -> str:
@@ -337,7 +379,8 @@ def prefix_candidates(docs: DataFrame,
     Recall is exactly 1 by the prefix property, unlike MinHash banding.
     """
     assert threshold == JACCARD_NUM / JACCARD_DEN, \
-        "prefix bounds use the exact rational JACCARD_NUM/JACCARD_DEN"
+        "prune bounds are derived for the fixed module threshold " \
+        "(PRUNE_NUM/PRUNE_DEN relax it to the rounded acceptance region)"
     return _prefix_join(_prefix_table(_tok_sets(docs)))
 
 
@@ -345,14 +388,15 @@ def _prefix_table(toksets: DataFrame) -> DataFrame:
     """Rarest-first prefix-token table (doc_id, lang, tok, pos, n_toks)
     from a token-set table (:func:`_tok_sets` / :func:`corpus_tok_sets`):
     the tokens a qualifying partner MUST share one of."""
-    p, q = JACCARD_NUM, JACCARD_DEN
+    p, q = PRUNE_NUM, PRUNE_DEN
     tok = toksets.select("doc_id", "lang", "n_toks", F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
     w = W.partitionBy("doc_id").orderBy(F.col("gf").asc(), F.col("tok").asc())
     # Smallest qualifying overlap with ANY partner is ceil(t*n) (at the
     # minimum partner size t*n), so the prefix is n - ceil(t*n) + 1
-    # tokens; ceil computed in exact integer arithmetic.
-    min_overlap_self = F.floor((p * F.col("n_toks") + q - 1) / q)
+    # tokens; ceil in pure integer arithmetic (_ceil_div), operands
+    # widened to long so p * n_toks cannot wrap 32-bit.
+    min_overlap_self = _ceil_div(p * F.col("n_toks").cast("long"), q)
     return (
         tok.join(freq, "tok")
         .withColumn("pos", F.row_number().over(w))
@@ -376,11 +420,14 @@ def _prefix_probe(index: DataFrame, probe: DataFrame,
     :func:`prefix_candidates`).  ``pair_cond`` carves the pair space:
     ``a.doc_id < b.doc_id`` for the self-join, always-true for a
     disjoint delta/corpus split (:func:`q_dedup_incremental`)."""
-    p, q = JACCARD_NUM, JACCARD_DEN
+    p, q = PRUNE_NUM, PRUNE_DEN
     a = index.alias("a")
     b = probe.alias("b")
-    na, nb = F.col("a.n_toks"), F.col("b.n_toks")
-    overlap_ub = F.lit(1) + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
+    # widened to long: with the million-scale PRUNE rationals an int32
+    # product q * n_toks wraps for any doc past ~1.3k tokens
+    na, nb = F.col("a.n_toks").cast("long"), F.col("b.n_toks").cast("long")
+    overlap_ub = F.lit(1).cast("long") \
+        + F.least(na - F.col("a.pos"), nb - F.col("b.pos"))
     return (
         a.join(b, (F.col("a.tok") == F.col("b.tok"))
                & (F.col("a.lang") == F.col("b.lang"))
@@ -582,9 +629,11 @@ def _band_join(exploded: DataFrame) -> DataFrame:
     # Length filter as a join residual (same exact bound as the prefix
     # join, integer rational): J >= t forces t*|B| <= |A| <= |B|/t, and
     # the verify step would reject such pairs anyway -- prune them before
-    # the expensive token-array join, not after.
-    p, q = JACCARD_NUM, JACCARD_DEN
-    na, nb = F.col("a.n_toks"), F.col("b.n_toks")
+    # the expensive token-array join, not after.  PRUNE rationals + long
+    # widening for the same rounded-acceptance-region / int32-wrap
+    # reasons as _prefix_probe.
+    p, q = PRUNE_NUM, PRUNE_DEN
+    na, nb = F.col("a.n_toks").cast("long"), F.col("b.n_toks").cast("long")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.lang") == F.col("b.lang"))
@@ -596,17 +645,12 @@ def _band_join(exploded: DataFrame) -> DataFrame:
 
 
 def _band_fingerprint(sf_dir: str) -> str:
-    from ..artifacts import corpus_fingerprint
-
-    return corpus_fingerprint(
-        [os.path.join(sf_dir, "documents.parquet")],
-        {"algo": "minhash-band", "k": N_MINHASH, "bands": N_BANDS})
+    return _doc_fingerprint(
+        sf_dir, {"algo": "minhash-band", "k": N_MINHASH, "bands": N_BANDS})
 
 
 def _band_base(sf_dir: str) -> str:
-    return os.path.normpath(os.path.join(
-        _CLUSTER_ROOT, "..", "band_table",
-        corpus_slug(sf_dir)))
+    return _artifact_base("band_table", sf_dir)
 
 
 def build_band_table(spark: SparkSession, sf_dir: str) -> str:
@@ -781,18 +825,15 @@ def _simhash_fingerprint(sf_dir: str) -> str:
     # (bits, chunks) pairs and the threshold -- is code, and changing it
     # must invalidate the artifact (review finding: the sibling
     # fingerprints pin their shape params; this one initially didn't).
-    return corpus_fingerprint(
-        [os.path.join(sf_dir, "documents.parquet")],
-        {"algo": "simhash-chunks",
-         "wide_threshold": SIMHASH_WIDE_THRESHOLD,
-         "narrow": _simhash_width(0),
-         "wide": _simhash_width(SIMHASH_WIDE_THRESHOLD)})
+    return _doc_fingerprint(
+        sf_dir, {"algo": "simhash-chunks",
+                 "wide_threshold": SIMHASH_WIDE_THRESHOLD,
+                 "narrow": _simhash_width(0),
+                 "wide": _simhash_width(SIMHASH_WIDE_THRESHOLD)})
 
 
 def _simhash_base(sf_dir: str) -> str:
-    return os.path.normpath(os.path.join(
-        _CLUSTER_ROOT, "..", "simhash_table",
-        corpus_slug(sf_dir)))
+    return _artifact_base("simhash_table", sf_dir)
 
 
 def build_simhash_table(spark: SparkSession, sf_dir: str) -> str:
@@ -965,22 +1006,15 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     return labels
 
 
-_CLUSTER_ROOT = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    "spark-warehouse", "dup_clusters")
-
-
 def _cluster_base(sf_dir: str) -> str:
-    return os.path.join(_CLUSTER_ROOT, corpus_slug(sf_dir))
+    return _artifact_base("dup_clusters", sf_dir)
 
 
 def _cluster_fingerprint(sf_dir: str) -> str:
-    from ..artifacts import corpus_fingerprint
-
-    return corpus_fingerprint(
-        [os.path.join(sf_dir, "documents.parquet")],
-        {"algo": "prefix-jaccard-cc", "jaccard_num": JACCARD_NUM,
-         "jaccard_den": JACCARD_DEN})
+    return _doc_fingerprint(
+        sf_dir, {"algo": "prefix-jaccard-cc", "jaccard_num": JACCARD_NUM,
+                 "jaccard_den": JACCARD_DEN,
+                 "prune": (PRUNE_NUM, PRUNE_DEN)})
 
 
 def build_cluster_table(spark: SparkSession, sf_dir: str) -> str:
