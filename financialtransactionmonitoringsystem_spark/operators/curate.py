@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .dedup import ORACLES as _DEDUP_ORACLES
-from .dedup import q_dedup_cluster
+from .dedup import _scoped_build, q_dedup_cluster
 
 PACK_BUDGET = 512  # tokens per packed training sequence
 SAMPLE_K = 10        # weighted-sample size per source stratum
@@ -43,6 +43,21 @@ MIX_CEIL_OTHER = "20"
 
 def _n_tokens():
     return F.size(F.split(F.col("text"), " "))
+
+
+def _salted_md5(salt: str):
+    """Deterministic per-doc hash under a purpose-specific salt -- ONE
+    definition (with :func:`_salted_md5_sql` as its oracle twin) so
+    e.g. the shard card provably describes the same shards the export
+    writes (review finding: the salt literal was copy-pasted per call
+    site with nothing cross-checking the copies)."""
+    return F.md5(F.concat_ws("-", F.lit(salt), F.col("doc_id")))
+
+
+def _salted_md5_sql(salt: str, q: str = "") -> str:
+    """DuckDB twin of :func:`_salted_md5`; ``q`` qualifies doc_id where
+    a join would make it ambiguous."""
+    return f"md5('{salt}-' || CAST({q}doc_id AS VARCHAR))"
 
 
 def _ranged_running_sum(spark: SparkSession, df: DataFrame, val_col: str,
@@ -86,12 +101,16 @@ def _ranged_running_sum(spark: SparkSession, df: DataFrame, val_col: str,
     # spark_partition_id(), which is only guaranteed consistent between
     # the two consumers because repartitionByRange samples bounds with a
     # fixed seed -- with a single evaluation nothing relies on that.
-    from .dedup import _scoped_build
-
     local = _scoped_build(
         ranged.withColumn("__run", F.sum(val_col).over(w_loc)))
+    # Partition totals via SUM of the values, NOT max of the running
+    # sum: max(__run) == total only for nonnegative val_cols (all
+    # current callers), and a future signed caller (per-account deltas)
+    # would get silently-wrong offsets after any mid-partition peak
+    # (review finding).  Identical values and cost today, sign-safe
+    # tomorrow.
     totals = local.groupBy(part_col, "pid").agg(
-        F.max("__run").alias("part_tot"))
+        F.sum(val_col).alias("part_tot"))
     w_off = W.partitionBy(part_col).orderBy("pid")
     offsets = totals.select(
         part_col, "pid",
@@ -137,7 +156,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold.  Pure per-row filter -- no shuffle; the predicate is
     computable at the scan."""
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.concat_ws("-", F.lit("mix"), F.col("doc_id")))
+    h = _salted_md5("mix")
     ceil_ = F.when(F.col("lang") == "en", MIX_CEIL_EN).otherwise(MIX_CEIL_OTHER)
     return (
         docs.select("doc_id", "lang", "source",
@@ -163,7 +182,7 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     as q_topk_per_group).
     """
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.concat_ws("-", F.lit("wsamp"), F.col("doc_id")))
+    h = _salted_md5("wsamp")
     u_int = F.conv(F.substring(h, 1, 13), 16, 10).cast("double")
     u = (u_int + F.lit(0.5)) / F.lit(float(1 << 52))
     key = F.ln(u) / F.col("n_chars")
@@ -235,7 +254,7 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sharded_with_pid(spark: SparkSession, sf_dir: str,
                       n_parts: int | None = None) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.concat_ws("-", F.lit("shard"), F.col("doc_id")))
+    h = _salted_md5("shard")
     base = docs.select(
         "doc_id", "n_chars", h.alias("h"),
         F.substring(h, 1, 1).alias("shard"), F.lit(1).alias("one"))
@@ -289,8 +308,8 @@ def q_shard_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass at parquet read speed with a trivially small shuffle.
     """
     docs = load_table(spark, sf_dir, "documents")
-    h = F.md5(F.concat_ws("-", F.lit("shard"), F.col("doc_id")))
-    n_tok = F.size(F.split(F.col("text"), " "))
+    h = _salted_md5("shard")
+    n_tok = _n_tokens()
     bucket = F.least(F.floor(n_tok / CARD_BUCKET_W), F.lit(CARD_TOP)) \
         .cast("int")
     return (
@@ -311,12 +330,17 @@ MIX_TARGET_PCT = {"en": 50, "zh": 20, "de": 10, "es": 10, "fr": 10}
 
 
 def q_sample_proportional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mix-to-target-proportions sampling: find the largest dataset size
-    T every language can fill at its target share (T = min over langs of
-    floor(100*n_l / pct_l)), then keep the first floor(pct_l*T/100) docs
-    of each language in deterministic md5 order.  The output set hits
-    the target mixture exactly (up to floor), wastes no language's
-    budget, and is a pure function of the corpus -- re-runs reproduce it.
+    """Mix-to-target-proportions sampling: pick the SAFE dataset size
+    T = min over langs of floor(100*n_l / pct_l) -- every language can
+    fill its share at this T by construction -- then keep the first
+    floor(pct_l*T/100) docs of each language in deterministic md5
+    order.  The output hits the target mixture exactly (up to floor)
+    and is a pure function of the corpus (re-runs reproduce it).  Note
+    T is conservative, not maximal: floor slack can leave a slightly
+    larger feasible T on the table (up to ~100/min_pct - 1 units, a
+    handful of docs -- review finding), which this operator trades for
+    a one-line closed form; the exact maximal T is the binary-searched
+    largest T with floor(pct_l*T/100) <= n_l for all l.
 
     All share arithmetic is integer-derived (counts and percents; the
     two floors see exact doubles below 2^53), so both engines compute
@@ -348,7 +372,7 @@ def _proportional_with_pid(spark: SparkSession, sf_dir: str,
     limits = (caps.crossJoin(F.broadcast(t_total))
               .select("lang",
                       F.floor(F.col("p") * F.col("t") / F.lit(100)).alias("k")))
-    h = F.md5(F.concat_ws("-", F.lit("mixp"), F.col("doc_id")))
+    h = _salted_md5("mixp")
     # Non-target languages are dropped by the limits join anyway; filter
     # them BEFORE the range exchange + windows + checkpoint so excluded
     # volume never shuffles (per-lang ranks are unaffected by other
@@ -380,7 +404,7 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    h = F.md5(F.concat_ws("-", F.lit("mix"), F.col("doc_id")))
+    h = _salted_md5("mix")
     ceil_ = F.when(F.col("lang") == "en", MIX_CEIL_EN).otherwise(MIX_CEIL_OTHER)
     return (
         docs.join(reps, "doc_id")
@@ -402,7 +426,7 @@ _QUALITY_SQL = f"""({_N_TOKENS_SQL} >= 20 AND
 def _mix_sql(q: str = "") -> str:
     """The mixing predicate with an optional table qualifier (needed
     where doc_id would be ambiguous after a join)."""
-    return f"""substring(md5('mix-' || CAST({q}doc_id AS VARCHAR)), 1, 2)
+    return f"""substring({_salted_md5_sql('mix', q)}, 1, 2)
         < (CASE WHEN {q}lang = 'en' THEN '{MIX_CEIL_EN}'
            ELSE '{MIX_CEIL_OTHER}' END)"""
 
@@ -424,7 +448,7 @@ ORACLES: dict[str, str] = {
           SELECT lang, doc_id,
                  row_number() OVER (
                    PARTITION BY lang
-                   ORDER BY md5('mixp-' || CAST(doc_id AS VARCHAR)), doc_id)
+                   ORDER BY {_salted_md5_sql('mixp')}, doc_id)
                  AS pos
           FROM documents
         )
@@ -454,7 +478,7 @@ ORACLES: dict[str, str] = {
     """,
     "q_shard_card": f"""
         WITH s AS (
-          SELECT substring(md5('shard-' || CAST(doc_id AS VARCHAR)), 1, 1)
+          SELECT substring({_salted_md5_sql('shard')}, 1, 1)
                    AS shard,
                  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tok
           FROM documents
@@ -468,10 +492,10 @@ ORACLES: dict[str, str] = {
                CAST(MAX(n_tok) AS INTEGER) AS max_tokens
         FROM s GROUP BY 1, 2
     """,
-    "q_export_shards": """
+    "q_export_shards": f"""
         WITH s AS (
           SELECT doc_id, n_chars,
-                 md5('shard-' || CAST(doc_id AS VARCHAR)) AS h
+                 {_salted_md5_sql('shard')} AS h
           FROM documents
         )
         SELECT substring(h, 1, 1) AS shard,
@@ -506,7 +530,7 @@ ORACLES: dict[str, str] = {
         WITH keyed AS (
           SELECT doc_id, lang, source, n_chars,
                  ln((CAST('0x' || substring(
-                         md5('wsamp-' || CAST(doc_id AS VARCHAR)), 1, 13)
+                         {_salted_md5_sql('wsamp')}, 1, 13)
                      AS BIGINT) + 5e-1) / 4503599627370496e0)
                  / n_chars AS key
           FROM documents)

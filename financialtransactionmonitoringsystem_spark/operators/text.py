@@ -17,6 +17,13 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 from ..util import rnd, sql_round as R
 
+# The pretraining quality gate, shared with curate.q_pipeline_curate
+# (review finding: the 20/0.2 literals lived in four places, so
+# tightening the filter here would silently diverge from the curation
+# pipeline while both oracles kept passing).
+QUALITY_MIN_TOKENS = 20
+QUALITY_MIN_TTR = 0.2
+
 # Deliberately small English stopword list -- the language-ID heuristic
 # needs a deterministic, SQL-expressible marker set, not linguistic truth.
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
@@ -94,7 +101,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-spaced text: total token chars = length - (n_tokens - 1)
     avg_tok_len = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
     digit_ratio = F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double") / F.length("text")
-    keep = (n_tokens >= 20) & (ttr > 0.2)
+    keep = (n_tokens >= QUALITY_MIN_TOKENS) & (ttr > QUALITY_MIN_TTR)
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
@@ -530,7 +537,7 @@ ORACLES: dict[str, str] = {
                {R('CAST(n_unique AS DOUBLE) / n_tokens', 4)} AS ttr,
                {R('CAST(length(text) - n_tokens + 1 AS DOUBLE) / n_tokens', 4)} AS avg_tok_len,
                {R("CAST(len(regexp_extract_all(text,'[0-9]')) AS DOUBLE) / length(text)", 4)} AS digit_ratio,
-               (n_tokens >= 20 AND CAST(n_unique AS DOUBLE) / n_tokens > 0.2) AS keep
+               (n_tokens >= {QUALITY_MIN_TOKENS} AND CAST(n_unique AS DOUBLE) / n_tokens > {QUALITY_MIN_TTR}) AS keep
         FROM t
     """,
     "q_text_perplexity": f"""

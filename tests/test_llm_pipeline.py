@@ -65,6 +65,22 @@ def test_simhash_width_steps_up_for_large_corpora():
     assert dedup._simhash_width(dedup.SIMHASH_WIDE_THRESHOLD) == (64, 6)
 
 
+def test_shard_card_describes_export_shards(spark, sf_dir):
+    """The dataset card's promise is that it documents the shards
+    q_export_shards actually writes -- pin the two queries to the SAME
+    shard assignment by comparing per-shard doc counts (review finding:
+    the salt was previously duplicated per call site)."""
+    from financialtransactionmonitoringsystem_spark.operators import curate
+
+    card = {r.shard: r.n for r in
+            curate.q_shard_card(spark, sf_dir)
+            .groupBy("shard").agg(F.sum("n_docs").alias("n")).collect()}
+    export = {r.shard: r.n for r in
+              curate.q_export_shards(spark, sf_dir)
+              .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert card == export and card
+
+
 def test_url_canonicalization_rules(spark):
     """canonical_url (r7) on hand-picked URLs: every rule individually
     -- scheme/host lowering, www strip, default-port strip, fragment
