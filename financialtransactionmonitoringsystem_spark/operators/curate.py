@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..tables import load_table
 from .dedup import ORACLES as _DEDUP_ORACLES
 from .dedup import _scoped_build, q_dedup_cluster
+from .text import QUALITY_MIN_TOKENS, QUALITY_MIN_TTR
 
 PACK_BUDGET = 512  # tokens per packed training sequence
 SAMPLE_K = 10        # weighted-sample size per source stratum
@@ -408,7 +409,8 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil_ = F.when(F.col("lang") == "en", MIX_CEIL_EN).otherwise(MIX_CEIL_OTHER)
     return (
         docs.join(reps, "doc_id")
-        .filter((n_tokens >= 20) & (ttr > 0.2))
+        .filter((n_tokens >= QUALITY_MIN_TOKENS)
+                & (ttr > QUALITY_MIN_TTR))
         .filter(F.substring(h, 1, 2) < ceil_)
         .groupBy("lang", "source")
         .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -419,9 +421,12 @@ def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_TOKENS_SQL = "len(string_split(text, ' '))"
 
-_QUALITY_SQL = f"""({_N_TOKENS_SQL} >= 20 AND
+# the SHARED gate constants (review finding: the r7 constants landed in
+# text.py but this module kept its own 20/0.2 literals -- the exact
+# half-applied drift the constants exist to prevent)
+_QUALITY_SQL = f"""({_N_TOKENS_SQL} >= {QUALITY_MIN_TOKENS} AND
     CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-    / {_N_TOKENS_SQL} > 0.2)"""
+    / {_N_TOKENS_SQL} > {QUALITY_MIN_TTR})"""
 
 def _mix_sql(q: str = "") -> str:
     """The mixing predicate with an optional table qualifier (needed

@@ -843,4 +843,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     name: fn for name, fn in list(globals().items())
     if name.startswith("q_") and callable(fn)
+    and getattr(fn, "__module__", None) == __name__  # not re-exported imports
 }

@@ -186,7 +186,13 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor(ln*1e6+0.5)) *before* the per-doc sum, so the sum is exact
     integer arithmetic -- associativity-order differences between
     engines (Spark partial aggs vs DuckDB's scan order) cannot change
-    the result, which a naive SUM(double) would not survive.
+    the result, which a naive SUM(double) would not survive.  The
+    residual risk the snapping does NOT remove is the ``ln`` itself:
+    like the tfidf note below, Math.log vs libm log are not
+    ulp-pinned, so a token whose logp*1e6+0.5 lands within ~1 ulp of
+    an integer can floor differently (~4e-9 odds per distinct token --
+    negligible at test vocabularies, worth knowing at multi-million-
+    token ones; review finding against the earlier blanket claim).
     """
     docs = load_table(spark, sf_dir, "documents")
     tok = (docs.select("doc_id", F.explode(_toks()).alias("tok"))
@@ -342,7 +348,7 @@ def q_text_linededup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10.4 s -> 1.6 s on the 50k-doc replica corpus).
     """
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    toks = _toks()
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
                         F.lit(CHUNK_TOKENS))
     from .dedup import _scoped_build
@@ -393,14 +399,23 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GRAMS_SQL = f"""
+def _grams_sql(n: int, alias: str = "gram") -> str:
+    """Word n-gram rows (doc_id, <alias>) in DuckDB -- ONE definition of
+    the unnest/list_transform/slice construction for every gram-based
+    oracle (review finding: it was inlined at n=5 for decontam and twice
+    at n=2 for bpe_pairs/repetition, three copies that must stay in
+    lockstep with the Python _wordgrams)."""
+    return f"""
     SELECT doc_id,
            unnest(list_transform(
-               range(1, greatest(len(string_split(text,' ')) - {DECONTAM_NGRAM - 1}, 0) + 1),
-               i -> array_to_string((string_split(text,' '))[i:i+{DECONTAM_NGRAM - 1}], ' ')
-           )) AS gram
+               range(1, greatest(len(string_split(text,' ')) - {n - 1}, 0) + 1),
+               i -> array_to_string((string_split(text,' '))[i:i+{n - 1}], ' ')
+           )) AS {alias}
     FROM documents
 """
+
+
+_GRAMS_SQL = _grams_sql(DECONTAM_NGRAM)
 
 ORACLES: dict[str, str] = {
     "q_text_linededup": f"""
@@ -427,25 +442,12 @@ ORACLES: dict[str, str] = {
         FROM c JOIN d USING (chunk) GROUP BY 1
     """,
     "q_text_bpe_pairs": f"""
-        WITH g AS (
-          SELECT unnest(list_transform(
-                     range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
-                     i -> array_to_string((string_split(text,' '))[i:i+1], ' ')
-                 )) AS pair
-          FROM documents
-        )
+        WITH g AS ({_grams_sql(2, 'pair')})
         SELECT pair, COUNT(*) AS n_pairs FROM g GROUP BY 1
         ORDER BY n_pairs DESC, pair LIMIT {BPE_TOP_PAIRS}
     """,
     "q_text_repetition": f"""
-        WITH g AS (
-          SELECT doc_id,
-                 unnest(list_transform(
-                     range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
-                     i -> array_to_string((string_split(text,' '))[i:i+1], ' ')
-                 )) AS gram
-          FROM documents
-        ), per AS (
+        WITH g AS ({_grams_sql(2)}), per AS (
           SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2
         ), a AS (
           SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
@@ -579,4 +581,5 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     name: fn for name, fn in list(globals().items())
     if name.startswith("q_") and callable(fn)
+    and getattr(fn, "__module__", None) == __name__  # not re-exported imports
 }
