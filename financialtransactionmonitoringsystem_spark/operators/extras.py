@@ -17,6 +17,54 @@ from ..util import rnd, sql_round as R
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
+# Dialect-identical SQL shared VERBATIM by the Spark function and its
+# DuckDB oracle -- one constant each, so an edit cannot land on only one
+# side and silently change what is being attested (review finding: four
+# statements were maintained as verbatim copies).
+_SUBQ_SCALAR_SQL = f"""
+        SELECT c_custkey, c_name, {R('c_acctbal')} AS acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) * 1.5
+    """
+
+_SUBQ_IN_SQL = f"""
+        SELECT o_orderkey, o_custkey, {R('o_totalprice')} AS totalprice
+        FROM orders o
+        WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
+                              FROM orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+    """
+
+_LATERAL_SQL = f"""
+        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+               {R('o.o_totalprice')} AS totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
+                 FROM orders WHERE o_custkey = c.c_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o
+    """
+
+# The big-spender threshold compares the ROUNDED per-customer total:
+# an unrounded double SUM of 2-decimal money accumulates in different
+# orders on the two engines, so a customer sitting exactly on the
+# boundary could pass on one engine and fail on the other (review
+# finding -- the standing corpus-regeneration lottery ticket).  Cents
+# rounding snaps both engines to the same value before the compare.
+_CTE_SQL = f"""
+        WITH spend AS (
+          SELECT o_custkey, {R('SUM(o_totalprice)')} AS total
+          FROM orders GROUP BY o_custkey
+        ),
+        big AS (
+          SELECT c_custkey, c_nationkey, total
+          FROM customer JOIN spend ON c_custkey = o_custkey
+          WHERE total > 3e5
+        )
+        SELECT n_name, COUNT(*) AS n_big_spenders, {R('SUM(total)')} AS total_spend
+        FROM big JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """
+
 
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot event values to one column per type (rewrites to a CASE
@@ -46,24 +94,14 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uncorrelated scalar subquery (planned as a broadcast of one row)."""
     register_views(spark, sf_dir, ("customer",))
-    return spark.sql(f"""
-        SELECT c_custkey, c_name, {R('c_acctbal')} AS acctbal
-        FROM customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) * 1.5
-    """)
+    return spark.sql(_SUBQ_SCALAR_SQL)
 
 
 def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated IN/EXISTS-style subquery: orders larger than twice the
     customer's average order (Catalyst decorrelates to a join)."""
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(f"""
-        SELECT o_orderkey, o_custkey, {R('o_totalprice')} AS totalprice
-        FROM orders o
-        WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
-                              FROM orders o2
-                              WHERE o2.o_custkey = o.o_custkey)
-    """)
+    return spark.sql(_SUBQ_IN_SQL)
 
 
 def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,33 +114,13 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``q_topk_per_group`` window form share one physical shape.
     """
     register_views(spark, sf_dir, ("customer", "orders"))
-    return spark.sql(f"""
-        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
-               {R('o.o_totalprice')} AS totalprice
-        FROM customer c,
-        LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
-                 FROM orders WHERE o_custkey = c.c_custkey
-                 ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o
-    """)
+    return spark.sql(_LATERAL_SQL)
 
 
 def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTE pipeline: per-customer spend -> nation rollup of big spenders."""
     register_views(spark, sf_dir, ("customer", "orders", "nation"))
-    return spark.sql(f"""
-        WITH spend AS (
-          SELECT o_custkey, SUM(o_totalprice) AS total
-          FROM orders GROUP BY o_custkey
-        ),
-        big AS (
-          SELECT c_custkey, c_nationkey, total
-          FROM customer JOIN spend ON c_custkey = o_custkey
-          WHERE total > 300000.0
-        )
-        SELECT n_name, COUNT(*) AS n_big_spenders, {R('SUM(total)')} AS total_spend
-        FROM big JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY n_name
-    """)
+    return spark.sql(_CTE_SQL)
 
 
 def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -283,8 +301,12 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-type stats come from one groupBy (5 groups) and broadcast back
     onto the scan: two passes over events, no window shuffle of the full
     table.  The threshold is rounded with the cross-engine floor formula
-    BEFORE the comparison on both engines, so the flag predicate is
-    deterministic across Spark/DuckDB float summation orders.
+    BEFORE the comparison on both engines, which collapses summation-
+    order ulp noise everywhere EXCEPT when (avg+3*sigma)*100+0.5 sits
+    within ~1 ulp of an integer -- there the floor itself can differ
+    and the cent-rounded threshold flips by 0.01 (review finding
+    against the earlier blanket determinism claim; odds are ~1e-15
+    per group since nothing concentrates mass at that boundary).
     """
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(
@@ -299,14 +321,7 @@ def q_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
-    "q_join_lateral": f"""
-        SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
-               {R('o.o_totalprice')} AS totalprice
-        FROM customer c,
-        LATERAL (SELECT o_orderkey, o_orderdate, o_totalprice
-                 FROM orders WHERE o_custkey = c.c_custkey
-                 ORDER BY o_orderdate DESC, o_orderkey LIMIT 2) o
-    """,
+    "q_join_lateral": _LATERAL_SQL,
     "q_anomaly": f"""
         WITH s AS (
           SELECT event_type,
@@ -365,32 +380,9 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS val FROM orders
     """,
-    "q_subquery_scalar": f"""
-        SELECT c_custkey, c_name, {R('c_acctbal')} AS acctbal
-        FROM customer
-        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer) * 1.5
-    """,
-    "q_subquery_in": f"""
-        SELECT o_orderkey, o_custkey, {R('o_totalprice')} AS totalprice
-        FROM orders o
-        WHERE o_totalprice > (SELECT 1.5 * AVG(o2.o_totalprice)
-                              FROM orders o2
-                              WHERE o2.o_custkey = o.o_custkey)
-    """,
-    "q_cte": f"""
-        WITH spend AS (
-          SELECT o_custkey, SUM(o_totalprice) AS total
-          FROM orders GROUP BY o_custkey
-        ),
-        big AS (
-          SELECT c_custkey, c_nationkey, total
-          FROM customer JOIN spend ON c_custkey = o_custkey
-          WHERE total > 300000.0
-        )
-        SELECT n_name, COUNT(*) AS n_big_spenders, {R('SUM(total)')} AS total_spend
-        FROM big JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY n_name
-    """,
+    "q_subquery_scalar": _SUBQ_SCALAR_SQL,
+    "q_subquery_in": _SUBQ_IN_SQL,
+    "q_cte": _CTE_SQL,
     "q_dq_checks": """
         WITH l AS (
           SELECT COUNT(*) AS n,
@@ -399,8 +391,13 @@ ORACLES: dict[str, str] = {
                  COUNT(*) - COUNT(DISTINCT o_orderkey) AS dup_orderkey
           FROM orders
         ), o AS (
+          -- NOT EXISTS, not NOT IN: left_anti keeps NULL-key probe rows
+          -- while NOT IN NULLs the whole predicate -- and a NULL
+          -- c_custkey would zero the count entirely (review finding;
+          -- same convention as the q_join_anti oracle)
           SELECT COUNT(*) AS orphan_custkey FROM orders
-          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          WHERE NOT EXISTS (SELECT 1 FROM customer
+                            WHERE c_custkey = o_custkey)
         )
         SELECT 'null_custkey' AS "check", null_custkey AS n_violations, n AS n_checked FROM l, o
         UNION ALL SELECT 'nonpos_price', nonpos_price, n FROM l, o
