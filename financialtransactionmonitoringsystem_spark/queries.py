@@ -43,6 +43,26 @@ for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
 # authoritative full-registry gate regardless of window position, and
 # test_window_rotation pins that every stale key actually fits the window.
 LAST_ATTESTED: dict[str, int] = {
+    # round 7 window (CORRECTNESS_r07.json: 49 hash-green + 1 no_oracle
+    # rows-only verdict (q_agg_approx), all 50 attested, zero errors --
+    # the 41 r4-stale keys + 2 TOUCHED re-attests + 7 new keys)
+    **{k: 7 for k in (
+        "q_agg_approx", "q_agg_group", "q_agg_rollup", "q_agg_salted",
+        "q_agg_stats", "q_cte", "q_curate_epochs", "q_dedup",
+        "q_dedup_exact", "q_dedup_ngram", "q_dedup_url",
+        "q_filter_range", "q_fn_array", "q_fn_date", "q_fn_json",
+        "q_funnel_sessionized", "q_ingest_feed", "q_join_asof",
+        "q_join_inner", "q_join_interval", "q_join_multiway",
+        "q_join_salted", "q_mm_audio", "q_mm_decode_png",
+        "q_mm_keyframes", "q_pipeline_curate", "q_pivot", "q_scan_all",
+        "q_shard_card", "q_sim_lsh", "q_stream_flag",
+        "q_stream_session", "q_stream_sliding", "q_stream_state",
+        "q_stream_topk", "q_stream_tumbling", "q_subquery_in",
+        "q_subquery_scalar", "q_text_fingerprint", "q_text_langid",
+        "q_text_quality", "q_text_stats", "q_text_tokencount",
+        "q_text_tokens", "q_topk_per_group", "q_union", "q_unpivot",
+        "q_win_frame", "q_win_range", "q_win_rank",
+    )},
     # round 6 window (CORRECTNESS_r06.json: 46 hash-green + 4 no_oracle
     # rows-only verdicts, all 50 attested, zero errors)
     **{k: 6 for k in (
@@ -62,55 +82,44 @@ LAST_ATTESTED: dict[str, int] = {
         "q_text_linededup", "q_text_pii", "q_text_tfidf", "q_topk",
         "q_ts_resample", "q_win_lag", "q_win_ntile",
     )},
-    # round 5 window remainder (CORRECTNESS_r05.json minus r6 re-attests)
+    # round 5 window remainder (CORRECTNESS_r05.json minus r6/r7
+    # re-attests); no verdict since -- these 35 keys anchor the round-8
+    # window (35 + round-8 TOUCHED + new keys <= 50)
     **{k: 5 for k in (
         "q_agg_approx_quantile", "q_agg_corr", "q_agg_histogram",
         "q_agg_mode", "q_anomaly", "q_cte_recursive", "q_dedup_embed",
-        "q_dedup_ngram", "q_dq_checks", "q_embed_quantize", "q_fn_try",
+        "q_dq_checks", "q_embed_quantize", "q_fn_try",
         "q_funnel", "q_join_lateral", "q_layout_zorder",
         "q_merge_upsert", "q_mm_decode", "q_mm_features",
         "q_mm_frames", "q_mm_meta", "q_profile", "q_retention",
         "q_sample_weighted", "q_scd2", "q_sessionize", "q_sim_cosine",
-        "q_sim_ivf", "q_sim_knn_per_label", "q_sim_lsh",
+        "q_sim_ivf", "q_sim_knn_per_label",
         "q_stream_join", "q_stream_join_agg", "q_text_bpe_pairs",
         "q_text_decontam", "q_text_perplexity", "q_text_repetition",
         "q_udaf_centsum", "q_udtf_gaps", "q_win_timerange",
     )},
-    # round 4 window remainder (CORRECTNESS_r04.json minus later
-    # re-attests); no verdict since -- these 41 keys ARE the round-7
-    # window (41 + round-7 TOUCHED + new keys <= 50)
-    **{k: 4 for k in (
-        "q_agg_approx", "q_agg_group", "q_agg_rollup", "q_agg_salted",
-        "q_agg_stats", "q_cte", "q_dedup", "q_dedup_exact",
-        "q_filter_range", "q_fn_array", "q_fn_date", "q_fn_json",
-        "q_ingest_feed", "q_join_asof", "q_join_inner",
-        "q_join_interval", "q_join_multiway", "q_join_salted",
-        "q_pipeline_curate", "q_pivot", "q_scan_all", "q_stream_flag",
-        "q_stream_session", "q_stream_sliding", "q_stream_state",
-        "q_stream_topk", "q_stream_tumbling", "q_subquery_in",
-        "q_subquery_scalar", "q_text_fingerprint", "q_text_langid",
-        "q_text_quality", "q_text_stats", "q_text_tokencount",
-        "q_text_tokens", "q_topk_per_group", "q_union", "q_unpivot",
-        "q_win_frame", "q_win_range", "q_win_rank",
-    )},
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  Round-7 touches: q_sim_lsh's sign width became
-# corpus-adaptive (VERDICT r6 #2) and q_dedup_ngram dropped its forced
-# corpus broadcast (VERDICT r6 #3, plan change only but the window
-# attests the claim).  New keys (absent from LAST_ATTESTED) sort
-# most-stale automatically and need no entry here.
-# Budget: 41 r4-stale + 2 TOUCHED + 7 new = 50 = the driver window,
-# exactly full -- no further touches or keys can land this round.
-# NOT listed despite late-r7 edits: q_mm_decode (decode_pgm gained
-# guards on zero-dim/zero-maxval headers -- inputs that previously
-# CRASHED with ZeroDivisionError, so no parseable input's output can
-# differ; unlike r6's q_mm_resize touch, no accept/reject boundary
-# moved) and q_mm_audio/q_mm_decode_png (same error-path-only class,
-# and both are new keys attested this round regardless).
+# history.  Round-8 touches: q_text_perplexity derives `counts` from the
+# single token explode (plan-only, VERDICT r7 #2a), q_sample_hash
+# projects the md5 before filtering so it evaluates once (plan-only,
+# VERDICT r7 #2b), q_dedup_url coalesces a NULL parse_url(PATH) to ''
+# so path-less URLs canonicalize instead of NULL-poisoning the concat
+# (behavior fix outside the fixture domain, ADVICE r7 #3).  New keys
+# (absent from LAST_ATTESTED) sort most-stale automatically and need
+# no entry here.
+# NOT listed despite the round-7 prune-math edit (ADVICE r7 #1):
+# q_dedup_prefix / q_dedup_incremental / q_dedup_minhash /
+# q_dedup_cluster consume the PRUNE_NUM/PRUNE_DEN rationals, but the
+# prunes only WIDEN the pre-verify candidate set (exact 4/5 -> the
+# rounded acceptance region 1599999/2000000, a strict superset) and
+# every candidate still passes the unchanged exact-Jaccard verify
+# filter, so no surviving pair can differ -- provably output-identical,
+# confirmed by the r7 full 135-key sf0.1 sweep; re-attest deferred to
+# their natural r6-stale rotation rather than burning 4 window slots.
 TOUCHED: tuple[str, ...] = (
-    "q_sim_lsh", "q_dedup_ngram",
+    "q_text_perplexity", "q_sample_hash", "q_dedup_url",
 )
 
 # Among equally-stale keys, spread families across the window edge instead of
