@@ -106,7 +106,10 @@ LAST_ATTESTED: dict[str, int] = {
 # projects the md5 before filtering so it evaluates once (plan-only,
 # VERDICT r7 #2b), q_dedup_url coalesces a NULL parse_url(PATH) to ''
 # so path-less URLs canonicalize instead of NULL-poisoning the concat
-# (behavior fix outside the fixture domain, ADVICE r7 #3).  New keys
+# (behavior fix outside the fixture domain, ADVICE r7 #3), and
+# q_sample_proportional adopts the exact maximal T via the closed-form
+# constraint inversion (behavior change: a few more docs kept per lang;
+# oracle twin updated in the same edit, VERDICT r7 #5).  New keys
 # (absent from LAST_ATTESTED) sort most-stale automatically and need
 # no entry here.
 # NOT listed despite the round-7 prune-math edit (ADVICE r7 #1):
@@ -120,6 +123,7 @@ LAST_ATTESTED: dict[str, int] = {
 # their natural r6-stale rotation rather than burning 4 window slots.
 TOUCHED: tuple[str, ...] = (
     "q_text_perplexity", "q_sample_hash", "q_dedup_url",
+    "q_sample_proportional",
 )
 
 # Among equally-stale keys, spread families across the window edge instead of

@@ -1178,6 +1178,33 @@ def test_build_corpus_artifacts_builds_all_and_is_idempotent(spark, sf_dir,
         assert os.path.getmtime(os.path.join(b, "_BUILT")) == mtimes[n], n
 
 
+def test_sample_proportional_t_is_exact_maximal(spark, sf_dir):
+    """VERDICT r7 #5: the closed-form T must be the LARGEST dataset
+    size at which every target language can fill its floor(pct*T/100)
+    share.  The maximal T is brute-forced here independently (linear
+    scan, not the operator's ceil_div inversion), then the operator's
+    per-lang kept counts must equal floor(pct*T/100) exactly -- the
+    old conservative floor(100*n/p) form fails this for any corpus
+    where floor slack leaves feasible T on the table."""
+    from financialtransactionmonitoringsystem_spark.operators.curate import (
+        MIX_TARGET_PCT, q_sample_proportional)
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    n = {r["lang"]: r["count"]
+         for r in load_table(spark, sf_dir, "documents")
+         .groupBy("lang").count().collect() if r["lang"] in MIX_TARGET_PCT}
+    t = 0
+    while all(p * (t + 1) // 100 <= n[lang]
+              for lang, p in MIX_TARGET_PCT.items()):
+        t += 1
+    kept = {r["lang"]: r["count"] for r in
+            q_sample_proportional(spark, sf_dir).groupBy("lang").count()
+            .collect()}
+    expect = {lang: p * t // 100 for lang, p in MIX_TARGET_PCT.items()
+              if p * t // 100 > 0}
+    assert kept == expect, (t, kept, expect)
+
+
 def test_checkpoint_backed_queries_are_run_to_run_deterministic(spark, sf_dir):
     """Every _scoped_build/localCheckpoint-backed operator must return
     identical rows on a second invocation in the same session (bench
