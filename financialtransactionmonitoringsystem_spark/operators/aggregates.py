@@ -307,6 +307,119 @@ def _profile_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation extremal customer via ``max_by``/``min_by`` -- the
+    argmax aggregate that replaces the join-back-on-max anti-pattern
+    (aggregate once, no second scan or self-join).
+
+    Spark's max_by is NON-deterministic under ties, so the ordering key
+    packs (balance cents, customer key) into one BIGINT: cents * 10^10
+    -/+ c_custkey makes the extremum unique while preserving the
+    balance ordering (cents is exact integer money, |custkey| < 10^10;
+    the subtraction form makes max_by prefer the SMALLER key on equal
+    balances, the addition form does the same for min_by).  Both
+    engines evaluate the identical integer expression.
+
+    Shape: one broadcast dim join + one map-side-combinable aggregate;
+    at 100 TB this is a single shuffle of 25 pre-combined rows per
+    partition."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    cents = "CAST(floor(c_acctbal * 1e2 + 5e-1) AS BIGINT)"
+    kmax = F.expr(f"{cents} * 10000000000 - c_custkey")
+    kmin = F.expr(f"{cents} * 10000000000 + c_custkey")
+    return (
+        cust.join(F.broadcast(nat),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.max_by("c_name", kmax).alias("richest"),
+             rnd(F.max("c_acctbal")).alias("max_bal"),
+             F.min_by("c_name", kmin).alias("poorest"),
+             rnd(F.min("c_acctbal")).alias("min_bal"))
+    )
+
+
+def q_agg_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps (``bitmap_construct_agg``):
+    per return flag, the number of distinct parts -- same answer as
+    COUNT(DISTINCT) but a fundamentally different 100 TB plan.
+
+    COUNT(DISTINCT k) plans as Catalyst's two-phase distinct rewrite:
+    the first exchange shuffles the full (group, k) DISTINCT PAIR SET.
+    The bitmap form shuffles fixed 4 KB bitmaps per (group, k DIV
+    32768) bucket instead -- partial bitmaps OR together on the map
+    side, so the shuffle volume is bounded by (groups x key-range /
+    32768) x 4 KB regardless of row count, and the per-bucket counts
+    sum exactly.  This is the standard exact-distinct-at-scale pattern
+    for dense integer keys; for sparse/huge domains use q_agg_hll
+    (approximate) or pay the pair-set shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.select("l_returnflag",
+                  F.expr("bitmap_bucket_number(l_partkey)").alias("bkt"),
+                  F.expr("bitmap_bit_position(l_partkey)").alias("pos"))
+        .groupBy("l_returnflag", "bkt")
+        .agg(F.expr("bitmap_count(bitmap_construct_agg(pos))").alias("c"))
+    )
+    return (per_bucket.groupBy("l_returnflag")
+            .agg(F.sum("c").alias("n_parts")))
+
+
+# DDSketch-style log-binned quantile sketch: ln-space bin width in
+# integer MICRO-nats.  20000 micro-nats = 0.02 in ln space = +/-1%
+# relative half-width per bin -- the sketch's error envelope.
+DD_STEP_MICRO = 20000
+DD_TARGET_PCTS = (50, 90, 99)
+
+
+def q_agg_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (DDSketch-family, log-binned): per
+    return flag, p50/p90/p99 price estimates with a guaranteed ~1%
+    relative error -- the mergeable alternative to exact sort-based
+    percentiles (q_agg_stats) and to approx_percentile's GK sketch
+    (q_agg_approx_quantile), chosen because its state is a plain
+    (bin -> count) map that ADDS across partitions/days/shards.
+
+    Unlike a t-digest (whose centroids depend on merge order), the
+    log-binned sketch is a pure deterministic projection + count, so it
+    is fully ORACLE-ABLE: bin = floor(micro_ln / step) where micro_ln
+    is the perplexity-style integer micro-nat snap of ln(price)
+    (floor(ln*1e6+0.5) -- same residual ~4e-9/value ln-boundary odds as
+    q_text_perplexity, documented there), and the quantile rank test
+    cross-multiplies integers (100*cum >= pct*n), so no float compare
+    anywhere.  The bin estimate is the bin midpoint in ln space.
+
+    100 TB shape: one map-side-combinable groupBy on (flag, bin) --
+    ln-binning bounds the bin count at ~2000 per flag over the entire
+    double range, so the shuffle is O(groups x 2000) regardless of row
+    count; the cumulative window + target explode then run on that
+    tiny frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    micro = F.floor(F.ln(F.col("l_extendedprice")) * F.lit(1e6) + F.lit(0.5))
+    bin_ = F.floor(micro / F.lit(float(DD_STEP_MICRO))).cast("long")
+    bins = (li.filter(F.col("l_extendedprice") > 0)
+            .select("l_returnflag", bin_.alias("bin"))
+            .groupBy("l_returnflag", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    w = W.partitionBy("l_returnflag").orderBy("bin")
+    cum = (bins
+           .withColumn("cum", F.sum("cnt").over(
+               w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+           .withColumn("n", F.sum("cnt").over(W.partitionBy("l_returnflag"))))
+    return (
+        cum.select("l_returnflag", "bin", "cum", "n",
+                   F.explode(F.array(*[F.lit(p) for p in DD_TARGET_PCTS]))
+                   .alias("q_pct"))
+        .filter(F.col("cum") * 100 >= F.col("q_pct") * F.col("n"))
+        .groupBy("l_returnflag", "q_pct")
+        .agg(F.min("bin").alias("bin"))
+        .select("l_returnflag", "q_pct", "bin",
+                rnd(F.exp((F.col("bin") * DD_STEP_MICRO
+                           + DD_STEP_MICRO // 2) / F.lit(1e6))).alias("est"))
+    )
+
+
 def _pct_sql(q: str, alias: str) -> str:
     lo = f"CAST(floor({q}*(n-1)+1) AS BIGINT)"
     frac = f"({q}*(n-1)+1 - floor({q}*(n-1)+1))"
@@ -317,6 +430,45 @@ def _pct_sql(q: str, alias: str) -> str:
 
 ORACLES: dict[str, str] = {
     "q_profile": _profile_sql(),
+    "q_agg_argmax": f"""
+        SELECT n_name, COUNT(*) AS n_customers,
+               max_by(c_name, CAST(floor(c_acctbal * 1e2 + 5e-1) AS BIGINT)
+                              * 10000000000 - c_custkey) AS richest,
+               {R('MAX(c_acctbal)')} AS max_bal,
+               min_by(c_name, CAST(floor(c_acctbal * 1e2 + 5e-1) AS BIGINT)
+                              * 10000000000 + c_custkey) AS poorest,
+               {R('MIN(c_acctbal)')} AS min_bal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    # the oracle is the plain distinct count -- the bitmap is a PLAN
+    # technique, not a semantic change
+    "q_agg_bitmap": """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_agg_ddsketch": f"""
+        WITH b AS (
+          SELECT l_returnflag,
+                 CAST(floor(floor(ln(CAST(l_extendedprice AS DOUBLE))*1e6
+                                  + 5e-1) / {DD_STEP_MICRO}) AS BIGINT)
+                   AS bin,
+                 COUNT(*) AS cnt
+          FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2
+        ), c AS (
+          SELECT l_returnflag, bin, cnt,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag
+                                ORDER BY bin) AS cum,
+                 SUM(cnt) OVER (PARTITION BY l_returnflag) AS n
+          FROM b
+        ), t(q_pct) AS (VALUES {", ".join(f"({p})" for p in DD_TARGET_PCTS)})
+        SELECT l_returnflag, q_pct, MIN(bin) AS bin,
+               {R(f'exp((MIN(bin)*{DD_STEP_MICRO} '
+                  f'+ {DD_STEP_MICRO // 2})/1e6)')} AS est
+        FROM c, t WHERE 100 * cum >= q_pct * n
+        GROUP BY 1, 2
+    """,
     "q_agg_corr": f"""
         SELECT l_returnflag, COUNT(*) AS n,
                {R('corr(l_quantity, l_extendedprice)', 4)} AS corr_qty_price,

@@ -238,6 +238,71 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bloom semi-join pushdown: 2^16 bits (1024 64-bit words, 8 KB) and two
+# seeded probes.  For |dim keys| = n, FPR ~ (2n/65536)^2 -- at the
+# design point (dim filtered to ~10% of customers) effectively zero,
+# and false positives only cost a wasted probe row, never a wrong
+# answer (the exact semi-join behind the bloom removes them).
+BLOOM_BITS = 1 << 16
+BLOOM_SEEDS = (1, 2)
+
+
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pushdown, built from first principles
+    (Spark's own runtime `bloom_filter_agg` is not SQL-registered):
+    filter a big fact table by a selective dim WITHOUT shuffling the
+    fact and WITHOUT broadcasting the dim payload.
+
+    Why it matters at 100 TB: a broadcast hash join needs the dim's
+    (key -> row) PAYLOAD under the broadcast threshold; a shuffle join
+    moves the whole fact.  The bloom is 8 KB REGARDLESS of dim key
+    count -- build it with one tiny aggregation (explode 2 probe
+    positions per key, bit_or per 64-bit word, collect ~1024 (word ->
+    bits) entries into a one-row map), broadcast that single row, and
+    pre-filter the fact with pure codegen bit arithmetic at the scan.
+    The exact semi-join that follows sees only the pre-filtered
+    survivors, so ITS shuffle (when the dim outgrows broadcast) carries
+    ~selectivity x |fact| rows.  This is exactly what Spark's runtime
+    row-level filter injection does; spelled out as an operator so the
+    technique is visible, testable, and tunable (bits/seeds).
+
+    The oracle is the plain semi-join + aggregate: the bloom is a plan
+    technique, invisible in results."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000))
+    orders = load_table(spark, sf_dir, "orders")
+    pos = F.explode(F.array(
+        *[F.pmod(F.xxhash64("c_custkey", F.lit(s)), F.lit(BLOOM_BITS))
+          for s in BLOOM_SEEDS])).alias("p")
+    bloom = (
+        cust.select(pos)
+        .groupBy(F.expr("CAST(p DIV 64 AS INT)").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT),"
+                    " CAST(p % 64 AS INT)))").alias("bits"))
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("w", "bits"))).alias("bloom"))
+    )
+    probed = orders.crossJoin(F.broadcast(bloom))
+    for i, s in enumerate(BLOOM_SEEDS):
+        probed = probed.withColumn(
+            f"_p{i}", F.pmod(F.xxhash64("o_custkey", F.lit(s)),
+                             F.lit(BLOOM_BITS)))
+    hit = None
+    for i in range(len(BLOOM_SEEDS)):
+        t = F.expr(
+            f"((coalesce(element_at(bloom, CAST(_p{i} DIV 64 AS INT)),"
+            f" CAST(0 AS BIGINT)) >> CAST(_p{i} % 64 AS INT)) & 1) = 1")
+        hit = t if hit is None else (hit & t)
+    pre = probed.filter(hit)
+    return (
+        pre.join(cust.select("c_custkey"),
+                 pre["o_custkey"] == F.col("c_custkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             rnd(F.sum("o_totalprice")).alias("sum_price"))
+    )
+
+
 # ----------------------------------------------------- as-of / interval ----
 
 
@@ -441,6 +506,15 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_join_bloom": f"""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               {R('SUM(o_totalprice)')} AS sum_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING'
+                              AND c_acctbal > 5000)
+        GROUP BY o_orderpriority
+    """,
     "q_join_asof_fwd": f"""
         WITH s AS (SELECT event_id, user_id, ts FROM events
                    WHERE event_type = 'signup'),

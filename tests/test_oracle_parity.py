@@ -86,6 +86,30 @@ def test_hll_sketch_estimates_bounded_error_and_lossless_merge(spark, sf_dir):
     assert est["ALL"] == direct
 
 
+def test_ddsketch_quantiles_within_relative_error_envelope(spark, sf_dir):
+    """The log-binned sketch's design guarantee: every estimate within
+    ~1% relative error of the EXACT rank quantile (bin half-width
+    0.01 in ln space; 0.0102 margin absorbs the micro-nat snap)."""
+    import math
+
+    from financialtransactionmonitoringsystem_spark.operators import aggregates
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    est = {(r.l_returnflag, r.q_pct): r.est
+           for r in aggregates.q_agg_ddsketch(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = {f: sorted(v.l_extendedprice for v in rows)
+            for f, rows in ((f, li.filter(li.l_returnflag == f)
+                             .select("l_extendedprice").collect())
+                            for f in {k[0] for k in est})}
+    assert est, "sketch returned no rows"
+    for (flag, pct), e in est.items():
+        xs = vals[flag]
+        exact = xs[max(0, math.ceil(pct * len(xs) / 100) - 1)]
+        lo, hi = exact * math.exp(-0.0102), exact * math.exp(0.0102)
+        assert lo <= e <= hi, (flag, pct, e, exact)
+
+
 EXPECTED_KEYS = {
     "q_agg_approx",
     "q_agg_approx_quantile",
@@ -99,6 +123,10 @@ EXPECTED_KEYS = {
     "q_agg_having",
     "q_agg_histogram",
     "q_agg_hll",
+    "q_agg_argmax",
+    "q_agg_bitmap",
+    "q_agg_ddsketch",
+    "q_join_bloom",
     "q_agg_mode",
     "q_agg_rollup",
     "q_agg_salted",

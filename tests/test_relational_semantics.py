@@ -124,3 +124,52 @@ def test_approx_quantile_within_rank_error_of_exact(spark, sf_dir):
             lo = prices[max(0, int((p - eps) * n) - 1)]
             hi = prices[min(n - 1, int((p + eps) * n))]
             assert lo <= v <= hi, (flag, p, v, lo, hi)
+
+
+def test_bloom_prefilter_is_superset_and_actually_prunes(spark, sf_dir):
+    """The bloom stage must (a) pass EVERY true-match fact row (no
+    false negatives -- correctness depends on it) and (b) prune the
+    clear majority of non-matching rows at the design FPR (~(2n/2^16)^2
+    -- the whole point of the technique).  Reconstructs the pre-filter
+    stage from the same building blocks the operator uses."""
+    from financialtransactionmonitoringsystem_spark.operators.relational import (
+        BLOOM_BITS, BLOOM_SEEDS)
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 5000))
+    orders = load_table(spark, sf_dir, "orders")
+    keys = {r.c_custkey for r in cust.select("c_custkey").collect()}
+    assert keys, "fixture predicate selects no customers"
+
+    pos = F.explode(F.array(
+        *[F.pmod(F.xxhash64("c_custkey", F.lit(s)), F.lit(BLOOM_BITS))
+          for s in BLOOM_SEEDS])).alias("p")
+    bloom = (cust.select(pos)
+             .groupBy(F.expr("CAST(p DIV 64 AS INT)").alias("w"))
+             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT),"
+                         " CAST(p % 64 AS INT)))").alias("bits"))
+             .agg(F.map_from_entries(
+                 F.collect_list(F.struct("w", "bits"))).alias("bloom")))
+    probed = orders.crossJoin(F.broadcast(bloom))
+    for i, s in enumerate(BLOOM_SEEDS):
+        probed = probed.withColumn(
+            f"_p{i}", F.pmod(F.xxhash64("o_custkey", F.lit(s)),
+                             F.lit(BLOOM_BITS)))
+    hit = None
+    for i in range(len(BLOOM_SEEDS)):
+        t = F.expr(
+            f"((coalesce(element_at(bloom, CAST(_p{i} DIV 64 AS INT)),"
+            f" CAST(0 AS BIGINT)) >> CAST(_p{i} % 64 AS INT)) & 1) = 1")
+        hit = t if hit is None else (hit & t)
+    survivors = {r.o_custkey for r in
+                 probed.filter(hit).select("o_custkey").collect()}
+    all_fact_keys = {r.o_custkey for r in
+                     orders.select("o_custkey").collect()}
+
+    assert keys & all_fact_keys <= survivors  # no false negatives
+    non_match = all_fact_keys - keys
+    false_pos = survivors - keys
+    # design FPR is ~1e-4 at fixture scale; allow 100x slack
+    assert len(false_pos) <= max(2, 0.01 * len(non_match)), (
+        len(false_pos), len(non_match))
