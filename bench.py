@@ -105,6 +105,23 @@ HEADLINE = [
     "q_shard_card",
     "q_mm_keyframes",
     "q_curate_epochs",
+    # round-8 additions (VERDICT r7 #3): gram-keyed cross-lingual
+    # alignment and the dense-grid interpolation carry real join/window
+    # cost; the bloom pushdown, bitmap distinct, and DDSketch exist to
+    # keep their bounded-shuffle claims measured; the rest are
+    # single-pass aggregates/joins included for coverage
+    "q_align_crosslingual",
+    "q_ts_interpolate",
+    "q_retention_funnel",
+    "q_join_bloom",
+    "q_agg_bitmap",
+    "q_agg_ddsketch",
+    "q_agg_argmax",
+    "q_dedup_keep_best",
+    "q_snapshot_diff",
+    "q_license_propagate",
+    "q_curate_mixture",
+    "q_mm_histogram",
     # q_cte_recursive is deliberately NOT benched: Spark executes one
     # job per recursion step, so an 80-month spine costs ~80 scheduler
     # round-trips (~11s) regardless of data size.  The key exists to

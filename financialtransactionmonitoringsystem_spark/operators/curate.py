@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..tables import load_table
+from ..util import rnd, sql_round as R
 from .dedup import ORACLES as _DEDUP_ORACLES
 from .dedup import _scoped_build, q_dedup_cluster
 from .text import QUALITY_MIN_TOKENS, QUALITY_MIN_TTR
@@ -390,6 +391,121 @@ def _proportional_with_pid(spark: SparkSession, sf_dir: str,
     )
 
 
+# Per-source governance policy, derived deterministically from the
+# source index (fixture plumbing, same pattern as dedup._doc_urls: the
+# OPERATOR under test is the propagation join, not the policy values).
+LICENSES = ("cc-by", "cc-by-sa", "proprietary", "public-domain")
+
+
+def q_license_propagate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/license propagation -- the governance step every crawl
+    pipeline runs before training-data selection: each SOURCE carries a
+    license class and a robots verdict, each DOC may carry an opt-out
+    override, and a doc is trainable only if its source allows crawling
+    AND its license is usable AND it has no opt-out.
+
+    Shape: the policy is a tiny per-source dim (distinct sources +
+    derived columns) broadcast onto the corpus -- the fact table never
+    shuffles; the per-(source, license, robots) rollup is map-side
+    combinable.  At 100 TB the policy dim is O(domains) (~10^7 rows, a
+    few hundred MB) -- still broadcastable, or a bucketed join on the
+    already-source-partitioned corpus layout if not."""
+    docs = load_table(spark, sf_dir, "documents")
+    idx = F.expr("CAST(substring(source, 4) AS INT)")
+    policy = F.broadcast(
+        docs.select("source").distinct()
+        .select("source",
+                F.element_at(F.array(*[F.lit(x) for x in LICENSES]),
+                             idx % 4 + 1).alias("license"),
+                (idx % 5 != 0).alias("robots_allowed")))
+    optout = (F.col("doc_id") % 97 == 0)
+    kept = (F.col("robots_allowed") & (F.col("license") != "proprietary")
+            & ~optout)
+    return (
+        docs.join(policy, "source")
+        .groupBy("source", "license", "robots_allowed")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum(optout.cast("long")).alias("n_optout"),
+             F.sum(kept.cast("long")).alias("n_kept"))
+    )
+
+
+# Static domain-reweighting clamp (DoReMi-lite): a domain's sampling
+# weight is bounded away from 0 and infinity so no domain is silently
+# dropped or explodes the epoch count.
+MIX_CLAMP_LO, MIX_CLAMP_HI = 0.1, 10.0
+
+
+def q_curate_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture weighting: compare each source domain's ACTUAL
+    token share against a uniform target share and emit the clamped
+    sampling weight that would equalize the mixture -- the static
+    reweighting step (DoReMi-style, minus the learned reference model)
+    that decides how often each domain is sampled during training.
+
+    All shares derive from one map-side-combinable token-count
+    aggregate; the corpus-wide totals are a broadcast one-row frame, so
+    the whole query is one shuffle of O(domains) pre-combined rows.
+    Weights chain deterministic floor-rounds (weight snapped to 6
+    decimals BEFORE computing effective tokens) so both engines emit
+    bit-identical doubles."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = (docs.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(_n_tokens()).alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("tot"),
+                  F.count(F.lit(1)).alias("nd"))
+    w6 = rnd(F.least(F.lit(MIX_CLAMP_HI),
+                     F.greatest(F.lit(MIX_CLAMP_LO),
+                                F.col("tot")
+                                / (F.col("nd") * F.col("n_tokens")))), 6)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select("source", "n_docs", "n_tokens",
+                rnd(F.col("n_tokens") / F.col("tot"), 6)
+                .alias("actual_share"),
+                w6.alias("weight"),
+                rnd(F.col("n_tokens") * w6, 2).alias("eff_tokens"))
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl snapshot diff (CDC over corpus versions):
+    classify every doc as added / removed / changed / unchanged between
+    the previous snapshot and the current one, rolled up per (lang,
+    status).  The previous snapshot is derived deterministically from
+    the same table (fixture plumbing: docs with id%17==0 are new since
+    the old snapshot, id%23==0 were deleted from the current one,
+    id%20==0 were edited -- their OLD content fingerprint differs).
+
+    Scale shape: both sides project (doc_id, lang, md5 fingerprint)
+    BEFORE the join, so the full-outer join on doc_id shuffles 32-byte
+    hashes, never document text; at 100 TB each snapshot is a parquet
+    partition and the diff is one co-partitioned sort-merge join + an
+    O(langs x 4) rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    old = (docs.filter(d % 17 != 0)
+           .select("doc_id", F.col("lang").alias("lang_o"),
+                   F.when(d % 20 == 0,
+                          F.md5(F.concat(F.col("text"), F.lit(" [v1]"))))
+                   .otherwise(F.md5("text")).alias("fp_old")))
+    new = (docs.filter(d % 23 != 0)
+           .select("doc_id", F.col("lang").alias("lang_n"),
+                   F.md5("text").alias("fp_new")))
+    status = (F.when(F.col("fp_old").isNull(), "added")
+              .when(F.col("fp_new").isNull(), "removed")
+              .when(F.col("fp_old") != F.col("fp_new"), "changed")
+              .otherwise("unchanged"))
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select(F.coalesce("lang_n", "lang_o").alias("lang"),
+                status.alias("status"))
+        .groupBy("lang", "status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation: keep each near-dup cluster's canonical
     representative, drop low-quality docs (same predicate as
@@ -440,7 +556,66 @@ def _mix_sql(q: str = "") -> str:
 _MIX_TARGET_ROWS = ", ".join(
     f"('{lang}', {pct})" for lang, pct in sorted(MIX_TARGET_PCT.items()))
 
+_MIX_W_SQL = R(
+    "least(1e1, greatest(1e-1, tot / (nd * n_tokens)))", 6)
+
 ORACLES: dict[str, str] = {
+    "q_license_propagate": """
+        WITH policy AS (
+          SELECT DISTINCT source,
+                 (CASE CAST(substring(source, 4) AS INT) % 4
+                    WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-sa'
+                    WHEN 2 THEN 'proprietary' ELSE 'public-domain' END)
+                   AS license,
+                 CAST(substring(source, 4) AS INT) % 5 <> 0
+                   AS robots_allowed
+          FROM documents
+        )
+        SELECT d.source, license, robots_allowed,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_optout,
+               CAST(SUM(CASE WHEN robots_allowed
+                              AND license <> 'proprietary'
+                              AND doc_id % 97 <> 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept
+        FROM documents d JOIN policy USING (source)
+        GROUP BY 1, 2, 3
+    """,
+    "q_curate_mixture": f"""
+        WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM({_N_TOKENS_SQL}) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY 1
+        ), t AS (
+          SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+                 COUNT(*) AS nd FROM per
+        )
+        SELECT source, n_docs, n_tokens,
+               {R('n_tokens / tot', 6)} AS actual_share,
+               {_MIX_W_SQL} AS weight,
+               {R(f'n_tokens * ({_MIX_W_SQL})', 2)} AS eff_tokens
+        FROM per, t
+    """,
+    "q_snapshot_diff": """
+        WITH old AS (
+          SELECT doc_id, lang AS lang_o,
+                 (CASE WHEN doc_id % 20 = 0 THEN md5(text || ' [v1]')
+                       ELSE md5(text) END) AS fp_old
+          FROM documents WHERE doc_id % 17 <> 0
+        ), new AS (
+          SELECT doc_id, lang AS lang_n, md5(text) AS fp_new
+          FROM documents WHERE doc_id % 23 <> 0
+        )
+        SELECT COALESCE(lang_n, lang_o) AS lang,
+               (CASE WHEN fp_old IS NULL THEN 'added'
+                     WHEN fp_new IS NULL THEN 'removed'
+                     WHEN fp_old <> fp_new THEN 'changed'
+                     ELSE 'unchanged' END) AS status,
+               COUNT(*) AS n_docs
+        FROM old FULL OUTER JOIN new USING (doc_id)
+        GROUP BY 1, 2
+    """,
     "q_sample_proportional": f"""
         WITH tgt(lang, p) AS (VALUES {_MIX_TARGET_ROWS}),
         c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),

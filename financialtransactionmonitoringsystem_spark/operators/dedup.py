@@ -117,6 +117,34 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority canonical selection: one representative per
+    exact-duplicate group, keeping the HIGHEST-quality doc (most
+    distinct tokens; lowest doc_id on ties) rather than q_dedup_exact's
+    first-seen policy -- the curation-grade variant where dup groups
+    span sources of different fidelity (truncated mirrors vs originals).
+
+    Single map-side-combinable aggregate on the md5 fingerprint: the
+    (quality, doc_id) preference packs into one BIGINT (distinct-token
+    count * 10^10 - doc_id, |doc_id| < 10^10) so ``max_by`` is
+    deterministic under quality ties -- no window, no second pass, and
+    the shuffle carries 32-byte fingerprints + packed longs, never
+    text.  At 100 TB this is strictly cheaper than the row_number()
+    window (which must sort within groups); same pattern as
+    q_agg_argmax."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", F.md5("text").alias("fp"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("d"))
+    key = F.expr("CAST(d AS BIGINT) * 10000000000 - doc_id")
+    return (
+        scored.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"),
+             F.max_by("doc_id", key).alias("keep_doc"),
+             F.max("d").alias("keep_distinct_toks"))
+    )
+
+
 def _doc_urls(docs: DataFrame) -> DataFrame:
     """Deterministic raw-URL fixture column: the documents table ships
     no URL, so each doc derives one from (source, doc_id) with the
@@ -1091,6 +1119,15 @@ ORACLES: dict[str, str] = {
     # Same raw-URL fixture construction, then an INDEPENDENT
     # canonicalizer: RE2 regexps for scheme/host/path/query (DuckDB has
     # no parse_url), list ops for the param filter+sort.
+    "q_dedup_keep_best": """
+        SELECT md5(text) AS fp, COUNT(*) AS n_dups,
+               max_by(doc_id,
+                      CAST(len(list_distinct(string_split(text, ' ')))
+                           AS BIGINT) * 10000000000 - doc_id) AS keep_doc,
+               CAST(MAX(len(list_distinct(string_split(text, ' '))))
+                    AS INTEGER) AS keep_distinct_toks
+        FROM documents GROUP BY 1
+    """,
     "q_dedup_url": """
         WITH u AS (
           SELECT doc_id,

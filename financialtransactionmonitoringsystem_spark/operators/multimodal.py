@@ -697,6 +697,38 @@ def q_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_wav_content(docs).mapInPandas(decode_wav, AUDIO_SCHEMA)
 
 
+MM_HIST_BIN_W = 16  # byte-level bin width -> 16 brightness bins
+
+
+def q_mm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe brightness histogram (completes the video verb chain
+    sample -> select -> profile): corpus-wide distribution of KEYFRAME
+    byte levels in 16 bins, with how many frames and distinct docs land
+    in each -- the exposure/contrast profile a vision-data curator
+    reads before setting brightness-based filters.
+
+    Composition demonstrates the intended verb layering: the same
+    Arrow fanout (``sample_frames``) and JVM lag-window selection as
+    q_mm_keyframes, then a map-side-combinable (bin) rollup -- the
+    Python boundary is still paid exactly once, the histogram is pure
+    Catalyst, and the output is O(16) rows regardless of corpus size.
+    Bins are integer byte arithmetic (px_byte DIV 16), oracle-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    frames = with_binary_content(docs).mapInPandas(sample_frames, FRAME_SCHEMA)
+    px = F.round(F.col("frame_px") * 255).cast("int")
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    staged = (frames.select("doc_id", "frame_idx", px.alias("px_byte"))
+              .withColumn("delta", F.abs(F.col("px_byte")
+                                         - F.lag("px_byte").over(w))))
+    return (
+        staged.filter(F.col("delta").isNull()
+                      | (F.col("delta") > KEYFRAME_DELTA))
+        .groupBy(F.expr(f"px_byte DIV {MM_HIST_BIN_W}").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_frames"),
+             F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
 # DuckDB twin of the digest-byte lookup: byte {k} of md5(text) as an
 # int.  {k} may be a literal or a SQL lambda variable -- EVERY mm oracle
 # derives its pixel bytes through this one expression (review finding:
@@ -733,6 +765,28 @@ def _wav_frame_sql(fi: int) -> str:
                CAST({peak} AS INTEGER) AS peak
         FROM b"""
 
+
+# The keyframe-selection CTE chain, shared VERBATIM by the
+# q_mm_keyframes oracle and the q_mm_histogram oracle built on top of
+# it (same single-definition discipline as extras._SUBQ_*_SQL): digest
+# bytes as frame pixels, the lag delta, and the scene-change filter.
+_KEYFRAMES_CORE_SQL = f"""
+        WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+        f AS (
+          SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+                 CAST({mdbyte_i} AS INTEGER) AS px_byte
+          FROM b, unnest([0, 5, 10, 15]) AS t(i)
+        ), l AS (
+          SELECT doc_id, frame_idx, px_byte,
+                 abs(px_byte - lag(px_byte) OVER (PARTITION BY doc_id
+                                                  ORDER BY frame_idx))
+                   AS delta
+          FROM f
+        ), k AS (
+          SELECT doc_id, frame_idx, px_byte, delta
+          FROM l WHERE delta IS NULL OR delta > {KEYFRAME_DELTA}
+        )
+"""
 
 ORACLES: dict[str, str] = {
     "q_mm_resize": f"""
@@ -815,20 +869,15 @@ ORACLES: dict[str, str] = {
     # Frames are digest bytes 0/5/10/15 (the q_mm_frames fanout); the
     # lag-window keyframe rule replays on exact integer byte levels.
     "q_mm_keyframes": f"""
-        WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
-        f AS (
-          SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
-                 CAST({mdbyte_i} AS INTEGER) AS px_byte
-          FROM b, unnest([0, 5, 10, 15]) AS t(i)
-        ), l AS (
-          SELECT doc_id, frame_idx, px_byte,
-                 abs(px_byte - lag(px_byte) OVER (PARTITION BY doc_id
-                                                  ORDER BY frame_idx))
-                   AS delta
-          FROM f
-        )
-        SELECT doc_id, frame_idx, px_byte, delta
-        FROM l WHERE delta IS NULL OR delta > {KEYFRAME_DELTA}
+        {_KEYFRAMES_CORE_SQL}
+        SELECT doc_id, frame_idx, px_byte, delta FROM k
+    """,
+    "q_mm_histogram": f"""
+        {_KEYFRAMES_CORE_SQL}
+        SELECT CAST(px_byte // {MM_HIST_BIN_W} AS BIGINT) AS bin,
+               COUNT(*) AS n_frames,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM k GROUP BY 1
     """,
     # Exact integer energy/peak per 4-sample frame, int16 LE samples
     # rebuilt from digest byte pairs -- one UNION ALL arm per frame.

@@ -330,6 +330,58 @@ CHUNK_TOKENS = 8        # tokens per non-overlapping chunk ("line")
 LINEDEDUP_MIN_DOCS = 2  # a chunk in >= this many distinct docs is duplicate
 
 
+# Cross-lingual alignment: an 8-token verbatim span is a strong anchor
+# (numbers, names, code, quoted originals); the document-frequency band
+# [2, 6] keeps only grams rare enough to be discriminative AND bounds
+# every posting list at 6 docs, so the gram self-join emits <= 15 pairs
+# per gram -- the blocking guarantee that makes this linear at 100 TB.
+ALIGN_NGRAM = 8
+ALIGN_DF_MIN, ALIGN_DF_MAX = 2, 6
+ALIGN_MIN_SHARED = 2
+
+
+def q_align_crosslingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual document alignment by shared rare n-grams
+    (VERDICT r7 #3): candidate translated / syndicated doc pairs are
+    docs in DIFFERENT languages sharing >= 2 rare verbatim 8-grams --
+    the bitext-mining prefilter that runs before any embedding-based
+    scorer, and the only exact (non-model) signal a corpus carries.
+
+    Shape: gram-keyed equi-join, never doc x doc -- the same posting
+    discipline as q_text_decontam: distinct grams per doc, a
+    map-side-combinable document-frequency aggregate, the [2, 6] df
+    band filter, then the bounded self-join and a (doc_a, doc_b)
+    rollup.  The df band is data-independent blocking: posting lists
+    are capped at ALIGN_DF_MAX regardless of corpus size, so pair
+    volume is O(|rare grams| x 15), not O(n^2).  The banded posting
+    table is materialized once (``_scoped_build``, the tfidf pattern):
+    both sides of the self-join read the checkpoint instead of each
+    re-running the gram explode + df aggregate end to end."""
+    from .dedup import _scoped_build
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "lang",
+        F.explode(F.array_distinct(
+            _wordgrams(F.col("text"), ALIGN_NGRAM))).alias("gram"))
+    band = (g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df").between(ALIGN_DF_MIN, ALIGN_DF_MAX))
+            .select("gram"))
+    post = _scoped_build(g.join(band, "gram"))
+    a, b = post.alias("a"), post.alias("b")
+    return (
+        a.join(b, (F.col("a.gram") == F.col("b.gram"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (F.col("a.lang") != F.col("b.lang")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("a.lang").alias("lang_a"),
+                 F.col("b.doc_id").alias("doc_b"),
+                 F.col("b.lang").alias("lang_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= ALIGN_MIN_SHARED)
+    )
+
+
 def q_text_linededup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate-span removal (the RefinedWeb/CCNet
     "duplicate line" filter, one level below doc-level dedup): cut each
@@ -403,14 +455,14 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _grams_sql(n: int, alias: str = "gram") -> str:
-    """Word n-gram rows (doc_id, <alias>) in DuckDB -- ONE definition of
+def _grams_sql(n: int, alias: str = "gram", cols: str = "doc_id") -> str:
+    """Word n-gram rows (<cols>, <alias>) in DuckDB -- ONE definition of
     the unnest/list_transform/slice construction for every gram-based
     oracle (review finding: it was inlined at n=5 for decontam and twice
     at n=2 for bpe_pairs/repetition, three copies that must stay in
     lockstep with the Python _wordgrams)."""
     return f"""
-    SELECT doc_id,
+    SELECT {cols},
            unnest(list_transform(
                range(1, greatest(len(string_split(text,' ')) - {n - 1}, 0) + 1),
                i -> array_to_string((string_split(text,' '))[i:i+{n - 1}], ' ')
@@ -422,6 +474,25 @@ def _grams_sql(n: int, alias: str = "gram") -> str:
 _GRAMS_SQL = _grams_sql(DECONTAM_NGRAM)
 
 ORACLES: dict[str, str] = {
+    "q_align_crosslingual": f"""
+        WITH g AS (
+          SELECT DISTINCT doc_id, lang, gram
+          FROM ({_grams_sql(ALIGN_NGRAM, cols="doc_id, lang")})
+        ), band AS (
+          SELECT gram FROM g GROUP BY gram
+          HAVING COUNT(*) BETWEEN {ALIGN_DF_MIN} AND {ALIGN_DF_MAX}
+        ), post AS (
+          SELECT g.* FROM g JOIN band USING (gram)
+        )
+        SELECT a.doc_id AS doc_a, a.lang AS lang_a,
+               b.doc_id AS doc_b, b.lang AS lang_b,
+               COUNT(*) AS n_shared
+        FROM post a JOIN post b
+          ON a.gram = b.gram AND a.doc_id < b.doc_id
+         AND a.lang <> b.lang
+        GROUP BY 1, 2, 3, 4
+        HAVING COUNT(*) >= {ALIGN_MIN_SHARED}
+    """,
     "q_text_linededup": f"""
         WITH t AS (
           SELECT doc_id, string_split(text, ' ') AS toks FROM documents

@@ -112,6 +112,15 @@ LAST_ATTESTED: dict[str, int] = {
 # oracle twin updated in the same edit, VERDICT r7 #5).  New keys
 # (absent from LAST_ATTESTED) sort most-stale automatically and need
 # no entry here.
+# Budget: 34 r5-stale + 4 TOUCHED (q_text_perplexity was itself
+# r5-stale) + 12 new keys = 50 = the driver window, exactly full -- no
+# further touches or keys can land this round.
+# NOT listed despite a round-8 edit: q_mm_keyframes -- its ORACLE
+# string was refactored to share the keyframe CTE chain with the new
+# q_mm_histogram (multimodal._KEYFRAMES_CORE_SQL), but the generated
+# SQL is semantically identical and the Spark implementation is
+# untouched, so no output can differ (the r7 verdict still attests it;
+# the local parity test re-proves the refactored SQL every run).
 # NOT listed despite the round-7 prune-math edit (ADVICE r7 #1):
 # q_dedup_prefix / q_dedup_incremental / q_dedup_minhash /
 # q_dedup_cluster consume the PRUNE_NUM/PRUNE_DEN rationals, but the

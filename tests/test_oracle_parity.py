@@ -132,8 +132,10 @@ EXPECTED_KEYS = {
     "q_agg_salted",
     "q_agg_stats",
     "q_anomaly",
+    "q_align_crosslingual",
     "q_cte",
     "q_cte_recursive",
+    "q_curate_mixture",
     "q_curate_budget",
     "q_curate_epochs",
     "q_dedup",
@@ -142,6 +144,7 @@ EXPECTED_KEYS = {
     "q_dedup_exact",
     "q_dedup_fuzzy",
     "q_dedup_incremental",
+    "q_dedup_keep_best",
     "q_dedup_minhash",
     "q_dedup_ngram",
     "q_dedup_prefix",
@@ -183,12 +186,14 @@ EXPECTED_KEYS = {
     "q_join_semi",
     "q_join_theta",
     "q_layout_zorder",
+    "q_license_propagate",
     "q_merge_upsert",
     "q_mm_audio",
     "q_mm_decode",
     "q_mm_decode_png",
     "q_mm_features",
     "q_mm_frames",
+    "q_mm_histogram",
     "q_mm_keyframes",
     "q_mm_meta",
     "q_mm_resize",
@@ -199,6 +204,7 @@ EXPECTED_KEYS = {
     "q_profile",
     "q_project_compute",
     "q_retention",
+    "q_retention_funnel",
     "q_sample_hash",
     "q_sample_proportional",
     "q_sample_stratified",
@@ -212,6 +218,7 @@ EXPECTED_KEYS = {
     "q_sim_ivf",
     "q_sim_knn_per_label",
     "q_sim_lsh",
+    "q_snapshot_diff",
     "q_sort_multi",
     "q_stream_distinct",
     "q_stream_flag",
@@ -240,6 +247,7 @@ EXPECTED_KEYS = {
     "q_topk",
     "q_topk_per_group",
     "q_ts_resample",
+    "q_ts_interpolate",
     "q_udaf_centsum",
     "q_udtf_gaps",
     "q_union",

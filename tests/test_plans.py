@@ -545,3 +545,60 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round8_keys_hold_their_plan_claims(spark, sf_dir):
+    """The load-bearing plan claims of the round-8 keys:
+
+    * q_join_bloom -- the FACT side never shuffles on the join key (the
+      bloom pre-filter + broadcast semi-join run at the scan; only the
+      tiny bloom build and the final rollup exchange), no sort-merge
+      join, no cartesian, and the probe stays pure JVM.
+    * q_retention_funnel -- exactly TWO exchanges (user_id windows,
+      cohort_week window) and ONE events scan: the cohort size is a
+      window, not a join back to a recomputed aggregate.
+    * q_mm_histogram -- the Arrow decode is paid exactly once; the
+      selection + histogram never re-enter Python.
+    * q_license_propagate -- the policy dim broadcasts; the corpus is
+      never sort-merge-joined.
+    * q_snapshot_diff -- one full-outer sort-merge join on doc_id whose
+      exchanges carry md5 fingerprints, never document text.
+    """
+    from financialtransactionmonitoringsystem_spark.operators import (
+        curate, multimodal, timeseries)
+
+    df = relational.q_join_bloom(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert "hashpartitioning(o_custkey" not in s, s
+    assert P.has_broadcast_join(df)
+    assert not P.has_sort_merge_join(df)
+    assert not P.has_cartesian(df)
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+
+    df = timeseries.q_retention_funnel(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert s.count("Exchange") == 2, s
+    assert s.count("hashpartitioning(user_id") == 1, s
+    assert s.count("FileScan") == 1, s
+
+    df = multimodal.q_mm_histogram(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert s.count("MapInPandas") == 1, s
+    assert not P.has_cartesian(df)
+
+    df = curate.q_license_propagate(spark, sf_dir)
+    assert P.has_broadcast_join(df)
+    assert not P.has_sort_merge_join(df)
+
+    df = curate.q_snapshot_diff(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert "FullOuter" in s, s
+    assert P.has_sort_merge_join(df)
+    # the join-side exchanges hash on doc_id and carry fp columns only:
+    # the md5 Project must sit BELOW each exchange (computed pre-
+    # shuffle, between the exchange and its scan), so the shuffle
+    # carries 32-byte fingerprints, never document text
+    sides = s.split("Exchange hashpartitioning(doc_id")[1:]
+    assert len(sides) == 2, s
+    for side in sides:
+        assert "md5(" in side.split("FileScan")[0], side[:600]
