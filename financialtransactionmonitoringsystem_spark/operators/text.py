@@ -177,14 +177,23 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained on the corpus itself (low avg NLL = fluent/common text;
     high = rare/garbled -- the perplexity-filter shape).
 
-    Scale shape: ONE token explode feeding a map-side-combinable
-    per-(doc,tok) count; the global token counts then derive from that
-    frame (``sum(cnt)`` over the already-collapsed pairs) instead of
-    re-exploding the corpus, so the explode's shuffle exchange is
-    shared between both branches (ReusedExchange -- the same fix that
-    measured -30% on the adjacent tfidf).  One equi-join on tok, one
-    per-doc agg.  The model table is one row per distinct token --
-    broadcastable when small, a plain shuffle join when not.
+    Scale shape: two map-side-combinable aggregates over the token
+    explode (per-(doc,tok) counts, global tok counts), one equi-join on
+    tok, one per-doc agg.  The model table is one row per distinct
+    token -- broadcastable when small, a plain shuffle join when not.
+
+    Deliberately NOT derived from the (doc,tok) frame: the "share the
+    explode" rewrite (counts = doc_tok.groupBy(tok).sum(cnt), the shape
+    that measured -30% on the adjacent tfidf) was applied and MEASURED
+    here in round 8 -- it is 40%+ SLOWER (A/B on the same corpus: 0.41 s
+    vs 0.57-0.71 s at sf0.1) and its plan is strictly worse: with no
+    checkpoint, Catalyst re-evaluates the shared doc_tok subtree per
+    consumer (3 Generates, zero ReusedExchange), so each consumer pays
+    the explode PLUS the heavier (doc,tok) reduce-side aggregate,
+    whereas this form's tok-keyed partial agg collapses to vocabulary
+    size BEFORE its exchange.  tfidf won because its shared frame is
+    ``_scoped_build``-materialized; materializing here would add
+    checkpoint IO to a sub-second query for nothing.
 
     Determinism: each token's NLL is snapped to integer MICRO-nats
     (floor(ln*1e6+0.5)) *before* the per-doc sum, so the sum is exact
@@ -202,7 +211,7 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = (docs.select("doc_id", F.explode(_toks()).alias("tok"))
            .filter(F.length("tok") > 0))
     doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    counts = doc_tok.groupBy("tok").agg(F.sum("cnt").alias("c"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     totals = counts.agg(F.sum("c").alias("n_total"),
                         F.count(F.lit(1)).alias("v"))
     logp = F.ln((F.col("c") + 1).cast("double")
