@@ -1239,7 +1239,9 @@ def test_scoped_build_reliable_mode(spark, sf_dir, tmp_path):
     sc.setCheckpointDir(ckpt)
     fns = (text.q_text_tfidf, text.q_text_linededup,
            curate.q_export_shards, timeseries.q_ts_resample,
-           dedup.q_dedup_minhash)
+           dedup.q_dedup_minhash,
+           # r8: the checkpoint-feeds-both-sides-of-a-self-join shape
+           text.q_align_crosslingual)
     local = {f.__name__: sorted(map(tuple, f(spark, sf_dir).collect()))
              for f in fns}
     spark.conf.set(SCOPED_BUILD_MODE_CONF, "reliable")
