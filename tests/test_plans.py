@@ -602,3 +602,21 @@ def test_round8_keys_hold_their_plan_claims(spark, sf_dir):
     assert len(sides) == 2, s
     for side in sides:
         assert "md5(" in side.split("FileScan")[0], side[:600]
+
+
+def test_align_crosslingual_joins_checkpoint_never_reexplodes(spark, sf_dir):
+    """q_align_crosslingual's blocking contract: the final query joins
+    the MATERIALIZED banded posting table on both sides (two checkpoint
+    scans), so the gram explode + df aggregate are paid once in the
+    one-time build -- the query plan itself must contain no Generate.
+    The self-join is gram-keyed equi (doc_id</lang<> as residuals, no
+    cartesian) and the pair rollup is map-side combined before its one
+    exchange.  Broadcast-vs-shuffle is left to stats/AQE (no hint)."""
+    from financialtransactionmonitoringsystem_spark.operators import text
+
+    df = text.q_align_crosslingual(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert not P.has_cartesian(df)
+    assert "Generate" not in s, s
+    assert s.count("Scan ExistingRDD") == 2, s
+    assert P.has_partial_aggregation(df)
