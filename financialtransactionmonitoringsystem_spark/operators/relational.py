@@ -242,7 +242,7 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # seeded probes.  For |dim keys| = n, FPR ~ (2n/65536)^2 -- at the
 # design point (dim filtered to ~10% of customers) effectively zero,
 # and false positives only cost a wasted probe row, never a wrong
-# answer (the exact semi-join behind the bloom removes them).
+# answer (the exact key join behind the bloom removes them).
 BLOOM_BITS = 1 << 16
 BLOOM_SEEDS = (1, 2)
 
@@ -260,11 +260,24 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions per key, bit_or per 64-bit word, collect ~1024 (word ->
     bits) entries into a one-row map), broadcast that single row, and
     pre-filter the fact with pure codegen bit arithmetic at the scan.
-    The exact semi-join that follows sees only the pre-filtered
-    survivors, so ITS shuffle (when the dim outgrows broadcast) carries
+    The exact join that follows sees only the pre-filtered survivors,
+    so ITS shuffle (when the dim outgrows broadcast) carries
     ~selectivity x |fact| rows.  This is exactly what Spark's runtime
     row-level filter injection does; spelled out as an operator so the
     technique is visible, testable, and tunable (bits/seeds).
+
+    False-positive cleanup is an INNER join against the DISTINCT dim
+    keys, not a left-semi, and that choice is load-bearing (round-8
+    plan read): Catalyst's PushDownLeftSemiAntiJoin pushes a semi join
+    below any Project/Filter whose output covers the join keys -- with
+    the semi form the optimizer reordered the written probe-then-verify
+    into verify-then-probe, so under a non-broadcast dim the fact
+    shuffled UN-pruned and the bloom was dead weight above the join
+    (verified with autoBroadcastJoinThreshold=-1).  No push-JOIN-down
+    rule exists for inner joins, so the probe stays fused to the fact
+    scan and the at-scale exchange carries only survivors (plan-pinned
+    in both broadcast and no-broadcast modes).  Joining distinct keys
+    duplicates no fact row, so the result is identical to the semi.
 
     The oracle is the plain semi-join + aggregate: the bloom is a plan
     technique, invisible in results."""
@@ -294,9 +307,9 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" CAST(0 AS BIGINT)) >> CAST(_p{i} % 64 AS INT)) & 1) = 1")
         hit = t if hit is None else (hit & t)
     pre = probed.filter(hit)
+    keys = cust.select("c_custkey").distinct()
     return (
-        pre.join(cust.select("c_custkey"),
-                 pre["o_custkey"] == F.col("c_custkey"), "left_semi")
+        pre.join(keys, pre["o_custkey"] == F.col("c_custkey"), "inner")
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"),
              rnd(F.sum("o_totalprice")).alias("sum_price"))

@@ -551,9 +551,15 @@ def test_round8_keys_hold_their_plan_claims(spark, sf_dir):
     """The load-bearing plan claims of the round-8 keys:
 
     * q_join_bloom -- the FACT side never shuffles on the join key (the
-      bloom pre-filter + broadcast semi-join run at the scan; only the
+      bloom pre-filter + broadcast key join run at the scan; only the
       tiny bloom build and the final rollup exchange), no sort-merge
-      join, no cartesian, and the probe stays pure JVM.
+      join, no cartesian, and the probe stays pure JVM.  A second check
+      runs with broadcasting DISABLED (the at-scale shape): the fact
+      then does exchange on o_custkey, but the bloom probe must sit
+      BELOW that exchange so the shuffle carries only survivors -- the
+      pin for the round-8 finding that a left-semi cleanup gets pushed
+      below the probe by PushDownLeftSemiAntiJoin, un-pruning the
+      shuffle (the inner-join-on-distinct-keys form has no such rule).
     * q_retention_funnel -- exactly TWO exchanges (user_id windows,
       cohort_week window) and ONE events scan: the cohort size is a
       window, not a join back to a recomputed aggregate.
@@ -574,6 +580,24 @@ def test_round8_keys_hold_their_plan_claims(spark, sf_dir):
     assert not P.has_sort_merge_join(df)
     assert not P.has_cartesian(df)
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    for k in saved:
+        spark.conf.set(k, "-1")
+    try:
+        lines = P.plan_str(relational.q_join_bloom(spark, sf_dir),
+                           "simple").splitlines()
+        probe = min(i for i, l in enumerate(lines) if "element_at" in l)
+        exch = min(i for i, l in enumerate(lines)
+                   if "Exchange hashpartitioning(o_custkey" in l)
+        assert probe > exch, "\n".join(lines)  # deeper line = below
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
     df = timeseries.q_retention_funnel(spark, sf_dir)
     s = P.plan_str(df, "simple")
