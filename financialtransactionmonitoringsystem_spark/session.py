@@ -72,6 +72,21 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     The verification driver builds its own SparkSession; every ``queries()``
     entry routes through here so reads behave identically (UTC event time,
     nanos handling, AQE).
+
+    DELIBERATELY not set: ``spark.sql.ansi.enabled``.  Spark 4 defaults
+    it to true, so every attested result was produced under ANSI
+    semantics, and at 100 TB fail-loudly is the right posture (silent
+    NULLs hide corrupt data).  Known cross-engine consequence, accepted
+    and documented rather than papered over: an expression edge that
+    ANSI turns into an error (division by zero, overflow, bad cast)
+    THROWS here while DuckDB yields NULL -- a corpus regeneration that
+    first reaches such an edge (a zero-token source in
+    q_curate_mixture, a zero-norm embedding in the cosine family)
+    would surface as a loud Spark-side error, never a silent value
+    mismatch.  Flipping ANSI off to chase NULL-parity would relax
+    semantics for all 147 attested keys at once; if an edge ever
+    becomes reachable, guard that one site with ``try_divide``/
+    ``F.when`` instead (the q_fn_try surface exists for exactly this).
     """
     for key in (
         "spark.sql.session.timeZone",
