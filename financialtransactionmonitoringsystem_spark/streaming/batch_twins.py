@@ -81,6 +81,15 @@ def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     The running sum is an ordered sequential fold on both engines
     (window ROWS UNBOUNDED PRECEDING), so totals are bit-identical to
     the streaming operator's per-key accumulation.
+
+    Known residual (round-8 review, same class q_scd2/q_sessionize
+    already close with an event_id tiebreak): the fold orders by ``ts``
+    alone, so duplicate (user_id, ts) pairs would leave the
+    accumulation order -- and possibly the first-crossing row --
+    engine-dependent.  Every generated corpus has ZERO such duplicates
+    (checked at all three SFs), and adding the tiebreak is a behavior
+    change on tied data, so it waits for a round-9 TOUCHED slot rather
+    than riding silently.
     """
     from pyspark.sql import Window as W
 
