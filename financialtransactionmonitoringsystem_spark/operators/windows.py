@@ -3,11 +3,16 @@ distribution functions.  These power the monitoring use-cases the
 reference gestures at: velocity checks (inter-transaction gap), running
 balances, top-merchant-per-user.
 
-Scale notes: a window is one shuffle on its partition keys; all four
-queries partition on low-cardinality-safe keys (per-user / per-flag), and
-no window here is unbounded-unpartitioned (which would serialize on one
-task).  Ordering columns always end with a unique key so ranks are
-deterministic (oracle-hash requirement).
+Scale notes: a window is one shuffle on its partition keys; the per-user
+/ per-flag queries partition on low-cardinality-safe keys.  The ONE
+deliberate exception is ``q_win_ntile``: ntile/percent_rank/cume_dist
+are global-rank functions, so their window is unpartitioned by
+definition and Spark serializes it onto a single task -- correct at the
+customer-dim cardinality it targets, and the SQL surface under
+attestation.  At fact-table scale the same quantities come from a
+two-pass count + range partitioning (the `_ranged_running_sum` pattern
+in curate.py) rather than a global window.  Ordering columns always end
+with a unique key so ranks are deterministic (oracle-hash requirement).
 """
 
 from __future__ import annotations
