@@ -173,3 +173,45 @@ def test_bloom_prefilter_is_superset_and_actually_prunes(spark, sf_dir):
     # design FPR is ~1e-4 at fixture scale; allow 100x slack
     assert len(false_pos) <= max(2, 0.01 * len(non_match)), (
         len(false_pos), len(non_match))
+
+
+def test_argmax_packed_key_breaks_ties_deterministically(spark):
+    """The oracle can only attest ties the corpus happens to contain;
+    this plants an exact balance tie and pins the packed-key contract
+    directly: max_by prefers the SMALLER custkey among tied balances
+    (cents * 10^10 - key), min_by the same on its + form."""
+    from pyspark.sql import functions as F
+
+    cust = spark.createDataFrame(
+        [(7, "late-rich", 500.0, 1), (3, "early-rich", 500.0, 1),
+         (9, "late-poor", -10.0, 1), (4, "early-poor", -10.0, 1),
+         (5, "mid", 100.0, 1)],
+        "c_custkey bigint, c_name string, c_acctbal double, c_nationkey int")
+    cents = "CAST(floor(c_acctbal * 1e2 + 5e-1) AS BIGINT)"
+    row = (cust.groupBy("c_nationkey")
+           .agg(F.max_by("c_name", F.expr(f"{cents} * 10000000000 - c_custkey"))
+                .alias("richest"),
+                F.min_by("c_name", F.expr(f"{cents} * 10000000000 + c_custkey"))
+                .alias("poorest"))
+           .collect()[0])
+    assert row.richest == "early-rich"   # 500.0 tie -> custkey 3 beats 7
+    assert row.poorest == "early-poor"   # -10.0 tie -> custkey 4 beats 9
+
+
+def test_dedup_keep_best_prefers_quality_then_low_doc_id(spark):
+    """Planted exact-dup group: the most-distinct-token copy wins; on a
+    distinct-token tie the lower doc_id wins (packed max_by key)."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(10, "a b c"), (11, "a b c"), (12, "a b c")],
+        "doc_id bigint, text string")
+    scored = docs.select(
+        "doc_id", F.md5("text").alias("fp"),
+        F.size(F.array_distinct(F.split("text", " "))).alias("d"))
+    key = F.expr("CAST(d AS BIGINT) * 10000000000 - doc_id")
+    row = (scored.groupBy("fp")
+           .agg(F.count(F.lit(1)).alias("n_dups"),
+                F.max_by("doc_id", key).alias("keep_doc"))
+           .collect()[0])
+    assert row.n_dups == 3 and row.keep_doc == 10  # quality tie -> min doc_id
