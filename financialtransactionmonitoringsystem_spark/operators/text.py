@@ -362,17 +362,26 @@ def q_align_crosslingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     band filter, then the bounded self-join and a (doc_a, doc_b)
     rollup.  The df band is data-independent blocking: posting lists
     are capped at ALIGN_DF_MAX regardless of corpus size, so pair
-    volume is O(|rare grams| x 15), not O(n^2).  The banded posting
-    table is materialized once (``_scoped_build``, the tfidf pattern):
-    both sides of the self-join read the checkpoint instead of each
-    re-running the gram explode + df aggregate end to end."""
+    volume is O(|rare grams| x 15), not O(n^2).
+
+    Materialization (both measured, round 8): the gram table feeds the
+    df aggregate AND the band join, so it is checkpointed FIRST --
+    otherwise the build runs the corpus explode twice (Catalyst
+    re-evaluates shared subtrees per consumer) and an interleaved A/B
+    at sf0.1 reads 3.8-4.1 s vs 2.5-2.6 s with the checkpoint (-35%,
+    the linededup lesson again).  The banded posting table is then
+    checkpointed too (the tfidf pattern) so the self-join reads a
+    band-pruned artifact on both sides.  Note the gram checkpoint is
+    corpus-sized (unlike the banded one) -- the measured trade is one
+    full explode+scan saved per df-agg/join consumer, same as
+    linededup's chunk table (6.5x at 10x there)."""
     from .dedup import _scoped_build
 
     docs = load_table(spark, sf_dir, "documents")
-    g = docs.select(
+    g = _scoped_build(docs.select(
         "doc_id", "lang",
         F.explode(F.array_distinct(
-            _wordgrams(F.col("text"), ALIGN_NGRAM))).alias("gram"))
+            _wordgrams(F.col("text"), ALIGN_NGRAM))).alias("gram")))
     band = (g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df").between(ALIGN_DF_MIN, ALIGN_DF_MAX))
             .select("gram"))
