@@ -348,6 +348,43 @@ ALIGN_NGRAM = 8
 ALIGN_DF_MIN, ALIGN_DF_MAX = 2, 6
 ALIGN_MIN_SHARED = 2
 
+# Gram-table materialization policy (VERDICT r8 design note: the gram
+# checkpoint is CORPUS-sized -- larger than the corpus, ~one row per
+# distinct 8-gram occurrence -- so at 100 TB the materialization is
+# itself a major IO bill).  Modes:
+#
+# * "checkpoint" (default): materialize the gram table once and serve
+#   both consumers (df aggregate + band join) from it.  One corpus
+#   explode total; costs one gram-table write + two reads against the
+#   scoped-build store.  Wins whenever that store is executor memory /
+#   local disk (local mode, memory-rich clusters) -- the round-8
+#   measured -35% at sf0.1 and -4.5x at 10x.
+# * "rederive": never materialize the corpus-sized table.  The df
+#   aggregate consumes the explode lazily (partial aggregation fuses
+#   into the scan stage); only the TINY band table (rare grams only,
+#   O(|band|)) is checkpointed, and the posting build re-derives the
+#   explode fused with the band join.  Two corpus explodes total, zero
+#   corpus-sized writes.  The 100 TB setting whenever the scoped-build
+#   store is a remote object store (scopedBuild.mode=reliable): one
+#   extra columnar scan + codegen explode is CPU-bound and
+#   embarrassingly parallel, while writing+reading a >100 TB temp
+#   table through the store is bandwidth-bound and billed.
+#
+# Policy: checkpoint iff the gram table fits the cluster's fast
+# materialization tier (executor memory x spark.memory.storageFraction;
+# estimate |corpus tokens| x ~1.1 rows x ~90 B/row).  Local bench scale
+# fits trivially -> default "checkpoint"; a 100 TB run with reliable
+# checkpointing should set "rederive".  Both modes are output-identical
+# (tests pin this).  Measured (round 9, interleaved 3-run mins on a
+# quiet host): checkpoint wins at sf0.1 (3.3 s vs 4.9 s, the r8 -35%
+# reproduced) but is already at PARITY on the 10x prefix-salted
+# replica corpus (6.0 s vs 5.6 s) -- the write+read of the 10x gram
+# table cancels the saved explode even on local NVMe, so the crossover
+# sits near the fast-tier capacity exactly as the rule predicts, and
+# an object-store round-trip at 100 TB only moves it further toward
+# "rederive".
+ALIGN_GRAM_MODE_CONF = "spark.fintxmon.align.gramMaterialize"
+
 
 def q_align_crosslingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-lingual document alignment by shared rare n-grams
@@ -365,26 +402,31 @@ def q_align_crosslingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume is O(|rare grams| x 15), not O(n^2).
 
     Materialization (both measured, round 8): the gram table feeds the
-    df aggregate AND the band join, so it is checkpointed FIRST --
-    otherwise the build runs the corpus explode twice (Catalyst
-    re-evaluates shared subtrees per consumer) and an interleaved A/B
-    at sf0.1 reads 3.8-4.1 s vs 2.5-2.6 s with the checkpoint (-35%,
-    the linededup lesson again).  The banded posting table is then
-    checkpointed too (the tfidf pattern) so the self-join reads a
-    band-pruned artifact on both sides.  Note the gram checkpoint is
-    corpus-sized (unlike the banded one) -- the measured trade is one
-    full explode+scan saved per df-agg/join consumer, same as
-    linededup's chunk table (6.5x at 10x there)."""
+    df aggregate AND the band join, so under the default "checkpoint"
+    policy it is checkpointed FIRST -- otherwise the build runs the
+    corpus explode twice (Catalyst re-evaluates shared subtrees per
+    consumer) and an interleaved A/B at sf0.1 reads 3.8-4.1 s vs
+    2.5-2.6 s with the checkpoint (-35%, the linededup lesson again).
+    The banded posting table is then checkpointed too (the tfidf
+    pattern) so the self-join reads a band-pruned artifact on both
+    sides.  The gram checkpoint is corpus-sized (unlike the banded
+    one), so the policy is configurable: see ``ALIGN_GRAM_MODE_CONF``
+    above for the "rederive" mode a 100 TB object-store run should
+    set, and the decision rule between them."""
     from .dedup import _scoped_build
 
     docs = load_table(spark, sf_dir, "documents")
-    g = _scoped_build(docs.select(
+    g_raw = docs.select(
         "doc_id", "lang",
         F.explode(F.array_distinct(
-            _wordgrams(F.col("text"), ALIGN_NGRAM))).alias("gram")))
+            _wordgrams(F.col("text"), ALIGN_NGRAM))).alias("gram"))
+    rederive = spark.conf.get(ALIGN_GRAM_MODE_CONF, "checkpoint") == "rederive"
+    g = g_raw if rederive else _scoped_build(g_raw)
     band = (g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df").between(ALIGN_DF_MIN, ALIGN_DF_MAX))
             .select("gram"))
+    if rederive:
+        band = _scoped_build(band)
     post = _scoped_build(g.join(band, "gram"))
     a, b = post.alias("a"), post.alias("b")
     return (

@@ -219,7 +219,15 @@ def q_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning, so the whole query is exactly TWO exchanges and ONE
     events scan (plan-pinned).  Week offsets are exact integer second
     arithmetic ((conv - week_start) DIV 604800), so both engines
-    bucket identically."""
+    bucket identically.  Determinism conventions (ADVICE r8): the
+    oracle floors epoch(pt) -- bare CAST(epoch(...)) rounds to nearest
+    second in DuckDB, which could flip week_offset for a conversion in
+    the final second before a weekly boundary -- and cohort_week is
+    emitted as the 'yyyy-MM-dd' STRING on both sides (the exact
+    q_retention precedent, extras.py: date_format / strftime after the
+    internal DATE cast; the previous Spark TIMESTAMP vs oracle DATE
+    divergence only passed because pandas coerces both to datetime64,
+    a hazard for any non-pandas comparison path)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_type")
     wu = W.partitionBy("user_id")
@@ -244,7 +252,8 @@ def q_retention_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pt").isNotNull())
         .groupBy("cohort_week", offset.alias("week_offset"), "n_cohort")
         .agg(F.count(F.lit(1)).alias("n_converted"))
-        .select("cohort_week", "week_offset", "n_cohort", "n_converted")
+        .select(F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+                "week_offset", "n_cohort", "n_converted")
     )
 
 
@@ -339,16 +348,16 @@ ORACLES: dict[str, str] = {
           FROM c WINDOW w AS (PARTITION BY user_id)
         ), per_user AS (
           SELECT user_id, MIN(st) AS st, MIN(pt) AS pt,
-                 date_trunc('week', MIN(st)) AS cohort_week
+                 CAST(date_trunc('week', MIN(st)) AS DATE) AS cohort_week
           FROM p WHERE st IS NOT NULL GROUP BY user_id
         ), sized AS (
           SELECT *, COUNT(*) OVER (PARTITION BY cohort_week)
                    AS n_cohort
           FROM per_user
         )
-        SELECT cohort_week,
-               (CAST(epoch(pt) AS BIGINT)
-                - CAST(epoch(cohort_week) AS BIGINT)) // {WEEK_S}
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               (CAST(floor(epoch(pt)) AS BIGINT)
+                - CAST(floor(epoch(cohort_week)) AS BIGINT)) // {WEEK_S}
                  AS week_offset,
                n_cohort, COUNT(*) AS n_converted
         FROM sized WHERE pt IS NOT NULL

@@ -43,13 +43,36 @@ for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
 # authoritative full-registry gate regardless of window position, and
 # test_window_rotation pins that every stale key actually fits the window.
 LAST_ATTESTED: dict[str, int] = {
-    # round 7 window (CORRECTNESS_r07.json: 49 hash-green + 1 no_oracle
-    # rows-only verdict (q_agg_approx), all 50 attested, zero errors --
-    # the 41 r4-stale keys + 2 TOUCHED re-attests + 7 new keys)
+    # round 8 window (CORRECTNESS_r08.json: 48 hash-green + 2 no_oracle
+    # rows-only verdicts (q_agg_approx_quantile, q_sim_ivf), all 50
+    # attested, zero errors -- the 34 r5-stale keys + 4 TOUCHED
+    # re-attests + 12 new keys; the former r5 cohort is now fully
+    # absorbed here, so no r5 block remains)
+    **{k: 8 for k in (
+        "q_agg_approx_quantile", "q_agg_argmax", "q_agg_bitmap",
+        "q_agg_corr", "q_agg_ddsketch", "q_agg_histogram", "q_agg_mode",
+        "q_align_crosslingual", "q_anomaly", "q_cte_recursive",
+        "q_curate_mixture", "q_dedup_embed", "q_dedup_keep_best",
+        "q_dedup_url", "q_dq_checks", "q_embed_quantize", "q_fn_try",
+        "q_funnel", "q_join_bloom", "q_join_lateral", "q_layout_zorder",
+        "q_license_propagate", "q_merge_upsert", "q_mm_decode",
+        "q_mm_features", "q_mm_frames", "q_mm_histogram", "q_mm_meta",
+        "q_profile", "q_retention", "q_retention_funnel", "q_sample_hash",
+        "q_sample_proportional", "q_sample_weighted", "q_scd2",
+        "q_sessionize", "q_sim_cosine", "q_sim_ivf", "q_sim_knn_per_label",
+        "q_snapshot_diff", "q_stream_join", "q_stream_join_agg",
+        "q_text_bpe_pairs", "q_text_decontam", "q_text_perplexity",
+        "q_text_repetition", "q_ts_interpolate", "q_udaf_centsum",
+        "q_udtf_gaps", "q_win_timerange",
+    )},
+    # round 7 window remainder (CORRECTNESS_r07.json: 49 hash-green + 1
+    # no_oracle rows-only verdict (q_agg_approx), all 50 attested, zero
+    # errors; minus q_dedup_url, re-attested r8) -- these 49 keys are
+    # the round-10 stale cohort
     **{k: 7 for k in (
         "q_agg_approx", "q_agg_group", "q_agg_rollup", "q_agg_salted",
         "q_agg_stats", "q_cte", "q_curate_epochs", "q_dedup",
-        "q_dedup_exact", "q_dedup_ngram", "q_dedup_url",
+        "q_dedup_exact", "q_dedup_ngram",
         "q_filter_range", "q_fn_array", "q_fn_date", "q_fn_json",
         "q_funnel_sessionized", "q_ingest_feed", "q_join_asof",
         "q_join_inner", "q_join_interval", "q_join_multiway",
@@ -63,8 +86,11 @@ LAST_ATTESTED: dict[str, int] = {
         "q_text_tokens", "q_topk_per_group", "q_union", "q_unpivot",
         "q_win_frame", "q_win_range", "q_win_rank",
     )},
-    # round 6 window (CORRECTNESS_r06.json: 46 hash-green + 4 no_oracle
-    # rows-only verdicts, all 50 attested, zero errors)
+    # round 6 window remainder (CORRECTNESS_r06.json: 46 hash-green + 4
+    # no_oracle rows-only verdicts, all 50 attested, zero errors; minus
+    # q_sample_hash / q_sample_proportional, re-attested r8) -- these 48
+    # keys are the round-9 stale cohort and anchor the round-9 window
+    # (48 + 2 round-9 TOUCHED = 50, exactly full)
     **{k: 6 for k in (
         "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_global",
         "q_agg_gsets", "q_agg_having", "q_agg_hll", "q_curate_budget",
@@ -77,62 +103,33 @@ LAST_ATTESTED: dict[str, int] = {
         "q_join_asof_fwd", "q_join_broadcast", "q_join_full",
         "q_join_left", "q_join_semi", "q_join_theta", "q_mm_resize",
         "q_pack_sequences", "q_point_lookup", "q_project_compute",
-        "q_sample_hash", "q_sample_proportional", "q_sample_stratified",
+        "q_sample_stratified",
         "q_scan_prune", "q_sort_multi", "q_stream_distinct",
         "q_text_linededup", "q_text_pii", "q_text_tfidf", "q_topk",
         "q_ts_resample", "q_win_lag", "q_win_ntile",
     )},
-    # round 5 window remainder (CORRECTNESS_r05.json minus r6/r7
-    # re-attests); no verdict since -- these 35 keys anchor the round-8
-    # window (35 + round-8 TOUCHED + new keys <= 50)
-    **{k: 5 for k in (
-        "q_agg_approx_quantile", "q_agg_corr", "q_agg_histogram",
-        "q_agg_mode", "q_anomaly", "q_cte_recursive", "q_dedup_embed",
-        "q_dq_checks", "q_embed_quantize", "q_fn_try",
-        "q_funnel", "q_join_lateral", "q_layout_zorder",
-        "q_merge_upsert", "q_mm_decode", "q_mm_features",
-        "q_mm_frames", "q_mm_meta", "q_profile", "q_retention",
-        "q_sample_weighted", "q_scd2", "q_sessionize", "q_sim_cosine",
-        "q_sim_ivf", "q_sim_knn_per_label",
-        "q_stream_join", "q_stream_join_agg", "q_text_bpe_pairs",
-        "q_text_decontam", "q_text_perplexity", "q_text_repetition",
-        "q_udaf_centsum", "q_udtf_gaps", "q_win_timerange",
-    )},
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  Round-8 touches: q_text_perplexity derives `counts` from the
-# single token explode (plan-only, VERDICT r7 #2a), q_sample_hash
-# projects the md5 before filtering so it evaluates once (plan-only,
-# VERDICT r7 #2b), q_dedup_url coalesces a NULL parse_url(PATH) to ''
-# so path-less URLs canonicalize instead of NULL-poisoning the concat
-# (behavior fix outside the fixture domain, ADVICE r7 #3), and
-# q_sample_proportional adopts the exact maximal T via the closed-form
-# constraint inversion (behavior change: a few more docs kept per lang;
-# oracle twin updated in the same edit, VERDICT r7 #5).  New keys
-# (absent from LAST_ATTESTED) sort most-stale automatically and need
-# no entry here.
-# Budget: 34 r5-stale + 4 TOUCHED (q_text_perplexity was itself
-# r5-stale) + 12 new keys = 50 = the driver window, exactly full -- no
-# further touches or keys can land this round.
-# NOT listed despite a round-8 edit: q_mm_keyframes -- its ORACLE
-# string was refactored to share the keyframe CTE chain with the new
-# q_mm_histogram (multimodal._KEYFRAMES_CORE_SQL), but the generated
-# SQL is semantically identical and the Spark implementation is
-# untouched, so no output can differ (the r7 verdict still attests it;
-# the local parity test re-proves the refactored SQL every run).
-# NOT listed despite the round-7 prune-math edit (ADVICE r7 #1):
-# q_dedup_prefix / q_dedup_incremental / q_dedup_minhash /
-# q_dedup_cluster consume the PRUNE_NUM/PRUNE_DEN rationals, but the
-# prunes only WIDEN the pre-verify candidate set (exact 4/5 -> the
-# rounded acceptance region 1599999/2000000, a strict superset) and
-# every candidate still passes the unchanged exact-Jaccard verify
-# filter, so no surviving pair can differ -- provably output-identical,
-# confirmed by the r7 full 135-key sf0.1 sweep; re-attest deferred to
-# their natural r6-stale rotation rather than burning 4 window slots.
+# history.  Round-9 touches (the registry's full 147 now forces a 3-round
+# rotation, so the budget is exactly 48 r6-stale + 2 TOUCHED = 50 -- no
+# new keys or further touches can land this round):
+# * q_stream_state -- the running-sum fold (batch twin, its oracle, and
+#   both live stateful forms) now orders by (ts, event_id) instead of ts
+#   alone, closing the round-8 review residual: tied (user_id, ts) rows
+#   would have made the accumulation order -- and possibly the
+#   first-crossing row -- engine-dependent (VERDICT r8 wrong #2).
+#   Behavior change only on tied data (every generated corpus has zero
+#   ties), but the fold definition itself changed -> re-attest.
+# * q_retention_funnel -- two ADVICE r8 determinism fixes: the oracle
+#   now floors epoch(pt) (bare CAST(epoch(...)) rounds to nearest
+#   second, which could flip week_offset for conversions in the final
+#   second before a weekly boundary -- a corpus-regeneration flake
+#   hazard), and cohort_week is now the 'yyyy-MM-dd' STRING on both
+#   sides, the exact q_retention precedent (was Spark TIMESTAMP vs
+#   DuckDB TIMESTAMP-coerced-by-pandas; schema change -> re-attest).
 TOUCHED: tuple[str, ...] = (
-    "q_text_perplexity", "q_sample_hash", "q_dedup_url",
-    "q_sample_proportional",
+    "q_stream_state", "q_retention_funnel",
 )
 
 # Among equally-stale keys, spread families across the window edge instead of

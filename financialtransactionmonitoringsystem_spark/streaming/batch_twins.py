@@ -82,23 +82,23 @@ def q_stream_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window ROWS UNBOUNDED PRECEDING), so totals are bit-identical to
     the streaming operator's per-key accumulation.
 
-    Known residual (round-8 review, same class q_scd2/q_sessionize
-    already close with an event_id tiebreak): the fold orders by ``ts``
-    alone, so duplicate (user_id, ts) pairs would leave the
-    accumulation order -- and possibly the first-crossing row --
-    engine-dependent.  Every generated corpus has ZERO such duplicates
-    (checked at all three SFs), and adding the tiebreak is a behavior
-    change on tied data, so it waits for a round-9 TOUCHED slot rather
-    than riding silently.
+    The fold orders by (ts, event_id) -- the event_id tiebreak (round 9,
+    closing the round-8 review residual; same convention as
+    q_scd2/q_sessionize) makes the accumulation order, and hence the
+    first-crossing row, fully deterministic even if a corpus ever
+    contains duplicate (user_id, ts) pairs.  The live stateful forms
+    (``stateful.balance_alerts_stateful`` / ``balance_alerts_tws``)
+    sort each micro-batch by the same pair.
     """
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
-    running = ev.select("user_id", "ts",
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    running = ev.select("user_id", "ts", "event_id",
                         F.sum("value").over(w).alias("total"))
     crossed = running.filter(F.col("total") >= 1000.0)
-    w2 = W.partitionBy("user_id").orderBy("ts")
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         crossed.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") == 1)
@@ -222,13 +222,14 @@ ORACLES: dict[str, str] = {
     """,
     "q_stream_state": f"""
         WITH r AS (
-          SELECT user_id, ts,
-                 SUM(value) OVER (PARTITION BY user_id ORDER BY ts
+          SELECT user_id, ts, event_id,
+                 SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                   ROWS UNBOUNDED PRECEDING) AS total
           FROM events
         ), c AS (
           SELECT user_id, ts, total,
-                 row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
           FROM r WHERE total >= 1000.0
         )
         SELECT user_id, ts, {R('total')} AS total FROM c WHERE rn = 1

@@ -10,10 +10,11 @@ State design (scale contract):
 * One row of state per user (the running total): O(keys), not O(events).
 * State lives in the state store (checkpointed, partitioned by key);
   each micro-batch touches only the keys present in that batch.
-* Rows within a batch are sorted by event time in the worker; cross-batch
-  order is the source's responsibility (in-order per key, e.g. Kafka
-  partition-by-user).  ``batch_twins.q_stream_state`` is the batch-mode
-  ground truth the streaming form is tested against.
+* Rows within a batch are sorted by (event time, event_id) in the worker
+  -- the event_id tiebreak keeps the fold deterministic under tied
+  timestamps; cross-batch order is the source's responsibility (in-order
+  per key, e.g. Kafka partition-by-user).  ``batch_twins.q_stream_state``
+  is the batch-mode ground truth the streaming form is tested against.
 """
 
 from __future__ import annotations
@@ -35,7 +36,7 @@ def _crossings(threshold: float):
         total = state.get[0] if state.exists else 0.0
         rows = []
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
+            pdf = pdf.sort_values(["ts", "event_id"])
             for ts, v in zip(pdf["ts"], pdf["value"]):
                 prev = total
                 total = total + float(v)
@@ -53,7 +54,7 @@ def balance_alerts_stateful(events: DataFrame,
     """Streaming: emit (user_id, ts, total) at the first event where the
     user's cumulative value reaches ``threshold``."""
     return (
-        events.select("user_id", "ts", "value")
+        events.select("user_id", "ts", "event_id", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             _crossings(threshold), OUT_SCHEMA, STATE_SCHEMA,
@@ -88,7 +89,7 @@ def balance_alerts_tws(events: DataFrame,
             total = self._total.get()[0] if self._total.exists() else 0.0
             out = []
             for pdf in rows:
-                pdf = pdf.sort_values("ts")
+                pdf = pdf.sort_values(["ts", "event_id"])
                 for ts, v in zip(pdf["ts"], pdf["value"]):
                     prev = total
                     total = total + float(v)
@@ -102,7 +103,7 @@ def balance_alerts_tws(events: DataFrame,
             pass
 
     return (
-        events.select("user_id", "ts", "value")
+        events.select("user_id", "ts", "event_id", "value")
         .groupBy("user_id")
         .transformWithStateInPandas(
             statefulProcessor=_CrossingProcessor(),

@@ -1262,6 +1262,27 @@ def test_scoped_build_reliable_mode(spark, sf_dir, tmp_path):
         spark.conf.unset(SCOPED_BUILD_MODE_CONF)
 
 
+def test_align_gram_rederive_mode_output_identical(spark, sf_dir):
+    """Round-9 at-scale policy knob: `spark.fintxmon.align.gramMaterialize
+    =rederive` must produce row-identical alignment pairs to the default
+    "checkpoint" mode (the two differ ONLY in whether the corpus-sized
+    gram table is materialized or the explode re-derived per consumer),
+    and the default must remain "checkpoint" so the attested bench plan
+    is unchanged."""
+    from financialtransactionmonitoringsystem_spark.operators.text import (
+        ALIGN_GRAM_MODE_CONF)
+
+    assert spark.conf.get(ALIGN_GRAM_MODE_CONF, "checkpoint") == "checkpoint"
+    base = sorted(map(tuple, text.q_align_crosslingual(spark, sf_dir).collect()))
+    spark.conf.set(ALIGN_GRAM_MODE_CONF, "rederive")
+    try:
+        rows = sorted(map(tuple,
+                          text.q_align_crosslingual(spark, sf_dir).collect()))
+    finally:
+        spark.conf.unset(ALIGN_GRAM_MODE_CONF)
+    assert rows == base and rows
+
+
 def test_reliable_mode_refuses_local_default_off_local_master():
     """ADVICE r6: reliable mode with no checkpoint dir set must REFUSE
     on a non-local master instead of silently defaulting to a
