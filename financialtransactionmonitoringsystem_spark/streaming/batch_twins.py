@@ -144,6 +144,53 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of keyed streaming dedup
+    (``pipeline.dedup_submissions``): collapse duplicate submissions --
+    events by the same user, of the same type, in the same hour -- to
+    the FIRST event, ordered by (ts, event_id) like every fold in this
+    engine.  The live form is ``dropDuplicatesWithinWatermark``, which
+    keeps the first ARRIVAL per key with watermark-bounded state; the
+    two agree whenever the source is in-order per key (the same
+    source contract as the stateful running-sum operator).
+
+    Scale shape: ONE hash exchange on the dedup key; the first row per
+    group comes from a packed-struct MIN aggregate -- map-side
+    combinable, no window sort, state O(live keys) never O(events).
+
+    Round-10 registry queue: renames to ``q_stream_dedup`` (the q_
+    prefix auto-registers into QUERIES) with ``STREAM_DEDUP_ORACLE``
+    joining ORACLES -- the round-9 window had zero free slots
+    (48 r6-stale + 2 TOUCHED), so the key waits one round while the
+    implementation ships tested (live-vs-twin + twin-vs-oracle).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    first = F.min(F.struct("ts", "event_id", "value")).alias("f")
+    return (
+        ev.groupBy("user_id", "event_type",
+                   F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(first)
+        .select("user_id", "event_type", "hour",
+                F.col("f.ts").alias("ts"),
+                F.col("f.event_id").alias("event_id"),
+                F.col("f.value").alias("value"))
+    )
+
+
+# DuckDB oracle for stream_dedup_twin; moves into ORACLES as
+# "q_stream_dedup" when the key registers (round 10).
+STREAM_DEDUP_ORACLE = """
+    SELECT user_id, event_type, hour, ts, event_id, value FROM (
+      SELECT user_id, event_type,
+             date_trunc('hour', ts) AS hour, ts, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id, event_type, date_trunc('hour', ts)
+               ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+
 def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-stream interval join
     (``pipeline.purchases_with_errors``): each purchase paired with

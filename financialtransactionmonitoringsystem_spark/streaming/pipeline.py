@@ -127,6 +127,23 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     )
 
 
+def dedup_submissions(events: DataFrame,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Keyed streaming dedup: collapse duplicate submissions (same user,
+    same event type, same hour) to the first arrival, with
+    watermark-bounded state -- the retry-storm collapse
+    ``dedup_stream`` (exact id dedup) cannot express.  Exactly-once per
+    key within the horizon; state is O(live keys) and expires with the
+    watermark.  ``batch_twins.stream_dedup_twin`` is the batch ground
+    truth (first by (ts, event_id)); the two agree when the source is
+    in-order per key."""
+    return (
+        events.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "hour"])
+    )
+
+
 def threshold_alerts(events: DataFrame, threshold: float = 180.0) -> DataFrame:
     """Stateless high-value alert (amount > threshold fraud rule)."""
     return events.filter(F.col("value") > threshold).select(

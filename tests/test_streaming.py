@@ -51,6 +51,34 @@ def test_streaming_dedup_removes_duplicates(spark, sf_dir, events_stream):
     assert n_unique == n_source
 
 
+def test_dedup_submissions_matches_batch_twin_keys(spark, sf_dir, duck,
+                                                   events_stream):
+    """Keyed streaming dedup (dropDuplicatesWithinWatermark on the
+    (user, type, hour) submission key) must keep exactly one row per
+    key -- the twin's key set.  Row-level equality is deliberately NOT
+    asserted against the live form: within a micro-batch the kept row
+    is the first ARRIVAL, which equals the twin's first-by-(ts,
+    event_id) only for per-key in-order sources (the documented source
+    contract); the twin's exact rows are pinned against its DuckDB
+    oracle instead."""
+    pipeline.run_to_memory(
+        pipeline.dedup_submissions(events_stream), "t_dedup_sub")
+    got = {(r.user_id, r.event_type, r.hour) for r in
+           spark.sql("SELECT user_id, event_type, hour FROM t_dedup_sub")
+           .collect()}
+    twin = batch_twins.stream_dedup_twin(spark, sf_dir)
+    want = {(r.user_id, r.event_type, r.hour) for r in twin.collect()}
+    assert got == want and len(got) > 0
+    # the key must actually collapse something on this corpus
+    assert len(got) < spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    # twin-vs-oracle exact rows (pre-registration parity for the
+    # round-10 q_stream_dedup key)
+    from .compare import assert_frames_match
+    assert_frames_match(twin.toPandas(),
+                        duck.execute(batch_twins.STREAM_DEDUP_ORACLE).df(),
+                        "stream_dedup_twin")
+
+
 def test_threshold_alerts(spark, sf_dir, events_stream):
     pipeline.run_to_memory(pipeline.threshold_alerts(events_stream, 180.0), "t_alerts")
     alerts = _table(spark, "t_alerts")
