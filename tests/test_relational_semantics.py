@@ -215,3 +215,43 @@ def test_dedup_keep_best_prefers_quality_then_low_doc_id(spark):
                 F.max_by("doc_id", key).alias("keep_doc"))
            .collect()[0])
     assert row.n_dups == 3 and row.keep_doc == 10  # quality tie -> min doc_id
+
+
+def test_win_range_bucketed_equals_window_form(spark, sf_dir):
+    """The bucketed value-range decomposition must be row-identical to
+    the monolithic RANGE window (q_win_range) at every legal bucket
+    count, including m=1 (no middle buckets) and a width where full
+    middle buckets actually occur."""
+    from financialtransactionmonitoringsystem_spark.operators import extras
+
+    want = sorted(map(tuple, extras.q_win_range(spark, sf_dir).collect()))
+    assert want
+    for m in (1, 4, 10):
+        got = sorted(map(tuple,
+                         extras.win_range_bucketed(spark, sf_dir, m).collect()))
+        assert got == want, f"m={m}"
+    import pytest
+
+    with pytest.raises(ValueError):
+        extras.win_range_bucketed(spark, sf_dir, 3)  # 5000/3 inexact
+
+
+def test_win_range_bucketed_planted_edges(spark):
+    """Prices exactly on bucket edges and exactly frame-width apart --
+    the inclusive-boundary and fp-edge cases the corpus may not
+    contain.  Brute-force O(n^2) truth on a tiny frame."""
+    from financialtransactionmonitoringsystem_spark.operators.extras import (
+        WIN_RANGE_FRAME, _win_range_bucketed_core)
+
+    prices = [0.0, 1250.0, 2500.0, 5000.0, 5000.01, 10000.0, 10000.01,
+              12500.0, 15000.0, 15000.01, 7499.99, 20000.0]
+    rows = [(i, "O" if i % 2 else "F", p) for i, p in enumerate(prices)]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey bigint, o_orderstatus string, o_totalprice double")
+    got = {r.o_orderkey: (r.n_within_5000_below, r.sum_nearby)
+           for m in (1, 4)
+           for r in _win_range_bucketed_core(orders, m).collect()}
+    for k, s, p in rows:
+        frame = [pp for kk, ss, pp in rows if ss == s and p - WIN_RANGE_FRAME <= pp <= p]
+        want = (len(frame), round(sum(frame), 2))
+        assert got[k] == want, (k, s, p, got[k], want)

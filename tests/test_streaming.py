@@ -167,6 +167,65 @@ def test_stateful_balance_alerts_match_batch_twin(spark, sf_dir, events_stream):
     assert got == want and len(got) > 0
 
 
+def test_stream_state_tiebreak_on_planted_tied_timestamps(spark, tmp_path):
+    """The corpus has zero tied (user_id, ts) pairs, so the oracle can
+    never attest the round-9 (ts, event_id) tiebreak -- this plants a
+    tie where the ORDER decides the reported crossing total (both rows
+    individually cross the threshold) and pins all three forms: the
+    batch twin picks the LOWER event_id first, the DuckDB oracle
+    agrees, and the live stateful form folds the same order."""
+    import duckdb
+
+    from financialtransactionmonitoringsystem_spark.streaming import stateful
+    from financialtransactionmonitoringsystem_spark.util import rnd
+
+    t0 = "2024-01-01 00:00:00"
+    rows = [
+        # user 1: two rows at the SAME ts, each alone >= 1000.  First by
+        # event_id is id 1 (value 1200) -> crossing total must be 1200,
+        # not 1500.
+        (2, t0, 1, "purchase", 1500.0, "{}"),
+        (1, t0, 1, "purchase", 1200.0, "{}"),
+        # user 2: untied control, crosses at the second event.
+        (3, t0, 2, "purchase", 700.0, "{}"),
+        (4, "2024-01-01 01:00:00", 2, "purchase", 400.0, "{}"),
+    ]
+    # single-file parquet, the same physical shape as the testdata
+    # (stream_events symlinks the file; a directory would need
+    # recursive lookup)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pdf = pd.DataFrame(rows, columns=[
+        "event_id", "ts", "user_id", "event_type", "value", "props"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    d = str(tmp_path / "planted")
+    import os
+    os.makedirs(d)
+    pq.write_table(pa.Table.from_pandas(pdf), f"{d}/events.parquet")
+
+    twin = {(r.user_id, r.total) for r in
+            batch_twins.q_stream_state(spark, d).collect()}
+    assert twin == {(1, 1200.0), (2, 1100.0)}
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    oracle = {(r[0], r[2]) for r in con.execute(
+        batch_twins.ORACLES["q_stream_state"]).fetchall()}
+    assert oracle == twin
+
+    live_src = pipeline.stream_events(spark, d)
+    pipeline.run_to_memory(
+        stateful.balance_alerts_stateful(live_src), "t_state_tie")
+    got = {(r.user_id, r.total) for r in
+           spark.sql("SELECT user_id, total FROM t_state_tie")
+           .select("user_id", rnd(F.col("total")).alias("total")).collect()}
+    assert got == twin
+
+
 def test_update_mode_velocity_alerts(spark, sf_dir, events_stream):
     """Update output mode: with a single availableNow batch the updated
     rows are exactly the final windowed-agg alert set."""
