@@ -335,6 +335,54 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontam_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path for :func:`q_text_decontam` (round-9 sweep finding:
+    30x wall at 50x data): output-identical, but the corpus-side gram
+    stream is semi-filtered against the BROADCAST benchmark gram set
+    *before* its (doc_id, gram) distinct, so the big shuffle carries
+    only grams that can actually contaminate instead of every distinct
+    gram in the corpus.
+
+    The attested plan's bottleneck is ``train.distinct()``: an exchange
+    of O(all corpus grams) rows that exists only to de-duplicate pairs
+    for the hit counts.  A benchmark suite is FIXED-SIZE (it does not
+    grow with the corpus), so its distinct gram fingerprints -- 8-byte
+    longs -- always fit a broadcast; the semi-join evaluates map-side,
+    fused into the explode's stage, and the surviving stream is
+    O(contaminated pairs).  At 100 TB the distinct/join shuffle drops
+    from corpus-gram-sized to contamination-sized while every other
+    stage is unchanged.  (If a bench side ever outgrew broadcast, the
+    q_join_bloom machinery is the drop-in replacement -- an 8 KB filter
+    plus this same FP-tolerant-then-exact-join structure.)
+
+    Registry note: q_text_decontam was driver-attested in round 8, and
+    the round-9 window is exactly full (48 r6-stale + 2 TOUCHED), so
+    swapping the registry key to this plan is queued for a round-10
+    TOUCHED slot (the q_stream_dedup precedent);
+    test_decontam_prefiltered_identical pins row-identity until then.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fps = F.transform(_wordgrams(F.col("text"), DECONTAM_NGRAM),
+                      lambda g: F.xxhash64(g))
+    grams = docs.select("doc_id", F.explode(fps).alias("gram"))
+    bench = (docs.filter(F.col("doc_id") % 50 == 0)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.explode(fps).alias("gram"))
+             .distinct())
+    bench_gram_set = bench.select("gram").distinct()
+    train = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench_gram_set), "gram", "left_semi")
+        .distinct()
+    )
+    return (
+        train.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.countDistinct("bench_id").alias("n_bench_docs"))
+    )
+
+
 CHUNK_TOKENS = 8        # tokens per non-overlapping chunk ("line")
 LINEDEDUP_MIN_DOCS = 2  # a chunk in >= this many distinct docs is duplicate
 

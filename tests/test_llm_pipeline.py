@@ -1295,3 +1295,28 @@ def test_reliable_mode_refuses_local_default_off_local_master():
     for master in ("spark://host:7077", "yarn", "k8s://https://host"):
         with pytest.raises(RuntimeError, match="durable"):
             _guard_reliable_checkpoint_default(master)
+
+
+def test_decontam_prefiltered_identical(spark, sf_dir):
+    """Round-9 scale path (sweep finding: the attested decontam plan
+    distinct-shuffles EVERY corpus gram, 30x wall at 50x data): the
+    broadcast-semi-prefiltered form must be row-identical -- the semi
+    join on the benchmark gram set drops no pair that could reach the
+    final inner join, because that join's key IS membership in the same
+    set.  Registry swap queued for a round-10 TOUCHED slot."""
+    base = sorted(map(tuple, text.q_text_decontam(spark, sf_dir).collect()))
+    got = sorted(map(tuple,
+                     text.decontam_prefiltered(spark, sf_dir).collect()))
+    assert got == base and got
+
+
+def test_decontam_prefiltered_semi_is_broadcast(spark, sf_dir):
+    """The prefilter only helps if it evaluates map-side: the plan must
+    contain a broadcast LEFT-SEMI join (the gram-set filter fused ahead
+    of the big distinct) and still no cartesian anywhere."""
+    from financialtransactionmonitoringsystem_spark.plans import inspect as P
+
+    df = text.decontam_prefiltered(spark, sf_dir)
+    plan = P.plan_str(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert not P.has_cartesian(df)
