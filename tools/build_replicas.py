@@ -1,0 +1,110 @@
+"""Rebuild the scaling-sweep replica corpora (the PLANS methodology,
+checked in so every round's numbers are reproducible from the repo).
+
+Usage:
+    python tools/build_replicas.py [--src /root/testdata/sf0.1] \
+        [--factors 10,50] [--out-template /tmp/scale{n}all]
+
+Produces the "realistic fact-grows" shape used by every scaling table
+in PLANS.md:
+
+* ``documents`` x n with REPLICA-SALTED tokens: replica i>0 prefixes
+  every word with ``r{i}`` so replicas share no tokens and per-doc
+  near-dup density stays constant instead of multiplying (a plain copy
+  would make every doc a 50-way duplicate and turn dedup measurements
+  into output-size measurements).  doc_ids shift by ``i * |docs|``;
+  the shift preserves ``doc_id % 20`` delta membership
+  (|docs| % 20 == 0 at every generated SF), so the incremental-dedup
+  split keeps its 5% delta fraction.
+* ``events`` x n with user_id/event_id shifted per replica (cohorts
+  and sessions grow in count, not in per-user depth -- the shape a
+  growing product exhibits).
+* ``orders`` + ``lineitem`` x n with o_orderkey/l_orderkey shifted in
+  lockstep (join keys stay consistent; per-order line counts fixed).
+* dimension tables (region nation customer supplier part embeddings)
+  SYMLINKED at 1x -- dims don't grow with fact volume, and keeping
+  them fixed is what makes broadcast-join behavior at scale honest.
+
+After building, run ``artifacts.build_corpus_artifacts(spark, dir)``
+for each replica dir before timing artifact-backed queries -- the
+round-9 sweep measured 283 s (cold, inline index rebuild per run) vs
+3.4 s (warm probe) on q_dedup_incremental at 50x.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM_TABLES = ("region", "nation", "customer", "supplier", "part", "embeddings")
+
+
+def build(spark, src: str, n: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
+    for t in DIM_TABLES:
+        os.symlink(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
+    reps = spark.range(n).withColumnRenamed("id", "rep")
+
+    docs = spark.read.parquet(f"{src}/documents.parquet")
+    n_docs = docs.count()
+    (docs.crossJoin(F.broadcast(reps))
+     .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_docs)
+     .withColumn("text", F.when(F.col("rep") == 0, F.col("text"))
+                 .otherwise(F.expr(
+                     r"regexp_replace(text, '(\\w+)',"
+                     r" 'r' || cast(rep as string) || '$1')")))
+     .drop("rep")
+     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+
+    ev = spark.read.parquet(f"{src}/events.parquet")
+    max_user = ev.agg(F.max("user_id")).first()[0] + 1
+    (ev.crossJoin(F.broadcast(reps))
+     .withColumn("user_id", F.col("user_id") + F.col("rep") * max_user)
+     .withColumn("event_id", F.col("event_id") + F.col("rep") * 10_000_000)
+     .drop("rep")
+     .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+
+    orders = spark.read.parquet(f"{src}/orders.parquet")
+    max_order = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    (orders.crossJoin(F.broadcast(reps))
+     .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * max_order)
+     .drop("rep")
+     .write.mode("overwrite").parquet(f"{out}/orders.parquet"))
+    (spark.read.parquet(f"{src}/lineitem.parquet")
+     .crossJoin(F.broadcast(reps))
+     .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * max_order)
+     .drop("rep")
+     .write.mode("overwrite").parquet(f"{out}/lineitem.parquet"))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--factors", default="10,50")
+    ap.add_argument("--out-template", default="/tmp/scale{n}all")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "32")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    for n in (int(x) for x in args.factors.split(",")):
+        out = args.out_template.format(n=n)
+        t = time.time()
+        build(spark, args.src, n, out)
+        print(f"{out}: x{n} built in {time.time() - t:.1f}s", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
