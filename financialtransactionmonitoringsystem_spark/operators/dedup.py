@@ -530,6 +530,39 @@ def _scoped_build(build_side: DataFrame) -> DataFrame:
     return build_side.localCheckpoint(eager=True)
 
 
+# Materialization policy for CORPUS-SIZED shared intermediates (the
+# align gram-table decision generalized -- VERDICT r8 design note):
+# unlike the bounded build tables above, a handful of operators share
+# an O(corpus) intermediate between two consumers (tfidf's per-doc tf
+# table, linededup's chunk table, align's gram table).  Checkpointing
+# such a table trades ONE saved re-derivation (a columnar scan +
+# codegen explode, CPU-bound and embarrassingly parallel) for a
+# corpus-sized write + two reads against the scoped-build store --
+# a win only while that store is the fast tier (executor memory /
+# local disk).  On a 100 TB run with reliable checkpointing the
+# round-trip is object-store bandwidth, billed and slow: set
+# "rederive" and pay the second explode instead.  Measured crossover
+# (round 9, align's gram table): checkpoint -35% at sf0.1, parity at
+# 10x on local NVMe, unstable at 50x.  Align keeps its dedicated conf
+# (ALIGN_GRAM_MODE_CONF, same semantics plus band-table handling);
+# this shared conf governs the rest of the family.
+CORPUS_MATERIALIZE_CONF = "spark.fintxmon.corpusTable.materialize"
+
+
+def _corpus_scoped_build(build_side: DataFrame) -> DataFrame:
+    """:func:`_scoped_build` for corpus-sized shared intermediates,
+    honoring ``spark.fintxmon.corpusTable.materialize``: "checkpoint"
+    (default -- the measured bench-scale win) materializes once via
+    ``_scoped_build``; "rederive" returns the lazy plan unchanged so
+    each consumer re-derives it fused into its own stage and nothing
+    corpus-sized is ever written.  Output-identical by construction
+    (materialization only); tests pin both modes per caller."""
+    spark = build_side.sparkSession
+    if spark.conf.get(CORPUS_MATERIALIZE_CONF, "checkpoint") == "rederive":
+        return build_side
+    return _scoped_build(build_side)
+
+
 def _guard_reliable_checkpoint_default(master: str) -> None:
     """The repo-local checkpoint default only makes sense on a local
     master: on a multi-node cluster -- the exact scenario reliable mode

@@ -144,13 +144,16 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically whenever tf is equal (and nearly so otherwise), so the
     exact form keeps the oracle bit-deterministic.
     """
-    from .dedup import _scoped_build
+    from .dedup import _corpus_scoped_build
 
     docs = load_table(spark, sf_dir, "documents")
     # tf feeds BOTH the document-frequency aggregate and the score join;
-    # materialize it once (_scoped_build) so the token explode runs once
-    # -- measured 30% off the query at the 50k-doc replica scale.
-    tf = _scoped_build(
+    # materialize it once so the token explode runs once -- measured 30%
+    # off the query at the 50k-doc replica scale.  The tf table is
+    # CORPUS-sized, so the materialization is policy-governed
+    # (dedup.CORPUS_MATERIALIZE_CONF): "rederive" skips it for 100 TB
+    # object-store runs at the cost of a second fused explode.
+    tf = _corpus_scoped_build(
         docs.select("doc_id", F.explode(_toks()).alias("tok"))
         .filter(F.length("tok") > 0)
         .groupBy("doc_id", "tok")
@@ -509,15 +512,19 @@ def q_text_linededup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup.  The chunk table feeds BOTH join sides, so it is materialized
     once (the dedup-family ``_scoped_build`` localCheckpoint) instead of
     re-running the split+explode per side -- measured 6.5x at 10x scale
-    (10.4 s -> 1.6 s on the 50k-doc replica corpus).
+    (10.4 s -> 1.6 s on the 50k-doc replica corpus).  The chunk table
+    is CORPUS-sized (one row per 8-token chunk), so the materialization
+    is policy-governed (dedup.CORPUS_MATERIALIZE_CONF): "rederive"
+    trades a second fused split+explode for zero corpus-sized writes
+    on object-store-checkpointed runs.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = _toks()
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
                         F.lit(CHUNK_TOKENS))
-    from .dedup import _scoped_build
+    from .dedup import _corpus_scoped_build
 
-    chunks = _scoped_build(
+    chunks = _corpus_scoped_build(
         docs.select("doc_id", toks.alias("toks"), F.explode(starts).alias("s"))
         .select(
             "doc_id",

@@ -1320,3 +1320,25 @@ def test_decontam_prefiltered_semi_is_broadcast(spark, sf_dir):
     plan = P.plan_str(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert not P.has_cartesian(df)
+
+
+def test_corpus_materialize_rederive_output_identical(spark, sf_dir):
+    """The shared corpus-table materialization policy (the align knob
+    generalized): under `spark.fintxmon.corpusTable.materialize =
+    rederive` the tfidf tf table and the linededup chunk table are
+    never checkpointed -- each consumer re-derives the explode fused
+    into its own stage -- and the output must be byte-identical to the
+    default "checkpoint" mode for both keys."""
+    from financialtransactionmonitoringsystem_spark.operators.dedup import (
+        CORPUS_MATERIALIZE_CONF)
+
+    for fn in (text.q_text_tfidf, text.q_text_linededup):
+        assert spark.conf.get(CORPUS_MATERIALIZE_CONF, "checkpoint") \
+            == "checkpoint"
+        base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        spark.conf.set(CORPUS_MATERIALIZE_CONF, "rederive")
+        try:
+            rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        finally:
+            spark.conf.unset(CORPUS_MATERIALIZE_CONF)
+        assert rows == base and rows, fn.__name__

@@ -44,7 +44,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DIM_TABLES = ("region", "nation", "customer", "supplier", "part", "embeddings")
 
 
-def build(spark, src: str, n: int, out: str) -> None:
+def build(spark, src: str, n: int, out: str, files_per_table: int = 0) -> None:
+    """``files_per_table=0`` (default) keeps the writer's natural file
+    count -- the layout every recorded PLANS sweep used, so numbers
+    stay comparable.  A positive value repartitions each fact table to
+    that many files before writing: the crossJoin replication otherwise
+    concentrates a 50x table into a handful of files, and (row groups
+    permitting) the parquet scan then offers fewer splits than a real
+    50x corpus would -- set e.g. ``2*n`` when the study is scan
+    parallelism itself rather than relative operator cost."""
     from pyspark.sql import functions as F
 
     if os.path.exists(out):
@@ -54,36 +62,39 @@ def build(spark, src: str, n: int, out: str) -> None:
         os.symlink(f"{src}/{t}.parquet", f"{out}/{t}.parquet")
     reps = spark.range(n).withColumnRenamed("id", "rep")
 
+    def write(df, name):
+        if files_per_table > 0:
+            df = df.repartition(files_per_table)
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+
     docs = spark.read.parquet(f"{src}/documents.parquet")
     n_docs = docs.count()
-    (docs.crossJoin(F.broadcast(reps))
-     .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_docs)
-     .withColumn("text", F.when(F.col("rep") == 0, F.col("text"))
-                 .otherwise(F.expr(
-                     r"regexp_replace(text, '(\\w+)',"
-                     r" 'r' || cast(rep as string) || '$1')")))
-     .drop("rep")
-     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+    write(docs.crossJoin(F.broadcast(reps))
+          .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_docs)
+          .withColumn("text", F.when(F.col("rep") == 0, F.col("text"))
+                      .otherwise(F.expr(
+                          r"regexp_replace(text, '(\\w+)',"
+                          r" 'r' || cast(rep as string) || '$1')")))
+          .drop("rep"), "documents")
 
     ev = spark.read.parquet(f"{src}/events.parquet")
     max_user = ev.agg(F.max("user_id")).first()[0] + 1
-    (ev.crossJoin(F.broadcast(reps))
-     .withColumn("user_id", F.col("user_id") + F.col("rep") * max_user)
-     .withColumn("event_id", F.col("event_id") + F.col("rep") * 10_000_000)
-     .drop("rep")
-     .write.mode("overwrite").parquet(f"{out}/events.parquet"))
+    write(ev.crossJoin(F.broadcast(reps))
+          .withColumn("user_id", F.col("user_id") + F.col("rep") * max_user)
+          .withColumn("event_id", F.col("event_id") + F.col("rep") * 10_000_000)
+          .drop("rep"), "events")
 
     orders = spark.read.parquet(f"{src}/orders.parquet")
     max_order = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    (orders.crossJoin(F.broadcast(reps))
-     .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * max_order)
-     .drop("rep")
-     .write.mode("overwrite").parquet(f"{out}/orders.parquet"))
-    (spark.read.parquet(f"{src}/lineitem.parquet")
-     .crossJoin(F.broadcast(reps))
-     .withColumn("l_orderkey", F.col("l_orderkey") + F.col("rep") * max_order)
-     .drop("rep")
-     .write.mode("overwrite").parquet(f"{out}/lineitem.parquet"))
+    write(orders.crossJoin(F.broadcast(reps))
+          .withColumn("o_orderkey",
+                      F.col("o_orderkey") + F.col("rep") * max_order)
+          .drop("rep"), "orders")
+    write(spark.read.parquet(f"{src}/lineitem.parquet")
+          .crossJoin(F.broadcast(reps))
+          .withColumn("l_orderkey",
+                      F.col("l_orderkey") + F.col("rep") * max_order)
+          .drop("rep"), "lineitem")
 
 
 def main() -> None:
@@ -91,6 +102,8 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--factors", default="10,50")
     ap.add_argument("--out-template", default="/tmp/scale{n}all")
+    ap.add_argument("--files-per-table", type=int, default=0,
+                    help="repartition fact tables to N files (0 = natural)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -101,7 +114,7 @@ def main() -> None:
     for n in (int(x) for x in args.factors.split(",")):
         out = args.out_template.format(n=n)
         t = time.time()
-        build(spark, args.src, n, out)
+        build(spark, args.src, n, out, args.files_per_table)
         print(f"{out}: x{n} built in {time.time() - t:.1f}s", flush=True)
     spark.stop()
 
