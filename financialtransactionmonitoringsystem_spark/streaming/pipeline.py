@@ -136,7 +136,14 @@ def dedup_submissions(events: DataFrame,
     key within the horizon; state is O(live keys) and expires with the
     watermark.  ``batch_twins.stream_dedup_twin`` is the batch ground
     truth (first by (ts, event_id)); the two agree when the source is
-    in-order per key."""
+    in-order per key.
+
+    Horizon contract (pinned by
+    test_stream_dedup_reemits_after_state_expiry): a same-key row
+    arriving after the watermark passes first_ts + delay AND a later
+    batch commits (eviction runs in the commit phase) is emitted
+    AGAIN -- the delay is a correctness knob at scale, sized to the
+    producer's retry horizon, not just a state-size bound."""
     return (
         events.withColumn("hour", F.date_trunc("hour", F.col("ts")))
         .withWatermark("ts", watermark)

@@ -460,3 +460,75 @@ def test_chained_stateful_join_then_window_agg(spark, sf_dir, events_stream):
             for r in batch_twins.q_stream_join_agg(spark, sf_dir).collect()
             if r.ws + datetime.timedelta(hours=1) <= horizon}
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_reemits_after_state_expiry(spark):
+    """The watermark-boundary contract of dropDuplicatesWithinWatermark
+    (the round-10 q_stream_dedup live form): dedup is exactly-once per
+    key only while the key's state lives.  State expires when the
+    event-time watermark passes first_ts + delay AND a subsequent
+    micro-batch commits (eviction runs in the commit phase, so the
+    immediately-following batch still sees the state); after that, a
+    later same-key row above the watermark is EMITTED AGAIN.  The batch
+    twin is global and cannot show this -- at 100 TB the delay is a
+    correctness knob (set it >= the retry horizon), not just a
+    state-size knob.  Driven as three real micro-batches: a file source
+    with maxFilesPerTrigger=1 under availableNow, watermark advancing
+    between batches."""
+    import datetime
+    import os
+    import time
+
+    tmp = tempfile.mkdtemp(prefix="fintxmon_dedup_expiry_")
+    try:
+        schema = "user_id bigint, event_type string, ts timestamp"
+
+        def t(m):
+            return datetime.datetime(2026, 1, 1, 10, m, 0)
+
+        def write_one(rows, sub):
+            (spark.createDataFrame(rows, schema).coalesce(1)
+             .write.mode("overwrite").parquet(f"{tmp}/{sub}"))
+            part = next(p for p in os.listdir(f"{tmp}/{sub}")
+                        if p.endswith(".parquet"))
+            os.rename(f"{tmp}/{sub}/{part}", f"{tmp}/{sub}.parquet")
+            shutil.rmtree(f"{tmp}/{sub}")  # no stray subdir for the source
+            return f"{tmp}/{sub}.parquet"
+
+        # batch 1: the key's first arrival (10:00), an in-delay in-batch
+        # duplicate (10:02 -> collapsed), and a second key at 10:25 that
+        # drags the watermark to 10:15 -- past the first key's
+        # 10:00+10min state expiry.
+        f1 = write_one([(1, "click", t(0)),
+                        (1, "click", t(2)),
+                        (9, "other", t(25))], "b1")
+        # batch 2: in-delay CROSS-BATCH duplicate of the 10:25 key
+        # (collapsed -- its state is live), and the commit that evicts
+        # the expired 10:00 key's state.
+        f2 = write_one([(9, "other", t(26))], "b2")
+        # batch 3: same (user, type, hour) key as 10:00, at 10:20 --
+        # above the 10:16 watermark (not late), state evicted ->
+        # re-emitted.
+        f3 = write_one([(1, "click", t(20))], "b3")
+        now = time.time()
+        os.utime(f1, (now - 120, now - 120))  # pin FIFO file order
+        os.utime(f2, (now - 60, now - 60))
+        os.utime(f3, (now, now))
+
+        src = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", "1")
+               .parquet(tmp))
+        pipeline.run_to_memory(pipeline.dedup_submissions(src),
+                               "t_dedup_expiry")
+        got = sorted((r.user_id, r.event_type, str(r.ts)) for r in
+                     spark.sql("SELECT user_id, event_type, ts"
+                               " FROM t_dedup_expiry").collect())
+        assert got == [
+            (1, "click", "2026-01-01 10:00:00"),   # first arrival kept
+            # 10:02 in-batch duplicate collapsed (within delay)
+            (1, "click", "2026-01-01 10:20:00"),   # re-emitted post-expiry
+            (9, "other", "2026-01-01 10:25:00"),
+            # 10:26 cross-batch duplicate collapsed (state still live)
+        ], got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
