@@ -368,6 +368,14 @@ def decontam_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = F.transform(_wordgrams(F.col("text"), DECONTAM_NGRAM),
                       lambda g: F.xxhash64(g))
     grams = docs.select("doc_id", F.explode(fps).alias("gram"))
+    # The bench table feeds BOTH the broadcast gram set and the final
+    # join, and Catalyst re-executes the shared subtree (plan read: two
+    # bench explodes + two exchanges).  A _scoped_build here was tried
+    # and MEASURED at parity-or-noise (1x 2.18 vs 2.37 s, 10x 9.08 vs
+    # 7.55, 50x 43.5 vs 47.6 -- interleaved mins, replica corpora):
+    # the doubled subtree is only the ~2% bench partition, while the
+    # checkpoint inserts a synchronous job barrier.  Left lazy -- the
+    # perplexity lesson: don't materialize what re-derives for free.
     bench = (docs.filter(F.col("doc_id") % 50 == 0)
              .select(F.col("doc_id").alias("bench_id"),
                      F.explode(fps).alias("gram"))
