@@ -255,3 +255,42 @@ def test_win_range_bucketed_planted_edges(spark):
         frame = [pp for kk, ss, pp in rows if ss == s and p - WIN_RANGE_FRAME <= pp <= p]
         want = (len(frame), round(sum(frame), 2))
         assert got[k] == want, (k, s, p, got[k], want)
+
+
+def test_win_range_bucketed_property_vs_brute_force(spark):
+    """Hypothesis sweep of the bucketed value-range decomposition: on
+    arbitrary price multisets -- duplicates, exact bucket-edge values
+    (multiples of 1250/5000), and exact frame-width gaps included by
+    construction of the strategy -- every m must reproduce the O(n^2)
+    frame truth.  The planted-edge test pins known hazards; this one
+    hunts unknown ones."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from financialtransactionmonitoringsystem_spark.operators.extras import (
+        WIN_RANGE_FRAME, _win_range_bucketed_core)
+
+    # quarter-bucket-width grid => values land on bucket edges for
+    # m in {1, 4} and exact frame-width apart pairs arise constantly
+    price = st.integers(0, 32).map(lambda q: q * (WIN_RANGE_FRAME / 4))
+    rows_st = st.lists(st.tuples(st.sampled_from(["F", "O"]), price),
+                       min_size=1, max_size=18)
+
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=rows_st)
+    def check(rows):
+        data = [(i, s, float(p)) for i, (s, p) in enumerate(rows)]
+        orders = spark.createDataFrame(
+            data, "o_orderkey bigint, o_orderstatus string,"
+                  " o_totalprice double")
+        for m in (1, 4):
+            got = {r.o_orderkey: (r.n_within_5000_below, r.sum_nearby)
+                   for r in _win_range_bucketed_core(orders, m).collect()}
+            for k, s, p in data:
+                frame = [pp for kk, ss, pp in data
+                         if ss == s and p - WIN_RANGE_FRAME <= pp <= p]
+                want = (len(frame), round(sum(frame), 2))
+                assert got[k] == want, (m, k, s, p, got[k], want)
+
+    check()
