@@ -363,6 +363,11 @@ ORACLES: dict[str, str] = {
         FROM sized WHERE pt IS NOT NULL
         GROUP BY 1, 2, 3
     """,
+    # Deliberate exception to the "never bare CAST(epoch(...))" rule
+    # (functions/scalar.py:16): every epoch() below takes an
+    # HOUR-TRUNCATED timestamp (date_trunc / whole-hour series), whose
+    # epoch is integral, so DuckDB's round-on-CAST cannot differ from
+    # floor -- no sub-second component exists to round.
     "q_ts_interpolate": f"""
         WITH h AS (
           SELECT event_type, date_trunc('hour', ts) AS hour,
