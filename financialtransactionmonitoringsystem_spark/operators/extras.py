@@ -207,14 +207,25 @@ def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame on a numeric ordering: count of orders within 5000 of
     each order's price (value-based frame, not row-based).
 
-    Scale note (round-9 sweep): the window partitions on
-    ``o_orderstatus`` -- cardinality 3 -- so however large the cluster,
-    the sort+frame sweep runs on THREE tasks (measured 38.7 s at 50x
-    vs 2.2 s at 1x, pure parallelism starvation; at 100 TB it is three
-    single-task sorts).  This form stays as the attested reference
-    semantics; ``win_range_bucketed`` below is the production path --
-    output-identical (tests pin it), with parallelism decoupled from
-    partition-key cardinality."""
+    Since round 10 the registered plan is the bucketed decomposition
+    (``_win_range_bucketed_core``): the direct RANGE window partitions
+    on ``o_orderstatus`` -- cardinality 3 -- so however large the
+    cluster, the sort+frame sweep runs on THREE tasks (round-9 sweep:
+    38.7 s at 50x vs 2.2 s at 1x, pure parallelism starvation; at
+    100 TB it is three single-task sorts).  The bucketed form is
+    output-identical (pinned vs the retained monolithic reference
+    ``_win_range_monolithic`` at m in {1, 4, 10}, plus planted-edge and
+    brute-force property tests) and 6.9x faster at 50x, with
+    parallelism = |statuses| x |price range| / bucket width instead of
+    |statuses|."""
+    return win_range_bucketed(spark, sf_dir)
+
+
+def _win_range_monolithic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The direct RANGE-frame form of :func:`q_win_range`, retained ONLY
+    as the reference side of the bucketed-identity tests (its window
+    partitions on a cardinality-3 key -- parallelism-starved at scale;
+    see q_win_range's docstring).  Never registered."""
     orders = load_table(spark, sf_dir, "orders")
     w = (W.partitionBy("o_orderstatus").orderBy("o_totalprice")
          .rangeBetween(-5000, 0))

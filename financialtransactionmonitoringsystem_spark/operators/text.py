@@ -312,10 +312,27 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word 5-gram with the "benchmark" set (stand-in: every 50th doc).
 
-    Shape at scale: explode both sides to (gram, doc) and equi-join on
-    the gram -- the gram is the shuffle key, the benchmark side is tiny
-    and broadcastable, and no pairwise document comparison ever runs.
-    Output: contaminated doc ids with hit counts, worst first.
+    Shape at scale: explode both sides to (gram, doc), semi-filter the
+    corpus-side gram stream against the BROADCAST benchmark gram set
+    *before* its (doc_id, gram) distinct, then equi-join on the gram --
+    no pairwise document comparison ever runs.  A benchmark suite is
+    FIXED-SIZE (it does not grow with the corpus), so its distinct gram
+    fingerprints -- 8-byte longs -- always fit a broadcast; the
+    semi-join evaluates map-side, fused into the explode's stage, and
+    the surviving stream is O(contaminated pairs).  At 100 TB the
+    distinct/join shuffle is contamination-sized, not corpus-gram-sized.
+    (If a bench side ever outgrew broadcast, the q_join_bloom machinery
+    is the drop-in replacement -- an 8 KB filter plus this same
+    FP-tolerant-then-exact-join structure.)
+
+    This broadcast-semi form replaced the round-8-attested plan in
+    round 10: the old plan's ``train.distinct()`` exchanged EVERY
+    distinct corpus gram just to de-duplicate pairs -- the round-9
+    sweep measured it at 30x wall for 50x data, while this form is
+    -49% at 50x and never loses (PLANS.md round-9 sweep).  Row-identity
+    with the old plan is pinned by test_decontam_prefiltered_identical
+    against the retained reference form :func:`_decontam_naive`.
+    Output: contaminated doc ids with hit counts.
     """
     docs = load_table(spark, sf_dir, "documents")
     # Grams shuffle as 64-bit xxhash fingerprints, not ~40-byte strings:
@@ -323,48 +340,6 @@ def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collision would alias two distinct grams (odds ~|grams|^2 / 2^64;
     # ~1e-8 here) -- the standard n-gram-fingerprint trade every
     # at-scale decontamination pipeline makes.
-    fps = F.transform(_wordgrams(F.col("text"), DECONTAM_NGRAM),
-                      lambda g: F.xxhash64(g))
-    grams = docs.select("doc_id", F.explode(fps).alias("gram"))
-    bench = (docs.filter(F.col("doc_id") % 50 == 0)
-             .select(F.col("doc_id").alias("bench_id"), F.explode(fps).alias("gram"))
-             .distinct())
-    train = grams.filter(F.col("doc_id") % 50 != 0).distinct()
-    return (
-        train.join(bench, "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"),
-             F.countDistinct("bench_id").alias("n_bench_docs"))
-    )
-
-
-def decontam_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale path for :func:`q_text_decontam` (round-9 sweep finding:
-    30x wall at 50x data): output-identical, but the corpus-side gram
-    stream is semi-filtered against the BROADCAST benchmark gram set
-    *before* its (doc_id, gram) distinct, so the big shuffle carries
-    only grams that can actually contaminate instead of every distinct
-    gram in the corpus.
-
-    The attested plan's bottleneck is ``train.distinct()``: an exchange
-    of O(all corpus grams) rows that exists only to de-duplicate pairs
-    for the hit counts.  A benchmark suite is FIXED-SIZE (it does not
-    grow with the corpus), so its distinct gram fingerprints -- 8-byte
-    longs -- always fit a broadcast; the semi-join evaluates map-side,
-    fused into the explode's stage, and the surviving stream is
-    O(contaminated pairs).  At 100 TB the distinct/join shuffle drops
-    from corpus-gram-sized to contamination-sized while every other
-    stage is unchanged.  (If a bench side ever outgrew broadcast, the
-    q_join_bloom machinery is the drop-in replacement -- an 8 KB filter
-    plus this same FP-tolerant-then-exact-join structure.)
-
-    Registry note: q_text_decontam was driver-attested in round 8, and
-    the round-9 window is exactly full (48 r6-stale + 2 TOUCHED), so
-    swapping the registry key to this plan is queued for a round-10
-    TOUCHED slot (the q_stream_dedup precedent);
-    test_decontam_prefiltered_identical pins row-identity until then.
-    """
-    docs = load_table(spark, sf_dir, "documents")
     fps = F.transform(_wordgrams(F.col("text"), DECONTAM_NGRAM),
                       lambda g: F.xxhash64(g))
     grams = docs.select("doc_id", F.explode(fps).alias("gram"))
@@ -386,6 +361,29 @@ def decontam_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(bench_gram_set), "gram", "left_semi")
         .distinct()
     )
+    return (
+        train.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.countDistinct("bench_id").alias("n_bench_docs"))
+    )
+
+
+def _decontam_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-8-attested decontam plan, retained ONLY as the
+    reference side of test_decontam_prefiltered_identical: its
+    ``train.distinct()`` exchanges every distinct corpus gram (30x wall
+    at 50x data in the round-9 sweep), which is why the registered
+    :func:`q_text_decontam` is now the broadcast-semi form.  Never
+    registered; do not use at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = F.transform(_wordgrams(F.col("text"), DECONTAM_NGRAM),
+                      lambda g: F.xxhash64(g))
+    grams = docs.select("doc_id", F.explode(fps).alias("gram"))
+    bench = (docs.filter(F.col("doc_id") % 50 == 0)
+             .select(F.col("doc_id").alias("bench_id"), F.explode(fps).alias("gram"))
+             .distinct())
+    train = grams.filter(F.col("doc_id") % 50 != 0).distinct()
     return (
         train.join(bench, "gram")
         .groupBy("doc_id")

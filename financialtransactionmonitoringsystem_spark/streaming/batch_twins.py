@@ -144,7 +144,7 @@ def q_stream_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of keyed streaming dedup
     (``pipeline.dedup_submissions``): collapse duplicate submissions --
     events by the same user, of the same type, in the same hour -- to
@@ -158,11 +158,10 @@ def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     group comes from a packed-struct MIN aggregate -- map-side
     combinable, no window sort, state O(live keys) never O(events).
 
-    Round-10 registry queue: renames to ``q_stream_dedup`` (the q_
-    prefix auto-registers into QUERIES) with ``STREAM_DEDUP_ORACLE``
-    joining ORACLES -- the round-9 window had zero free slots
-    (48 r6-stale + 2 TOUCHED), so the key waits one round while the
-    implementation ships tested (live-vs-twin + twin-vs-oracle).
+    Registered round 10 (shipped round 9 as ``stream_dedup_twin`` while
+    the r9 window was full at 48 r6-stale + 2 TOUCHED; pre-verified vs
+    its oracle at sf0.1 before registration).  Closes the last SURVEY
+    §2.2 streaming row without a registry key.
     """
     ev = load_table(spark, sf_dir, "events")
     first = F.min(F.struct("ts", "event_id", "value")).alias("f")
@@ -177,8 +176,9 @@ def stream_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB oracle for stream_dedup_twin; moves into ORACLES as
-# "q_stream_dedup" when the key registers (round 10).
+# DuckDB oracle for q_stream_dedup (registered into ORACLES below; kept
+# as a module-level name because the live-vs-twin streaming test pins
+# the twin against it directly).
 STREAM_DEDUP_ORACLE = """
     SELECT user_id, event_type, hour, ts, event_id, value FROM (
       SELECT user_id, event_type,
@@ -233,6 +233,7 @@ def q_stream_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES: dict[str, str] = {
+    "q_stream_dedup": STREAM_DEDUP_ORACLE,
     "q_stream_join_agg": """
         SELECT date_trunc('hour', p.ts) AS ws, count(*) AS n_pairs
         FROM events p JOIN events e

@@ -134,7 +134,7 @@ def dedup_submissions(events: DataFrame,
     watermark-bounded state -- the retry-storm collapse
     ``dedup_stream`` (exact id dedup) cannot express.  Exactly-once per
     key within the horizon; state is O(live keys) and expires with the
-    watermark.  ``batch_twins.stream_dedup_twin`` is the batch ground
+    watermark.  ``batch_twins.q_stream_dedup`` is the batch ground
     truth (first by (ts, event_id)); the two agree when the source is
     in-order per key.
 

@@ -1298,15 +1298,16 @@ def test_reliable_mode_refuses_local_default_off_local_master():
 
 
 def test_decontam_prefiltered_identical(spark, sf_dir):
-    """Round-9 scale path (sweep finding: the attested decontam plan
-    distinct-shuffles EVERY corpus gram, 30x wall at 50x data): the
-    broadcast-semi-prefiltered form must be row-identical -- the semi
-    join on the benchmark gram set drops no pair that could reach the
-    final inner join, because that join's key IS membership in the same
-    set.  Registry swap queued for a round-10 TOUCHED slot."""
-    base = sorted(map(tuple, text.q_text_decontam(spark, sf_dir).collect()))
+    """Round-9 scale path, registered as q_text_decontam in round 10
+    (sweep finding: the old plan distinct-shuffles EVERY corpus gram,
+    30x wall at 50x data): the broadcast-semi-prefiltered form must be
+    row-identical to the retained naive reference -- the semi join on
+    the benchmark gram set drops no pair that could reach the final
+    inner join, because that join's key IS membership in the same
+    set."""
+    base = sorted(map(tuple, text._decontam_naive(spark, sf_dir).collect()))
     got = sorted(map(tuple,
-                     text.decontam_prefiltered(spark, sf_dir).collect()))
+                     text.q_text_decontam(spark, sf_dir).collect()))
     assert got == base and got
 
 
@@ -1316,7 +1317,7 @@ def test_decontam_prefiltered_semi_is_broadcast(spark, sf_dir):
     of the big distinct) and still no cartesian anywhere."""
     from financialtransactionmonitoringsystem_spark.plans import inspect as P
 
-    df = text.decontam_prefiltered(spark, sf_dir)
+    df = text.q_text_decontam(spark, sf_dir)
     plan = P.plan_str(df)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
     assert not P.has_cartesian(df)

@@ -220,6 +220,7 @@ EXPECTED_KEYS = {
     "q_sim_lsh",
     "q_snapshot_diff",
     "q_sort_multi",
+    "q_stream_dedup",
     "q_stream_distinct",
     "q_stream_flag",
     "q_stream_join",

@@ -218,13 +218,15 @@ def test_dedup_keep_best_prefers_quality_then_low_doc_id(spark):
 
 
 def test_win_range_bucketed_equals_window_form(spark, sf_dir):
-    """The bucketed value-range decomposition must be row-identical to
-    the monolithic RANGE window (q_win_range) at every legal bucket
-    count, including m=1 (no middle buckets) and a width where full
-    middle buckets actually occur."""
+    """The bucketed value-range decomposition (the registered
+    q_win_range plan since round 10) must be row-identical to the
+    retained monolithic RANGE window at every legal bucket count,
+    including m=1 (no middle buckets) and a width where full middle
+    buckets actually occur."""
     from financialtransactionmonitoringsystem_spark.operators import extras
 
-    want = sorted(map(tuple, extras.q_win_range(spark, sf_dir).collect()))
+    want = sorted(map(tuple,
+                      extras._win_range_monolithic(spark, sf_dir).collect()))
     assert want
     for m in (1, 4, 10):
         got = sorted(map(tuple,

@@ -66,17 +66,17 @@ def test_dedup_submissions_matches_batch_twin_keys(spark, sf_dir, duck,
     got = {(r.user_id, r.event_type, r.hour) for r in
            spark.sql("SELECT user_id, event_type, hour FROM t_dedup_sub")
            .collect()}
-    twin = batch_twins.stream_dedup_twin(spark, sf_dir)
+    twin = batch_twins.q_stream_dedup(spark, sf_dir)
     want = {(r.user_id, r.event_type, r.hour) for r in twin.collect()}
     assert got == want and len(got) > 0
     # the key must actually collapse something on this corpus
     assert len(got) < spark.read.parquet(f"{sf_dir}/events.parquet").count()
-    # twin-vs-oracle exact rows (pre-registration parity for the
-    # round-10 q_stream_dedup key)
+    # twin-vs-oracle exact rows (registered as q_stream_dedup round 10;
+    # kept here so the live-vs-twin and twin-vs-oracle legs share a run)
     from .compare import assert_frames_match
     assert_frames_match(twin.toPandas(),
                         duck.execute(batch_twins.STREAM_DEDUP_ORACLE).df(),
-                        "stream_dedup_twin")
+                        "q_stream_dedup")
 
 
 def test_threshold_alerts(spark, sf_dir, events_stream):
