@@ -13,9 +13,10 @@ in PLANS.md:
   near-dup density stays constant instead of multiplying (a plain copy
   would make every doc a 50-way duplicate and turn dedup measurements
   into output-size measurements).  doc_ids shift by ``i * |docs|``;
-  the shift preserves ``doc_id % 20`` delta membership
-  (|docs| % 20 == 0 at every generated SF), so the incremental-dedup
-  split keeps its 5% delta fraction.
+  the shift preserves ``doc_id % 20`` delta membership and
+  ``doc_id % 50`` bench membership (|docs| divides both -- ASSERTED
+  at build time, not assumed), so the incremental-dedup split keeps
+  its 5% delta fraction and decontam its 2% bench fraction.
 * ``events`` x n with user_id/event_id shifted per replica (cohorts
   and sessions grow in count, not in per-user depth -- the shape a
   growing product exhibits).
@@ -69,6 +70,15 @@ def build(spark, src: str, n: int, out: str, files_per_table: int = 0) -> None:
 
     docs = spark.read.parquet(f"{src}/documents.parquet")
     n_docs = docs.count()
+    # The doc_id shift preserves doc_id % 20 (incremental-dedup delta
+    # split) and % 50 (decontam bench split) membership only when
+    # n_docs divides both; fail loudly on a nonconforming source corpus
+    # instead of silently skewing the fractions the scaling sweeps
+    # depend on (ADVICE r9).
+    assert n_docs % 20 == 0 and n_docs % 50 == 0, (
+        f"source corpus has {n_docs} documents, not a multiple of both "
+        f"20 and 50 -- the replica doc_id shift would change the "
+        f"delta/bench split fractions and skew every scaling number")
     write(docs.crossJoin(F.broadcast(reps))
           .withColumn("doc_id", F.col("doc_id") + F.col("rep") * n_docs)
           .withColumn("text", F.when(F.col("rep") == 0, F.col("text"))
@@ -78,10 +88,11 @@ def build(spark, src: str, n: int, out: str, files_per_table: int = 0) -> None:
           .drop("rep"), "documents")
 
     ev = spark.read.parquet(f"{src}/events.parquet")
-    max_user = ev.agg(F.max("user_id")).first()[0] + 1
+    max_user, max_event = (x + 1 for x in
+                           ev.agg(F.max("user_id"), F.max("event_id")).first())
     write(ev.crossJoin(F.broadcast(reps))
           .withColumn("user_id", F.col("user_id") + F.col("rep") * max_user)
-          .withColumn("event_id", F.col("event_id") + F.col("rep") * 10_000_000)
+          .withColumn("event_id", F.col("event_id") + F.col("rep") * max_event)
           .drop("rep"), "events")
 
     orders = spark.read.parquet(f"{src}/orders.parquet")
