@@ -122,6 +122,10 @@ HEADLINE = [
     "q_license_propagate",
     "q_curate_mixture",
     "q_mm_histogram",
+    # round-10 addition: the newly registered streaming-dedup twin (one
+    # hash exchange + packed-struct MIN; included so its map-side
+    # combinability stays measured)
+    "q_stream_dedup",
     # q_cte_recursive is deliberately NOT benched: Spark executes one
     # job per recursion step, so an 80-month spine costs ~80 scheduler
     # round-trips (~11s) regardless of data size.  The key exists to

@@ -392,6 +392,49 @@ def _decontam_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def decontam_bylang_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language contamination rollup: for each ``lang``, how many
+    training documents exist, how many share at least one word 5-gram
+    with the benchmark slice, total shared-gram hits, and the
+    contamination rate -- the corpus-health report a curation pipeline
+    publishes before mixing (which languages need a harder decontam
+    pass or a benchmark refresh).
+
+    Composition of two attested shapes: :func:`q_text_decontam`'s
+    broadcast-semi core produces the contaminated doc set, and the
+    rollup is q_license_propagate's governance shape -- a small derived
+    table attached back onto a single corpus scan, then one tiny
+    map-side-combinable aggregate keyed by ``lang``.
+
+    Shape at scale: the contaminated set is an AGGREGATED output
+    bounded by contamination (it does not grow with clean-corpus
+    volume), so AQE sizes it at runtime and picks a broadcast join for
+    the attach in every realistic case; if contamination ever
+    approached corpus scale the attach degrades to a doc_id hash join,
+    never a cartesian.  The final groupBy exchanges one row per
+    (partition, lang) -- O(langs) network.
+
+    Registry queue: renames to ``q_text_decontam_bylang`` in the first
+    round with a free window slot (the q_stream_dedup precedent);
+    ``DECONTAM_BYLANG_ORACLE`` joins ORACLES with it.  n_hits counts
+    gram FINGERPRINT pairs, inheriting q_text_decontam's documented
+    xxhash64-collision caveat (~1e-8 at this corpus).
+    """
+    contam = q_text_decontam(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "lang")
+    hit = F.col("n_hits").isNotNull()
+    n_contam = F.sum(hit.cast("long"))
+    return (
+        train.join(contam, "doc_id", "left")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_train_docs"),
+             n_contam.alias("n_contaminated"),
+             F.sum(F.coalesce("n_hits", F.lit(0))).alias("total_hits"),
+             rnd(n_contam / F.count(F.lit(1)), 4).alias("contam_rate"))
+    )
+
+
 CHUNK_TOKENS = 8        # tokens per non-overlapping chunk ("line")
 LINEDEDUP_MIN_DOCS = 2  # a chunk in >= this many distinct docs is duplicate
 
@@ -593,6 +636,30 @@ def _grams_sql(n: int, alias: str = "gram", cols: str = "doc_id") -> str:
 
 
 _GRAMS_SQL = _grams_sql(DECONTAM_NGRAM)
+
+# DuckDB oracle for decontam_bylang_twin; moves into ORACLES as
+# "q_text_decontam_bylang" when the key registers (first free window
+# slot -- see the twin's docstring).
+DECONTAM_BYLANG_ORACLE = f"""
+    WITH g AS ({_GRAMS_SQL}),
+    bench AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g
+              WHERE doc_id % 50 = 0),
+    train AS (SELECT DISTINCT doc_id, gram FROM g WHERE doc_id % 50 != 0),
+    contam AS (
+      SELECT doc_id, COUNT(*) AS n_hits
+      FROM train JOIN bench USING (gram) GROUP BY doc_id
+    )
+    SELECT d.lang,
+           COUNT(*) AS n_train_docs,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           CAST(SUM(COALESCE(c.n_hits, 0)) AS BIGINT) AS total_hits,
+           {R('CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 4)}
+               AS contam_rate
+    FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 50 != 0) d
+    LEFT JOIN contam c ON c.doc_id = d.doc_id
+    GROUP BY d.lang
+"""
 
 ORACLES: dict[str, str] = {
     "q_align_crosslingual": f"""

@@ -1311,6 +1311,38 @@ def test_decontam_prefiltered_identical(spark, sf_dir):
     assert got == base and got
 
 
+def test_decontam_bylang_twin_oracle_parity(spark, duck, sf_dir):
+    """Pre-registration parity for the queued q_text_decontam_bylang
+    key (per-language contamination rollup -- decontam's broadcast-semi
+    core composed with the governance-rollup shape): exact rows vs its
+    DuckDB oracle, and a sanity triangle against the parent key -- the
+    per-lang n_contaminated must sum to q_text_decontam's row count and
+    total_hits to its n_hits sum."""
+    from tests.compare import assert_frames_match
+
+    twin = text.decontam_bylang_twin(spark, sf_dir)
+    assert_frames_match(twin.toPandas(),
+                        duck.execute(text.DECONTAM_BYLANG_ORACLE).df(),
+                        "decontam_bylang_twin")
+    rows = twin.collect()
+    parent = text.q_text_decontam(spark, sf_dir).collect()
+    assert sum(r.n_contaminated for r in rows) == len(parent)
+    assert sum(r.total_hits for r in rows) == sum(r.n_hits for r in parent)
+    # every train doc is counted exactly once across languages
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+    n_train = (load_table(spark, sf_dir, "documents")
+               .filter(F.col("doc_id") % 50 != 0).count())
+    assert sum(r.n_train_docs for r in rows) == n_train
+
+
+def test_decontam_bylang_twin_no_cartesian(spark, sf_dir):
+    """The rollup attach must stay an equi-join (broadcast or hash --
+    AQE's call at runtime), never a cartesian."""
+    from financialtransactionmonitoringsystem_spark.plans import inspect as P
+
+    assert not P.has_cartesian(text.decontam_bylang_twin(spark, sf_dir))
+
+
 def test_decontam_prefiltered_semi_is_broadcast(spark, sf_dir):
     """The prefilter only helps if it evaluates map-side: the plan must
     contain a broadcast LEFT-SEMI join (the gram-set filter fused ahead
