@@ -353,6 +353,18 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     reverse themselves as the corpus grows, exactly like the verify
     joins (VERDICT r6 #1 -- the old forced ``F.broadcast(t)`` pinned
     the full corpus token table to every executor forever).
+
+    Scale status (round-10 sweep): the pair ENUMERATION is quadratic in
+    block size by construction -- 21 s at 1x, >560 s at 10x on the
+    replica corpora -- so this key is a ground-truth attestation
+    surface (the q_cte_recursive precedent), deliberately excluded from
+    HEADLINE; ``q_dedup_prefix`` is the byte-identical PPJoin scale
+    path (2.4x wall at 50x data, warm index) and q_dedup_incremental
+    the daily-ingest form.  Adding the lossless PPJoin length filter as
+    a join residual was tried and MEASURED at parity (21.07 vs 20.78 s
+    at 1x): it passes 52% of pairs on this corpus (n_toks ~ 23 +- 6)
+    and per-pair cost is enumeration-bound, not intersect-bound, so the
+    residual was reverted -- the perplexity do-not-reapply precedent.
     """
     t = corpus_tok_sets(spark, sf_dir)
     a = t.alias("a")
