@@ -435,6 +435,139 @@ def decontam_bylang_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic reference-corpus split for novelty scoring: doc_ids
+# congruent to NOVELTY_REF_REM mod NOVELTY_REF_MOD (10%) stand in for
+# the "already trained on" corpus.  Deliberately disjoint in shape from
+# decontam's % 50 bench split so the two operators stay independently
+# testable on the same table.
+NOVELTY_REF_MOD, NOVELTY_REF_REM = 10, 3
+# Bloom over the reference gram set (the q_join_bloom principle,
+# relational.py:246, with two scale upgrades measured in round 10):
+# false positives only cost a wasted shuffle row -- the exact join
+# behind the bloom removes them -- so sizing is a bandwidth knob, not a
+# correctness knob.
+# * ADAPTIVE bits (the q_sim_lsh corpus-adaptive-width precedent): the
+#   reference corpus grows with training history, and a fixed 8 KB
+#   bloom saturates (FPR -> 1) near ~10^5 reference grams -- measured:
+#   the 50x replica run degenerates to shuffling every candidate gram.
+#   bits = next_pow2(BITS_PER_KEY x |ref grams|) keeps FPR ~ (2/16)^2
+#   ~ 1.6% at any reference size; the count() that sizes it is a tiny
+#   aggregation of the ref gram table the query builds anyway.
+# * DENSE array<long> words, not a (word -> bits) map: Spark map
+#   lookups scan the ArrayBasedMapData LINEARLY, so element_at on a
+#   131k-entry map costs O(map) per probed gram -- measured: a 2^23-bit
+#   map bloom times out where the 8 KB one runs 59 s.  element_at on an
+#   ARRAY is O(1); the empty words cost 8 bytes each in the broadcast
+#   (1 MB at 2^23 bits), which is the right trade everywhere.
+NOVELTY_BLOOM_MIN_BITS = 1 << 16   # floor: 8 KB
+NOVELTY_BLOOM_MAX_BITS = 1 << 27   # cap: 16 MB broadcast
+NOVELTY_BLOOM_BITS_PER_KEY = 16
+NOVELTY_BLOOM_SEEDS = (1, 2)
+
+
+def novelty_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty vs a reference corpus: for each candidate doc, how
+    many of its distinct word 5-grams are NOT in the reference corpus's
+    gram set, and the novelty rate -- the "will this document teach the
+    model anything new" signal a curation pipeline scores alongside
+    quality and dedup (novelty 0 = fully redundant with what was
+    already trained on).
+
+    Shape at scale -- the interesting exchange problem: unlike decontam
+    (fixed-size benchmark -> broadcast semi), the reference corpus
+    GROWS with training history, so its gram set can never be
+    broadcast.  The naive plan shuffles every candidate gram to meet
+    the reference grams.  Instead the reference gram set is compressed
+    into the 8 KB bloom (built with one tiny aggregation, broadcast as
+    one row), and every candidate gram is probed AT THE SCAN with pure
+    codegen bit arithmetic: bloom misses are DEFINITELY novel (no
+    false negatives) and never shuffle; only bloom passers -- the seen
+    grams plus the FP sliver -- shuffle into the exact inner join that
+    removes false positives.  n_novel = n_grams - n_seen with n_grams
+    computed in-row (size of the distinct-fingerprint array, zero
+    shuffle), so the one corpus-sized exchange shrinks to
+    seen-fraction-sized.  Exact output regardless of FPR.
+
+    Registry queue: renames to ``q_text_novelty`` in a free window slot
+    (the q_stream_dedup precedent); ``NOVELTY_ORACLE`` joins ORACLES
+    with it.  Grams travel as xxhash64 fingerprints -- the decontam
+    collision caveat (~1e-8 here) applies to n_grams/n_seen alike.
+    """
+    return _novelty_core(load_table(spark, sf_dir, "documents"))
+
+
+def _novelty_core(docs: DataFrame) -> DataFrame:
+    """:func:`novelty_twin` over an explicit docs table (planted-edge
+    tests construct known novelty fractions)."""
+    fps = F.array_distinct(
+        F.transform(_wordgrams(F.col("text"), DECONTAM_NGRAM),
+                    lambda g: F.xxhash64(g)))
+    is_ref = F.col("doc_id") % NOVELTY_REF_MOD == NOVELTY_REF_REM
+    ref = docs.filter(is_ref).select(F.explode(fps).alias("gram")).distinct()
+
+    # adaptive sizing: one tiny count of the ref gram table the query
+    # needs anyway (the q_sim_lsh precedent; constants block above)
+    n_ref = ref.count()
+    bits = NOVELTY_BLOOM_MIN_BITS
+    while bits < min(n_ref * NOVELTY_BLOOM_BITS_PER_KEY,
+                     NOVELTY_BLOOM_MAX_BITS):
+        bits <<= 1
+    n_words = bits // 64
+
+    spark = docs.sparkSession
+    pos = F.explode(F.array(
+        *[F.pmod(F.xxhash64("gram", F.lit(s)), F.lit(bits))
+          for s in NOVELTY_BLOOM_SEEDS])).alias("p")
+    words = (ref.select(pos)
+             .groupBy(F.expr("CAST(p DIV 64 AS INT)").alias("w"))
+             .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT),"
+                         " CAST(p % 64 AS INT)))").alias("bits")))
+    # densify to ONE array<long> row (word index -> bits, empty words
+    # zero-filled): array element_at is O(1) where a map lookup scans
+    # the whole map per probe (constants block above)
+    spine = spark.range(n_words).select(F.col("id").cast("int").alias("w"))
+    bloom = (
+        spine.join(words, "w", "left")
+        .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("w", "bits"))),
+            lambda s: s["bits"]).alias("bloom"))
+    )
+
+    cand = docs.filter(~is_ref)
+    probed = (cand.select("doc_id", F.explode(fps).alias("gram"))
+              .crossJoin(F.broadcast(bloom)))
+    for i, s in enumerate(NOVELTY_BLOOM_SEEDS):
+        probed = probed.withColumn(
+            f"_p{i}", F.pmod(F.xxhash64("gram", F.lit(s)), F.lit(bits)))
+    hit = None
+    for i in range(len(NOVELTY_BLOOM_SEEDS)):
+        t = F.expr(
+            f"((element_at(bloom, CAST(_p{i} DIV 64 AS INT) + 1)"
+            f" >> CAST(_p{i} % 64 AS INT)) & 1) = 1")
+        hit = t if hit is None else (hit & t)
+    # exact inner join (not semi -- the q_join_bloom
+    # PushDownLeftSemiAntiJoin lesson) removes bloom false positives
+    seen = (probed.filter(hit).select("doc_id", "gram")
+            .join(ref, "gram")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seen")))
+
+    # greatest(0): size() is -1 on a null array (null text); the oracle
+    # counts such docs as 0 grams
+    base = cand.select(
+        "doc_id", F.greatest(F.size(fps), F.lit(0)).cast("long").alias("n_grams"))
+    novel = F.col("n_grams") - F.coalesce("n_seen", F.lit(0))
+    # F.when, not coalesce: under ANSI mode (the driver default) a bare
+    # novel / n_grams THROWS on gramless docs instead of yielding NULL
+    rate = F.when(F.col("n_grams") > 0,
+                  novel / F.col("n_grams")).otherwise(F.lit(0.0))
+    return (
+        base.join(seen, "doc_id", "left")
+        .select("doc_id", "n_grams", novel.alias("n_novel"),
+                rnd(rate, 4).alias("novelty"))
+    )
+
+
 CHUNK_TOKENS = 8        # tokens per non-overlapping chunk ("line")
 LINEDEDUP_MIN_DOCS = 2  # a chunk in >= this many distinct docs is duplicate
 
@@ -659,6 +792,33 @@ DECONTAM_BYLANG_ORACLE = f"""
     FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 50 != 0) d
     LEFT JOIN contam c ON c.doc_id = d.doc_id
     GROUP BY d.lang
+"""
+
+# DuckDB oracle for novelty_twin; moves into ORACLES as
+# "q_text_novelty" when the key registers (first free window slot).
+NOVELTY_ORACLE = f"""
+    WITH g AS (SELECT DISTINCT doc_id, gram FROM ({_GRAMS_SQL})),
+    ref AS (SELECT DISTINCT gram FROM g
+            WHERE doc_id % {NOVELTY_REF_MOD} = {NOVELTY_REF_REM}),
+    per AS (
+      SELECT tg.doc_id,
+             COUNT(*) AS n_grams,
+             CAST(SUM(CASE WHEN ref.gram IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_seen
+      FROM (SELECT doc_id, gram FROM g
+            WHERE doc_id % {NOVELTY_REF_MOD} != {NOVELTY_REF_REM}) tg
+      LEFT JOIN ref ON tg.gram = ref.gram
+      GROUP BY tg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(n_grams, 0) AS n_grams,
+           CAST(COALESCE(n_grams, 0) - COALESCE(n_seen, 0) AS BIGINT)
+               AS n_novel,
+           {R('COALESCE(CAST(n_grams - n_seen AS DOUBLE) / n_grams, 0e0)', 4)}
+               AS novelty
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id % {NOVELTY_REF_MOD} != {NOVELTY_REF_REM}) d
+    LEFT JOIN per ON per.doc_id = d.doc_id
 """
 
 ORACLES: dict[str, str] = {

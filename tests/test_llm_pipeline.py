@@ -1343,6 +1343,51 @@ def test_decontam_bylang_twin_no_cartesian(spark, sf_dir):
     assert not P.has_cartesian(text.decontam_bylang_twin(spark, sf_dir))
 
 
+def test_novelty_twin_oracle_parity(spark, duck, sf_dir):
+    """Pre-registration parity for the queued q_text_novelty key (gram
+    novelty vs a reference corpus, bloom-prefiltered exact plan): exact
+    rows vs the plain-join DuckDB oracle -- which also proves the bloom
+    prefilter drops no seen gram (no false negatives) and the exact
+    join removes every false positive."""
+    from tests.compare import assert_frames_match
+
+    twin = text.novelty_twin(spark, sf_dir)
+    assert_frames_match(twin.toPandas(),
+                        duck.execute(text.NOVELTY_ORACLE).df(),
+                        "novelty_twin")
+    rows = twin.collect()
+    assert rows and all(0.0 <= r.novelty <= 1.0 for r in rows)
+    assert all(r.doc_id % text.NOVELTY_REF_MOD != text.NOVELTY_REF_REM
+               for r in rows)
+    # the corpus's planted near-duplicates guarantee both regimes exist
+    assert any(r.n_novel < r.n_grams for r in rows), "no seen grams?"
+    assert any(r.n_novel > 0 for r in rows), "no novel grams?"
+
+
+def test_novelty_core_planted(spark):
+    """Planted novelty fractions: a candidate identical to a reference
+    doc scores 0.0, a fully disjoint one scores 1.0, a half-overlapping
+    one scores 0.5, and a sub-gram-length doc scores 0 grams / rate 0."""
+    ref_text = " ".join(f"w{i}" for i in range(12))        # grams w0..w7
+    half = " ".join(f"w{i}" for i in range(4, 20))         # 12 grams, 4 seen
+    disjoint = " ".join(f"x{i}" for i in range(12))
+    rows = [
+        (text.NOVELTY_REF_REM, ref_text),                  # the reference doc
+        (1, ref_text),                                     # identical -> 0.0
+        (2, disjoint),                                     # disjoint -> 1.0
+        (4, half),                                         # 4/12 seen -> 8/12
+        (5, "too short"),                                  # 0 grams -> 0.0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text._novelty_core(docs).collect()}
+    assert set(got) == {1, 2, 4, 5}
+    assert got[1].n_grams == 8 and got[1].n_novel == 0 and got[1].novelty == 0.0
+    assert got[2].n_grams == 8 and got[2].n_novel == 8 and got[2].novelty == 1.0
+    assert got[4].n_grams == 12 and got[4].n_novel == 8
+    assert abs(got[4].novelty - round(8 / 12, 4)) < 1e-9
+    assert got[5].n_grams == 0 and got[5].n_novel == 0 and got[5].novelty == 0.0
+
+
 def test_decontam_prefiltered_semi_is_broadcast(spark, sf_dir):
     """The prefilter only helps if it evaluates map-side: the plan must
     contain a broadcast LEFT-SEMI join (the gram-set filter fused ahead
