@@ -503,7 +503,19 @@ def _novelty_core(docs: DataFrame) -> DataFrame:
         F.transform(_wordgrams(F.col("text"), DECONTAM_NGRAM),
                     lambda g: F.xxhash64(g)))
     is_ref = F.col("doc_id") % NOVELTY_REF_MOD == NOVELTY_REF_REM
-    ref = docs.filter(is_ref).select(F.explode(fps).alias("gram")).distinct()
+    # The ref gram table feeds THREE consumers (the sizing count, the
+    # bloom build, the exact FP-cleanup join) and Catalyst re-derives
+    # shared subtrees per consumer, so it goes through the shared
+    # corpus-table materialization policy (the tfidf/linededup conf):
+    # "checkpoint" scans the reference corpus once, "rederive" writes
+    # nothing corpus-sized.  Measured PARITY on the replica corpora
+    # (50x: 42.4 checkpoint vs 40.9 rederive; 1x: 1.9 vs 2.4 -- the
+    # 10% slice re-derives nearly for free, the align-gram-table
+    # outcome), so the policy knob decides by the deployment's fast
+    # tier, not by this operator.
+    from .dedup import _corpus_scoped_build
+    ref = _corpus_scoped_build(
+        docs.filter(is_ref).select(F.explode(fps).alias("gram")).distinct())
 
     # adaptive sizing: one tiny count of the ref gram table the query
     # needs anyway (the q_sim_lsh precedent; constants block above)

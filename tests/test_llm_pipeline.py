@@ -1403,14 +1403,15 @@ def test_decontam_prefiltered_semi_is_broadcast(spark, sf_dir):
 def test_corpus_materialize_rederive_output_identical(spark, sf_dir):
     """The shared corpus-table materialization policy (the align knob
     generalized): under `spark.fintxmon.corpusTable.materialize =
-    rederive` the tfidf tf table and the linededup chunk table are
-    never checkpointed -- each consumer re-derives the explode fused
-    into its own stage -- and the output must be byte-identical to the
-    default "checkpoint" mode for both keys."""
+    rederive` the tfidf tf table, the linededup chunk table, and the
+    novelty reference gram table are never checkpointed -- each
+    consumer re-derives the explode fused into its own stage -- and
+    the output must be byte-identical to the default "checkpoint" mode
+    for every governed key."""
     from financialtransactionmonitoringsystem_spark.operators.dedup import (
         CORPUS_MATERIALIZE_CONF)
 
-    for fn in (text.q_text_tfidf, text.q_text_linededup):
+    for fn in (text.q_text_tfidf, text.q_text_linededup, text.novelty_twin):
         assert spark.conf.get(CORPUS_MATERIALIZE_CONF, "checkpoint") \
             == "checkpoint"
         base = sorted(map(tuple, fn(spark, sf_dir).collect()))
