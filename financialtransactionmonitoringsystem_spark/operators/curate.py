@@ -325,6 +325,76 @@ def q_shard_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# A shard more than 5% off the equal-split mean fails the balance
+# audit; the flag is tested by exact integer cross-multiplication (the
+# q_curate_epochs precedent): |chars*n_shards - total| * 20 <= total
+# <=> |deviation| <= 5%, so the verdict is bit-identical on any engine
+# while the float deviation column exists only for display.
+SHARD_BALANCE_TOL_DEN = 20
+
+
+def shard_balance_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit over the export layout: per export shard (the
+    same md5-nibble assignment ``q_export_shards`` writes and
+    ``q_shard_card`` describes), its doc count, char volume, share of
+    the corpus, deviation from the equal-split mean, and a balanced
+    verdict -- the pre-flight check that catches the straggler shard
+    BEFORE a training job reads it (one oversized file gates the epoch
+    at load time the way one oversized partition gates a stage).
+
+    Shape at scale: ONE map-side-combinable groupBy collapsing the
+    corpus to |shards| rows at parquet-scan speed, then the global
+    totals -- a second aggregate over those |shards| rows -- broadcast
+    back as a single row.  Cross-shard comparison never touches the
+    corpus again; output is |shards| rows regardless of corpus size.
+
+    Registry queue: renames to ``q_shard_balance`` in a free window
+    slot (the q_stream_dedup precedent); ``SHARD_BALANCE_ORACLE`` joins
+    ORACLES with it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = _salted_md5("shard")
+    per = (docs.select(F.substring(h, 1, 1).alias("shard"),
+                       F.col("n_chars").cast("long").alias("c"))
+           .groupBy("shard")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("c").alias("chars")))
+    tot = per.agg(F.sum("chars").alias("total_chars"),
+                  F.count(F.lit(1)).alias("n_shards"))
+    dev_int = F.col("chars") * F.col("n_shards") - F.col("total_chars")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard", "n_docs", "chars",
+            rnd(F.col("chars") / F.col("total_chars"), 6).alias("share"),
+            rnd(dev_int / F.col("total_chars"), 6).alias("dev_frac"),
+            (F.abs(dev_int) * SHARD_BALANCE_TOL_DEN
+             <= F.col("total_chars")).alias("balanced"))
+    )
+
+
+# DuckDB oracle for shard_balance_twin; moves into ORACLES as
+# "q_shard_balance" when the key registers (first free window slot).
+SHARD_BALANCE_ORACLE = f"""
+    WITH per AS (
+      SELECT substring({_salted_md5_sql('shard')}, 1, 1) AS shard,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(chars) AS BIGINT) AS total_chars,
+             COUNT(*) AS n_shards FROM per
+    )
+    SELECT shard, n_docs, chars,
+           {R('CAST(chars AS DOUBLE) / total_chars', 6)} AS share,
+           {R('CAST(chars * n_shards - total_chars AS DOUBLE) / total_chars', 6)}
+               AS dev_frac,
+           abs(chars * n_shards - total_chars) * {SHARD_BALANCE_TOL_DEN}
+               <= total_chars AS balanced
+    FROM per CROSS JOIN tot
+"""
+
+
 # Target mixture as integer percents (sum 100): the pretraining-mix
 # shape where the corpus must be downsampled to prescribed language
 # shares rather than per-stratum keep RATES (q_sample_stratified).

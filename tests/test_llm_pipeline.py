@@ -1343,6 +1343,31 @@ def test_decontam_bylang_twin_no_cartesian(spark, sf_dir):
     assert not P.has_cartesian(text.decontam_bylang_twin(spark, sf_dir))
 
 
+def test_shard_balance_twin_oracle_parity(spark, duck, sf_dir):
+    """Pre-registration parity for the queued q_shard_balance key (the
+    cross-shard balance audit over the export layout): exact rows vs
+    its DuckDB oracle, plus the closed-form invariants -- shares sum to
+    1, deviations sum to 0, doc counts sum to the corpus, and the
+    balanced flag agrees with the float deviation column at the 5%
+    line."""
+    from financialtransactionmonitoringsystem_spark.operators import curate
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+    from tests.compare import assert_frames_match
+
+    twin = curate.shard_balance_twin(spark, sf_dir)
+    assert_frames_match(twin.toPandas(),
+                        duck.execute(curate.SHARD_BALANCE_ORACLE).df(),
+                        "shard_balance_twin")
+    rows = twin.collect()
+    assert len(rows) == 16  # md5 nibble shards, all populated at any sf
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.dev_frac for r in rows)) < 1e-4
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.balanced == (abs(r.dev_frac) <= 0.05 + 1e-9), r
+
+
 def test_novelty_twin_oracle_parity(spark, duck, sf_dir):
     """Pre-registration parity for the queued q_text_novelty key (gram
     novelty vs a reference corpus, bloom-prefiltered exact plan): exact
