@@ -644,3 +644,71 @@ def test_align_crosslingual_joins_checkpoint_never_reexplodes(spark, sf_dir):
     assert "Generate" not in s, s
     assert s.count("Scan ExistingRDD") == 2, s
     assert P.has_partial_aggregation(df)
+
+
+def test_win_range_registered_plan_heavy_windows_are_bucketed(spark, sf_dir):
+    """The registered q_win_range plan (bucketed core since round 10)
+    must never sort a per-ORDER sweep on the cardinality-3 status key
+    alone: every window ordered by a price column (the row-per-order
+    heavy sweeps -- own-bucket prefix and head-bucket suffix) has to
+    partition on (status, bucket).  Status-only windows are permitted
+    ONLY over the densified per-bucket cum table, whose ordering column
+    is the bucket index -- O(statuses x buckets) rows by construction.
+    The middle-bucket attaches must broadcast, and nothing cartesians."""
+    import re
+
+    from financialtransactionmonitoringsystem_spark.operators import extras
+
+    df = extras.q_win_range(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", s)
+    assert specs, s
+    for spec in specs:
+        # partition columns precede the first ordered (ASC/DESC) column
+        part = spec.split(" ASC")[0].split(" DESC")[0]
+        ordered_by_price = ("o_totalprice" in spec.split(",", 1)[1]
+                            or re.search(r"price#\d+ (ASC|DESC)", spec))
+        if ordered_by_price:
+            assert "o_orderstatus" in part and re.search(r"\bb(kt)?#\d+", part), spec
+    assert P.has_broadcast_join(df)
+    assert not P.has_cartesian(df)
+
+
+def test_stream_dedup_registered_plan_single_exchange_partial_min(spark, sf_dir):
+    """q_stream_dedup (registered round 10): ONE hash exchange on the
+    dedup key with the packed-struct MIN partially aggregated map-side
+    before it -- never a window sort over all events, never a second
+    corpus-sized exchange (the PLANS round-10 SortAggregate A/B pins
+    the single-exchange form as the keeper)."""
+    from financialtransactionmonitoringsystem_spark.streaming import batch_twins
+
+    df = batch_twins.q_stream_dedup(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert P.n_shuffles(df) == 1, s
+    assert "partial_min" in s, s
+    assert "windowspecdefinition" not in s, s
+
+
+def test_novelty_bloom_probe_stays_below_the_gram_exchange(spark, sf_dir):
+    """novelty_twin's scale contract: the bloom probe evaluates in the
+    candidate grams' scan stage -- the Filter with the bloom bit
+    arithmetic must sit BELOW the exchange that feeds the exact seen
+    join, so only bloom passers shuffle.  The bloom itself attaches as
+    a broadcast nested-loop of a single row (never a real cartesian of
+    data), and the final per-doc attach is an equi-join."""
+    from financialtransactionmonitoringsystem_spark.operators import text
+
+    df = text.novelty_twin(spark, sf_dir)
+    s = P.plan_str(df, "simple")
+    assert not P.has_cartesian(df)
+    # the bloom (one row) attaches as a nested-loop whose CONDITION is
+    # the probe itself -- fused, no separate pass
+    assert "BroadcastNestedLoopJoin" in s and "element_at(bloom" in s, s
+    # the per-doc seen count combines map-side before its doc exchange
+    assert "partial_count(1)" in s, s
+    # at test scale Catalyst broadcasts the exact ref join, so no gram
+    # exchange exists at all (the best case); when stats grow and it
+    # becomes a shuffle join, the probe must sit BELOW it
+    if "Exchange hashpartitioning(gram" in s:
+        below = s.split("Exchange hashpartitioning(gram", 1)[1]
+        assert "element_at(bloom" in below, s[:2000]
