@@ -188,17 +188,24 @@ def canonical_url(url: Column) -> Column:
     ops -- no UDF, codegen-friendly, so at 100 TB this is a pure
     scan-speed projection.
 
-    Known limitation (ADVICE r7): URLs carrying userinfo
-    (``user@host``) canonicalize differently here (parse_url strips
-    the userinfo) than in the DuckDB oracle (whose host regex keeps
-    it); the fixture generator emits no userinfo, and real crawl
-    canonicalizers treat userinfo URLs as a reject class anyway."""
+    Userinfo (``user:pass@host``) is STRIPPED -- the round-10 close of
+    the ADVICE r7 residual: the old Spark side used ``parse_url(HOST)``
+    (drops userinfo) while the oracle's host regex kept it (and
+    truncated at a password colon), so the two diverged on any
+    userinfo URL.  Both sides now derive the host from the authority
+    through the SAME three regexes (strip ``^[^@]*@``, strip
+    ``:[0-9]+$``, strip ``^www\\.``), identical by construction; the
+    credential never reaches the dedup key, which is also the safe
+    treatment for secrets accidentally present in crawl URLs."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    host = F.regexp_replace(
-        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", "")
-    # parse_url(HOST) drops any port; recover it from the authority and
-    # keep it unless it is the scheme's default
     authority = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_replace(
+            F.regexp_replace(authority, r"^[^@]*@", ""), r":[0-9]+$", "")),
+        r"^www\.", "")
+    # the port is recovered from the raw authority ($-anchored, so a
+    # userinfo password colon can never match) and kept unless it is
+    # the scheme's default
     port = F.regexp_extract(authority, r":([0-9]+)$", 1)
     default_port = ((scheme == "https") & (port == "443")) \
         | ((scheme == "http") & (port == "80"))
@@ -1198,8 +1205,11 @@ ORACLES: dict[str, str] = {
           SELECT doc_id, url,
                  lower(regexp_extract(url,
                      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                 regexp_replace(lower(regexp_extract(url,
-                     '://([^/?#:]+)', 1)), '^www\\.', '') AS host,
+                 regexp_replace(lower(regexp_replace(regexp_replace(
+                     regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                     '^[^@]*@', ''), ':[0-9]+$', '')),
+                     '^www\\.', '') AS host,
                  regexp_extract(regexp_extract(url,
                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
                      ':([0-9]+)$', 1) AS port,
