@@ -290,6 +290,19 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shape: per-doc gram counting is explode + two map-side-combinable
     aggregations keyed by doc -- no corpus-wide state, no join except the
     left join back to keep gramless (sub-2-token) docs with frac 0.
+
+    Measured negative result (round 10, do not re-apply): a zero-shuffle
+    in-row rewrite -- array_sort the gram array + a sequential
+    ``aggregate`` run-length fold (the simhash precedent) -- was built,
+    proven output-identical at two SFs and oracle-green, and MEASURED
+    2x SLOWER at scale (1.56/14.12/60.24 s at 1x/10x/50x vs this form's
+    1.58/8.70/30.69): Catalyst evaluates higher-order lambdas with a
+    per-element interpretation overhead that costs more than the two
+    (doc_id, gram)-keyed exchanges it removes, which are map-side
+    combined and perfectly parallel.  Unlike simhash (whose fold
+    replaced a CORPUS-WIDE reassembly shuffle), these exchanges are
+    doc-local volume -- the fold saves network the operator barely
+    uses.  Reverted; PLANS round 10 records the numbers.
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
