@@ -478,6 +478,18 @@ NOVELTY_BLOOM_BITS_PER_KEY = 16
 NOVELTY_BLOOM_SEEDS = (1, 2)
 
 
+def _novelty_bloom_bits(n_ref: int) -> int:
+    """Adaptive bloom size for ``n_ref`` reference grams: the smallest
+    power of two >= BITS_PER_KEY x n_ref, floored at 8 KB and capped at
+    the 16 MB broadcast bound (constants block above).  Power of two so
+    the word index is a shift, never a division remainder mismatch."""
+    bits = NOVELTY_BLOOM_MIN_BITS
+    while bits < min(n_ref * NOVELTY_BLOOM_BITS_PER_KEY,
+                     NOVELTY_BLOOM_MAX_BITS):
+        bits <<= 1
+    return bits
+
+
 def novelty_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram novelty vs a reference corpus: for each candidate doc, how
     many of its distinct word 5-grams are NOT in the reference corpus's
@@ -533,10 +545,7 @@ def _novelty_core(docs: DataFrame) -> DataFrame:
     # adaptive sizing: one tiny count of the ref gram table the query
     # needs anyway (the q_sim_lsh precedent; constants block above)
     n_ref = ref.count()
-    bits = NOVELTY_BLOOM_MIN_BITS
-    while bits < min(n_ref * NOVELTY_BLOOM_BITS_PER_KEY,
-                     NOVELTY_BLOOM_MAX_BITS):
-        bits <<= 1
+    bits = _novelty_bloom_bits(n_ref)
     n_words = bits // 64
 
     spark = docs.sparkSession

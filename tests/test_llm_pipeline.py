@@ -1396,6 +1396,23 @@ def test_novelty_twin_oracle_parity(spark, duck, sf_dir):
     assert any(r.n_novel > 0 for r in rows), "no novel grams?"
 
 
+def test_novelty_bloom_sizing():
+    """The adaptive bloom-bits rule: floor 8 KB holds for tiny reference
+    sets, growth tracks 16 bits/key at the next power of two (so FPR
+    stays ~(2/16)^2 at any reference size), and the 16 MB broadcast cap
+    binds -- the rule that keeps the 50x replica run off the saturated-
+    bloom cliff (59.2 -> 39.9 s, PLANS r10)."""
+    lo, hi = text.NOVELTY_BLOOM_MIN_BITS, text.NOVELTY_BLOOM_MAX_BITS
+    assert text._novelty_bloom_bits(0) == lo
+    assert text._novelty_bloom_bits(1000) == lo           # 16k keys*16 < 2^16
+    assert text._novelty_bloom_bits(lo // 16) == lo       # exactly at floor
+    assert text._novelty_bloom_bits(lo // 16 + 1) == lo * 2
+    n = 475_000                                            # the 50x ref size
+    bits = text._novelty_bloom_bits(n)
+    assert bits >= 16 * n // 2 and bits & (bits - 1) == 0  # pow2, ~16/key
+    assert text._novelty_bloom_bits(10**12) == hi          # cap binds
+
+
 def test_novelty_core_planted(spark):
     """Planted novelty fractions: a candidate identical to a reference
     doc scores 0.0, a fully disjoint one scores 1.0, a half-overlapping
