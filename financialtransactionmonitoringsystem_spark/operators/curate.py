@@ -395,6 +395,123 @@ SHARD_BALANCE_ORACLE = f"""
 """
 
 
+# Discrete per-domain token cap: the rank-ceil(3n/4) smallest domain
+# total (P75 BY RANK, no interpolation -- totals are integer token
+# sums and the rank formula is pure integer arithmetic, so the cap is
+# bit-identical on any engine; the interpolated-percentile
+# cross-engine hazard q_agg_stats neutralizes with a shared explicit
+# formula simply never arises here).
+MIXTURE_CAP_NUM, MIXTURE_CAP_DEN = 3, 4
+
+
+def mixture_cap_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-bucketed mixture caps (the PLANS candidate composing
+    the exact-quantile and token-budget shapes): cap every source
+    domain's contribution to the training mix at the 75th-percentile
+    per-domain token total, keeping each over-cap domain's BEST
+    documents (type-token ratio desc, doc_id tiebreak) up to the cap --
+    the static head-domain clamp that stops a handful of giant domains
+    from dominating the mixture, with the cap derived from the corpus
+    itself instead of a hand-tuned constant (q_curate_mixture's clamp
+    is the weight-space form of the same idea).
+
+    Shape at scale: per-domain totals are ONE map-side-combinable
+    exchange to O(domains) rows; the cap is a rank over that
+    metadata-sized table (single-task window over O(domains) rows --
+    at 10^7+ domains the q_curate_budget _ranged_running_sum machinery
+    is the drop-in for this rank too); the per-doc running sum windows
+    on (source) -- parallelism = domain count -- and the cap attaches
+    as a one-row broadcast.  A domain whose best document alone
+    exceeds the cap keeps zero docs: the cap is strict by design
+    (document-splitting is a packing concern, q_pack_sequences' job).
+
+    Registry queue: would register as ``q_curate_mixture_cap`` with
+    ``MIXTURE_CAP_ORACLE`` -- but the registry is at its rotation
+    capacity (PLANS round 10: the 50-key window x 3-round staleness
+    caps it at 150, and the two r11 registrations consume the final
+    slack), so this ships as a tested-but-unregistered twin, the
+    shard_balance_twin precedent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id", "source",
+        F.size(toks).alias("n_tok"),
+        (F.size(F.array_distinct(toks)).cast("double")
+         / F.size(toks)).alias("ttr"))
+    dom = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("tok_total"))
+    ranked = dom.select(
+        "tok_total",
+        F.row_number().over(W.orderBy("tok_total", "source")).alias("r"),
+        F.count(F.lit(1)).over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("nd"))
+    cap_tbl = (ranked.filter(F.col("r") == F.expr(
+        f"CAST(({MIXTURE_CAP_NUM} * nd + {MIXTURE_CAP_DEN - 1})"
+        f" DIV {MIXTURE_CAP_DEN} AS INT)"))
+        .select(F.col("tok_total").alias("cap")))
+    wrun = (W.partitionBy("source").orderBy(F.col("ttr").desc(), "doc_id")
+            .rowsBetween(W.unboundedPreceding, 0))
+    kept = (base.select("source", "n_tok",
+                        F.sum("n_tok").over(wrun).alias("run"))
+            .crossJoin(F.broadcast(cap_tbl))
+            .filter(F.col("run") <= F.col("cap"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("n_tok").alias("tokens_kept")))
+    return (
+        dom.crossJoin(F.broadcast(cap_tbl))
+        .join(kept, "source", "left")
+        .select("source", "n_docs", "tok_total", "cap",
+                F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+                F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+                (F.col("tok_total") > F.col("cap")).alias("capped"))
+    )
+
+
+# DuckDB oracle for mixture_cap_twin (registers with the key if
+# rotation capacity ever opens; see the twin's docstring).
+MIXTURE_CAP_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS ttr
+      FROM documents
+    ), dom AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS tok_total
+      FROM base GROUP BY source
+    ), ranked AS (
+      SELECT tok_total,
+             row_number() OVER (ORDER BY tok_total, source) AS r,
+             COUNT(*) OVER () AS nd
+      FROM dom
+    ), cap AS (
+      SELECT tok_total AS cap FROM ranked
+      WHERE r = ({MIXTURE_CAP_NUM} * nd + {MIXTURE_CAP_DEN - 1})
+                // {MIXTURE_CAP_DEN}
+    ), kept AS (
+      SELECT source, COUNT(*) AS n_kept,
+             CAST(SUM(n_tok) AS BIGINT) AS tokens_kept
+      FROM (
+        SELECT source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source
+                                ORDER BY ttr DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+        FROM base
+      ) CROSS JOIN cap WHERE run <= cap GROUP BY source
+    )
+    SELECT d.source, d.n_docs, d.tok_total, c.cap,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           d.tok_total > c.cap AS capped
+    FROM dom d CROSS JOIN cap c LEFT JOIN kept k ON k.source = d.source
+"""
+
+
 # Target mixture as integer percents (sum 100): the pretraining-mix
 # shape where the corpus must be downsampled to prescribed language
 # shares rather than per-stratum keep RATES (q_sample_stratified).

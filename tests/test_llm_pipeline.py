@@ -1350,6 +1350,36 @@ def test_decontam_bylang_twin_no_cartesian(spark, sf_dir):
     assert not P.has_cartesian(text.decontam_bylang_twin(spark, sf_dir))
 
 
+def test_mixture_cap_twin_oracle_parity(spark, duck, sf_dir):
+    """The quantile-bucketed mixture-cap twin: exact rows vs its DuckDB
+    oracle, plus the closed-form invariants -- every domain keeps at
+    most the cap's tokens, under-cap domains keep everything, the cap
+    equals the rank-ceil(3n/4) domain total, and at least one domain is
+    capped (the P75 cap binds the top quartile by construction on any
+    corpus with >= 4 distinct domain totals)."""
+    from financialtransactionmonitoringsystem_spark.operators import curate
+    from tests.compare import assert_frames_match
+
+    twin = curate.mixture_cap_twin(spark, sf_dir)
+    assert_frames_match(twin.toPandas(),
+                        duck.execute(curate.MIXTURE_CAP_ORACLE).df(),
+                        "mixture_cap_twin")
+    rows = twin.collect()
+    caps = {r.cap for r in rows}
+    assert len(caps) == 1
+    cap = caps.pop()
+    totals = sorted(r.tok_total for r in rows)
+    import math
+    assert cap == totals[math.ceil(3 * len(totals) / 4) - 1]
+    for r in rows:
+        assert r.tokens_kept <= r.cap, r
+        assert r.capped == (r.tok_total > r.cap), r
+        if not r.capped:
+            assert r.n_kept == r.n_docs and r.tokens_kept == r.tok_total, r
+    assert any(r.capped for r in rows)
+    assert any(not r.capped for r in rows)
+
+
 def test_shard_balance_twin_oracle_parity(spark, duck, sf_dir):
     """Pre-registration parity for the queued q_shard_balance key (the
     cross-shard balance audit over the export layout): exact rows vs

@@ -42,6 +42,7 @@ qs["decontam_bylang_twin"] = text.decontam_bylang_twin
 qs["novelty_twin"] = text.novelty_twin
 from financialtransactionmonitoringsystem_spark.operators import curate as _cur
 qs["shard_balance_twin"] = _cur.shard_balance_twin
+qs["mixture_cap_twin"] = _cur.mixture_cap_twin
 
 jvm_gc = spark.sparkContext._jvm.System.gc
 for key in KEYS:
