@@ -126,6 +126,13 @@ HEADLINE = [
     # hash exchange + packed-struct MIN; included so its map-side
     # combinability stays measured)
     "q_stream_dedup",
+    # round-11 additions: the last two registry slots -- the per-lang
+    # contamination rollup (broadcast-semi core + governance rollup)
+    # and the bloom-prefiltered gram novelty scorer (adaptive
+    # dense-array bloom; included so the probe-at-the-scan claim stays
+    # measured against the reference-gram exchange it avoids)
+    "q_text_decontam_bylang",
+    "q_text_novelty",
     # q_cte_recursive is deliberately NOT benched: Spark executes one
     # job per recursion step, so an 80-month spine costs ~80 scheduler
     # round-trips (~11s) regardless of data size.  The key exists to

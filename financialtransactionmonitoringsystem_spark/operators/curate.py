@@ -428,13 +428,25 @@ def mixture_cap_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registry queue: would register as ``q_curate_mixture_cap`` with
     ``MIXTURE_CAP_ORACLE`` -- but the registry is at its rotation
     capacity (PLANS round 10: the 50-key window x 3-round staleness
-    caps it at 150, and the two r11 registrations consume the final
+    caps it at 150, and the two r11 registrations consumed the final
     slack), so this ships as a tested-but-unregistered twin, the
     shard_balance_twin precedent.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return _mixture_cap_core(load_table(spark, sf_dir, "documents"))
+
+
+def _mixture_cap_core(docs: DataFrame) -> DataFrame:
+    """:func:`mixture_cap_twin` over an explicit docs table (the
+    planted-cap test constructs a guaranteed over-cap domain, which a
+    tied corpus -- max total == the P75 total -- cannot promise).
+
+    Null-text docs are excluded SYMMETRICALLY with the oracle's
+    ``WHERE text IS NOT NULL`` (ADVICE r10: Spark ``size(split(NULL))``
+    is -1 where DuckDB ``len(string_split(NULL))`` is NULL -- a latent
+    parity break, and a zero-token doc has no business in a token-cap
+    decision anyway)."""
     toks = F.split(F.col("text"), " ")
-    base = docs.select(
+    base = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", "source",
         F.size(toks).alias("n_tok"),
         (F.size(F.array_distinct(toks)).cast("double")
@@ -479,7 +491,7 @@ MIXTURE_CAP_ORACLE = f"""
              len(string_split(text, ' ')) AS n_tok,
              CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
                  / len(string_split(text, ' ')) AS ttr
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), dom AS (
       SELECT source, COUNT(*) AS n_docs,
              CAST(SUM(n_tok) AS BIGINT) AS tok_total

@@ -193,15 +193,18 @@ def canonical_url(url: Column) -> Column:
     (drops userinfo) while the oracle's host regex kept it (and
     truncated at a password colon), so the two diverged on any
     userinfo URL.  Both sides now derive the host from the authority
-    through the SAME three regexes (strip ``^[^@]*@``, strip
-    ``:[0-9]+$``, strip ``^www\\.``), identical by construction; the
+    through the SAME three regexes (strip ``^.*@`` -- GREEDY, through
+    the LAST ``@``, per RFC 3986 authority parsing, so an unencoded
+    ``@`` inside a password like ``u:p@ss@h.com`` cannot leak a
+    credential fragment into the host (ADVICE r10); then strip
+    ``:[0-9]+$``, then ``^www\\.``), identical by construction; the
     credential never reaches the dedup key, which is also the safe
     treatment for secrets accidentally present in crawl URLs."""
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     authority = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
     host = F.regexp_replace(
         F.lower(F.regexp_replace(
-            F.regexp_replace(authority, r"^[^@]*@", ""), r":[0-9]+$", "")),
+            F.regexp_replace(authority, r"^.*@", ""), r":[0-9]+$", "")),
         r"^www\.", "")
     # the port is recovered from the raw authority ($-anchored, so a
     # userinfo password colon can never match) and kept unless it is
@@ -1208,7 +1211,7 @@ ORACLES: dict[str, str] = {
                  regexp_replace(lower(regexp_replace(regexp_replace(
                      regexp_extract(url,
                          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-                     '^[^@]*@', ''), ':[0-9]+$', '')),
+                     '^.*@', ''), ':[0-9]+$', '')),
                      '^www\\.', '') AS host,
                  regexp_extract(regexp_extract(url,
                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),

@@ -405,7 +405,7 @@ def _decontam_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decontam_bylang_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_decontam_bylang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language contamination rollup: for each ``lang``, how many
     training documents exist, how many share at least one word 5-gram
     with the benchmark slice, total shared-gram hits, and the
@@ -427,11 +427,11 @@ def decontam_bylang_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a cartesian.  The final groupBy exchanges one row per
     (partition, lang) -- O(langs) network.
 
-    Registry queue: renames to ``q_text_decontam_bylang`` in the first
-    round with a free window slot (the q_stream_dedup precedent);
-    ``DECONTAM_BYLANG_ORACLE`` joins ORACLES with it.  n_hits counts
-    gram FINGERPRINT pairs, inheriting q_text_decontam's documented
-    xxhash64-collision caveat (~1e-8 at this corpus).
+    Registered round 11 (built and verified as ``decontam_bylang_twin``
+    in round 10: MATCH vs ``DECONTAM_BYLANG_ORACLE`` at
+    sf0.001/0.01/0.1, triangle parity vs the parent key).  n_hits
+    counts gram FINGERPRINT pairs, inheriting q_text_decontam's
+    documented xxhash64-collision caveat (~1e-8 at this corpus).
     """
     contam = q_text_decontam(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
@@ -490,7 +490,7 @@ def _novelty_bloom_bits(n_ref: int) -> int:
     return bits
 
 
-def novelty_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram novelty vs a reference corpus: for each candidate doc, how
     many of its distinct word 5-grams are NOT in the reference corpus's
     gram set, and the novelty rate -- the "will this document teach the
@@ -513,16 +513,17 @@ def novelty_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle), so the one corpus-sized exchange shrinks to
     seen-fraction-sized.  Exact output regardless of FPR.
 
-    Registry queue: renames to ``q_text_novelty`` in a free window slot
-    (the q_stream_dedup precedent); ``NOVELTY_ORACLE`` joins ORACLES
-    with it.  Grams travel as xxhash64 fingerprints -- the decontam
-    collision caveat (~1e-8 here) applies to n_grams/n_seen alike.
+    Registered round 11 (built and verified as ``novelty_twin`` in
+    round 10: MATCH vs ``NOVELTY_ORACLE`` at sf0.001/0.01/0.1 plus
+    planted-fraction tests).  Grams travel as xxhash64 fingerprints --
+    the decontam collision caveat (~1e-8 here) applies to
+    n_grams/n_seen alike.
     """
     return _novelty_core(load_table(spark, sf_dir, "documents"))
 
 
 def _novelty_core(docs: DataFrame) -> DataFrame:
-    """:func:`novelty_twin` over an explicit docs table (planted-edge
+    """:func:`q_text_novelty` over an explicit docs table (planted-edge
     tests construct known novelty fractions)."""
     fps = F.array_distinct(
         F.transform(_wordgrams(F.col("text"), DECONTAM_NGRAM),
@@ -804,9 +805,9 @@ def _grams_sql(n: int, alias: str = "gram", cols: str = "doc_id") -> str:
 
 _GRAMS_SQL = _grams_sql(DECONTAM_NGRAM)
 
-# DuckDB oracle for decontam_bylang_twin; moves into ORACLES as
-# "q_text_decontam_bylang" when the key registers (first free window
-# slot -- see the twin's docstring).
+# DuckDB oracle for q_text_decontam_bylang (registered round 11; the
+# named constant predates registration and stays for the dedicated
+# parity test).
 DECONTAM_BYLANG_ORACLE = f"""
     WITH g AS ({_GRAMS_SQL}),
     bench AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g
@@ -828,8 +829,9 @@ DECONTAM_BYLANG_ORACLE = f"""
     GROUP BY d.lang
 """
 
-# DuckDB oracle for novelty_twin; moves into ORACLES as
-# "q_text_novelty" when the key registers (first free window slot).
+# DuckDB oracle for q_text_novelty (registered round 11; the named
+# constant predates registration and stays for the dedicated parity
+# test).
 NOVELTY_ORACLE = f"""
     WITH g AS (SELECT DISTINCT doc_id, gram FROM ({_GRAMS_SQL})),
     ref AS (SELECT DISTINCT gram FROM g
@@ -856,6 +858,8 @@ NOVELTY_ORACLE = f"""
 """
 
 ORACLES: dict[str, str] = {
+    "q_text_decontam_bylang": DECONTAM_BYLANG_ORACLE,
+    "q_text_novelty": NOVELTY_ORACLE,
     "q_align_crosslingual": f"""
         WITH g AS (
           SELECT DISTINCT doc_id, lang, gram

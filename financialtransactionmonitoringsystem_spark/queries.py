@@ -43,12 +43,35 @@ for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
 # authoritative full-registry gate regardless of window position, and
 # test_window_rotation pins that every stale key actually fits the window.
 LAST_ATTESTED: dict[str, int] = {
+    # round 10 window (CORRECTNESS_r10.json: 49 hash-green + 1 no_oracle
+    # rows-only verdict (q_agg_approx), all 50 attested, zero errors --
+    # the 48 r7-stale keys + q_stream_dedup (new) + q_text_decontam
+    # (TOUCHED); the former r7 cohort is fully absorbed here, so no r7
+    # block remains)
+    **{k: 10 for k in (
+        'q_agg_approx', 'q_agg_group', 'q_agg_rollup', 'q_agg_salted',
+        'q_agg_stats', 'q_cte', 'q_curate_epochs', 'q_dedup',
+        'q_dedup_exact', 'q_dedup_ngram', 'q_filter_range',
+        'q_fn_array', 'q_fn_date', 'q_fn_json',
+        'q_funnel_sessionized', 'q_ingest_feed', 'q_join_asof',
+        'q_join_inner', 'q_join_interval', 'q_join_multiway',
+        'q_join_salted', 'q_mm_audio', 'q_mm_decode_png',
+        'q_mm_keyframes', 'q_pipeline_curate', 'q_pivot',
+        'q_scan_all', 'q_shard_card', 'q_sim_lsh', 'q_stream_dedup',
+        'q_stream_flag', 'q_stream_session', 'q_stream_sliding',
+        'q_stream_topk', 'q_stream_tumbling', 'q_subquery_in',
+        'q_subquery_scalar', 'q_text_decontam', 'q_text_fingerprint',
+        'q_text_langid', 'q_text_quality', 'q_text_stats',
+        'q_text_tokencount', 'q_text_tokens', 'q_topk_per_group',
+        'q_union', 'q_unpivot', 'q_win_frame', 'q_win_range',
+        'q_win_rank',
+    )},
     # round 9 window (CORRECTNESS_r09.json: 46 hash-green + 4 no_oracle
     # rows-only verdicts (q_agg_hll, q_dedup_fuzzy, q_dedup_minhash,
     # q_dedup_simhash), all 50 attested, zero errors -- the 48 r6-stale
     # keys + 2 TOUCHED re-attests (q_stream_state, q_retention_funnel);
-    # the former r6 cohort is fully absorbed here, so no r6 block
-    # remains)
+    # these 50 keys legally overflow the round-11 window as the
+    # least-stale attested cohort)
     **{k: 9 for k in (
         "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_global",
         "q_agg_gsets", "q_agg_having", "q_agg_hll", "q_curate_budget",
@@ -68,8 +91,14 @@ LAST_ATTESTED: dict[str, int] = {
     )},
     # round 8 window remainder (CORRECTNESS_r08.json: 48 hash-green + 2
     # no_oracle rows-only verdicts (q_agg_approx_quantile, q_sim_ivf),
-    # all 50 attested, zero errors; minus q_retention_funnel,
-    # re-attested r9) -- these 49 keys are the round-11 stale cohort
+    # all 50 attested, zero errors; minus q_retention_funnel
+    # re-attested r9 and q_text_decontam re-attested r10) -- these 48
+    # keys are the round-11 stale cohort, and with the 2 round-11
+    # registrations (q_text_decontam_bylang, q_text_novelty -- both
+    # never-attested, so priority automatically) the round-11 window is
+    # exactly full.  These were the registry's LAST two free slots
+    # under the 50-key window x 3-round rotation (capacity = 150;
+    # PLANS.md round-10 capacity simulation).
     **{k: 8 for k in (
         "q_agg_approx_quantile", "q_agg_argmax", "q_agg_bitmap",
         "q_agg_corr", "q_agg_ddsketch", "q_agg_histogram", "q_agg_mode",
@@ -83,57 +112,23 @@ LAST_ATTESTED: dict[str, int] = {
         "q_sample_proportional", "q_sample_weighted", "q_scd2",
         "q_sessionize", "q_sim_cosine", "q_sim_ivf",
         "q_sim_knn_per_label", "q_snapshot_diff", "q_stream_join",
-        "q_stream_join_agg", "q_text_bpe_pairs", "q_text_decontam",
+        "q_stream_join_agg", "q_text_bpe_pairs",
         "q_text_perplexity", "q_text_repetition", "q_ts_interpolate",
         "q_udaf_centsum", "q_udtf_gaps", "q_win_timerange",
-    )},
-    # round 7 window remainder (CORRECTNESS_r07.json: 49 hash-green + 1
-    # no_oracle rows-only verdict (q_agg_approx), all 50 attested, zero
-    # errors; minus q_dedup_url re-attested r8 and q_stream_state
-    # re-attested r9) -- these 48 keys are the round-10 stale cohort,
-    # and with the 2 round-10 priority keys (q_stream_dedup new +
-    # q_text_decontam TOUCHED) the round-10 window is exactly full
-    **{k: 7 for k in (
-        "q_agg_approx", "q_agg_group", "q_agg_rollup", "q_agg_salted",
-        "q_agg_stats", "q_cte", "q_curate_epochs", "q_dedup",
-        "q_dedup_exact", "q_dedup_ngram", "q_filter_range",
-        "q_fn_array", "q_fn_date", "q_fn_json", "q_funnel_sessionized",
-        "q_ingest_feed", "q_join_asof", "q_join_inner",
-        "q_join_interval", "q_join_multiway", "q_join_salted",
-        "q_mm_audio", "q_mm_decode_png", "q_mm_keyframes",
-        "q_pipeline_curate", "q_pivot", "q_scan_all", "q_shard_card",
-        "q_sim_lsh", "q_stream_flag", "q_stream_session",
-        "q_stream_sliding", "q_stream_topk", "q_stream_tumbling",
-        "q_subquery_in", "q_subquery_scalar", "q_text_fingerprint",
-        "q_text_langid", "q_text_quality", "q_text_stats",
-        "q_text_tokencount", "q_text_tokens", "q_topk_per_group",
-        "q_union", "q_unpivot", "q_win_frame", "q_win_range",
-        "q_win_rank",
     )},
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  Round-10 touches (window budget: 48 r7-stale + 1 new key
-# (q_stream_dedup, never-attested -> priority automatically) + 1 TOUCHED
-# = 50, exactly full -- no further touches or new keys can land):
-# * q_text_decontam -- the registered plan is now the broadcast-semi
-#   prefiltered form (formerly ``decontam_prefiltered``): the fixed-size
-#   benchmark gram set is broadcast-left-semi-joined ahead of the
-#   corpus-gram distinct, so the one corpus-sized exchange shrinks to
-#   contamination-sized (-49% at 50x in the r9 sweep, never loses;
-#   output-identical, pinned by test_decontam_prefiltered_identical and
-#   pre-verified vs the unchanged oracle at sf0.1 in r9).  Same oracle;
-#   plan change -> re-attest.
-# NOTE: q_win_range's implementation also changed this round (swapped to
-# the bucketed-core decomposition, extras.py) but is NOT listed here: it
-# sits in the round-10 stale cohort (r7-attested), so it is guaranteed a
-# window slot anyway, and listing it would push a 48th r7 key out of the
-# window past the r8 cohort -- exactly the overflow-ordering violation
-# test_window_rotation exists to catch.  TOUCHED is for changed keys the
-# staleness order would NOT already re-attest this round.
-TOUCHED: tuple[str, ...] = (
-    "q_text_decontam",
-)
+# history.  Round-11 touches: NONE -- the window budget is 48 r8-stale +
+# 2 new keys (q_text_decontam_bylang, q_text_novelty; never-attested ->
+# priority automatically) = 50, exactly full.  q_dedup_url's userinfo
+# fix (implementation AND oracle, this round, the r10 ADVICE item) is
+# NOT listed: it sits in the round-11 stale cohort (r8-attested), so it
+# re-attests without a TOUCHED slot (the q_win_range free-swap rule --
+# TOUCHED is only for changed keys the staleness order would NOT
+# already re-attest this round; listing an in-window key breaks the
+# overflow ordering test_window_rotation pins).
+TOUCHED: tuple[str, ...] = ()
 
 # Among equally-stale keys, spread families across the window edge instead of
 # alphabetical clumping; anything unlisted tiebreaks alphabetically after.

@@ -234,9 +234,11 @@ EXPECTED_KEYS = {
     "q_subquery_scalar",
     "q_text_bpe_pairs",
     "q_text_decontam",
+    "q_text_decontam_bylang",
     "q_text_fingerprint",
     "q_text_langid",
     "q_text_linededup",
+    "q_text_novelty",
     "q_text_perplexity",
     "q_text_pii",
     "q_text_quality",

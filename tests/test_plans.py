@@ -690,7 +690,7 @@ def test_stream_dedup_registered_plan_single_exchange_partial_min(spark, sf_dir)
 
 
 def test_novelty_bloom_probe_stays_below_the_gram_exchange(spark, sf_dir):
-    """novelty_twin's scale contract: the bloom probe evaluates in the
+    """q_text_novelty's scale contract: the bloom probe evaluates in the
     candidate grams' scan stage -- the Filter with the bloom bit
     arithmetic must sit BELOW the exchange that feeds the exact seen
     join, so only bloom passers shuffle.  The bloom itself attaches as
@@ -698,7 +698,7 @@ def test_novelty_bloom_probe_stays_below_the_gram_exchange(spark, sf_dir):
     data), and the final per-doc attach is an equi-join."""
     from financialtransactionmonitoringsystem_spark.operators import text
 
-    df = text.novelty_twin(spark, sf_dir)
+    df = text.q_text_novelty(spark, sf_dir)
     s = P.plan_str(df, "simple")
     assert not P.has_cartesian(df)
     # the bloom (one row) attaches as a nested-loop whose CONDITION is

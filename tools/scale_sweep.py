@@ -35,11 +35,8 @@ spark = (SparkSession.builder.master("local[32]")
 spark.sparkContext.setLogLevel("ERROR")
 
 import __spark_entry__ as E
-from financialtransactionmonitoringsystem_spark.operators import text
 
-qs = E.queries()
-qs["decontam_bylang_twin"] = text.decontam_bylang_twin
-qs["novelty_twin"] = text.novelty_twin
+qs = E.queries()  # q_text_decontam_bylang / q_text_novelty registered r11
 from financialtransactionmonitoringsystem_spark.operators import curate as _cur
 qs["shard_balance_twin"] = _cur.shard_balance_twin
 qs["mixture_cap_twin"] = _cur.mixture_cap_twin
