@@ -522,34 +522,37 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _novelty_core(load_table(spark, sf_dir, "documents"))
 
 
-def _novelty_core(docs: DataFrame) -> DataFrame:
-    """:func:`q_text_novelty` over an explicit docs table (planted-edge
-    tests construct known novelty fractions)."""
-    fps = F.array_distinct(
+def _novelty_fps():
+    """Per-doc distinct word-5-gram fingerprints (the gram identity the
+    whole novelty family shares -- one definition for the core, the
+    reference build, and the streaming scorer)."""
+    return F.array_distinct(
         F.transform(_wordgrams(F.col("text"), DECONTAM_NGRAM),
                     lambda g: F.xxhash64(g)))
-    is_ref = F.col("doc_id") % NOVELTY_REF_MOD == NOVELTY_REF_REM
-    # The ref gram table feeds THREE consumers (the sizing count, the
-    # bloom build, the exact FP-cleanup join) and Catalyst re-derives
-    # shared subtrees per consumer, so it goes through the shared
-    # corpus-table materialization policy (the tfidf/linededup conf):
-    # "checkpoint" scans the reference corpus once, "rederive" writes
-    # nothing corpus-sized.  Measured PARITY on the replica corpora
-    # (50x: 42.4 checkpoint vs 40.9 rederive; 1x: 1.9 vs 2.4 -- the
-    # 10% slice re-derives nearly for free, the align-gram-table
-    # outcome), so the policy knob decides by the deployment's fast
-    # tier, not by this operator.
+
+
+def _novelty_ref_grams(ref_docs: DataFrame) -> DataFrame:
+    """Distinct reference gram fingerprints through the shared
+    corpus-table materialization policy.  The table feeds THREE
+    consumers (the sizing count, the bloom build, the exact FP-cleanup
+    join) and Catalyst re-derives shared subtrees per consumer, so it
+    goes through the tfidf/linededup conf: "checkpoint" scans the
+    reference corpus once, "rederive" writes nothing corpus-sized.
+    Measured PARITY on the replica corpora (50x: 42.4 checkpoint vs
+    40.9 rederive; 1x: 1.9 vs 2.4 -- the 10% slice re-derives nearly
+    for free, the align-gram-table outcome), so the policy knob
+    decides by the deployment's fast tier, not by this operator."""
     from .dedup import _corpus_scoped_build
-    ref = _corpus_scoped_build(
-        docs.filter(is_ref).select(F.explode(fps).alias("gram")).distinct())
+    return _corpus_scoped_build(
+        ref_docs.select(F.explode(_novelty_fps()).alias("gram")).distinct())
 
-    # adaptive sizing: one tiny count of the ref gram table the query
-    # needs anyway (the q_sim_lsh precedent; constants block above)
-    n_ref = ref.count()
-    bits = _novelty_bloom_bits(n_ref)
-    n_words = bits // 64
 
-    spark = docs.sparkSession
+def _novelty_bloom_table(spark: SparkSession, ref: DataFrame,
+                         bits: int) -> DataFrame:
+    """The packed bloom over the reference gram set as ONE
+    ``array<long>`` row (word index -> bits, empty words zero-filled):
+    array element_at is O(1) where a map lookup scans the whole map per
+    probe (constants block above)."""
     pos = F.explode(F.array(
         *[F.pmod(F.xxhash64("gram", F.lit(s)), F.lit(bits))
           for s in NOVELTY_BLOOM_SEEDS])).alias("p")
@@ -557,11 +560,8 @@ def _novelty_core(docs: DataFrame) -> DataFrame:
              .groupBy(F.expr("CAST(p DIV 64 AS INT)").alias("w"))
              .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT),"
                          " CAST(p % 64 AS INT)))").alias("bits")))
-    # densify to ONE array<long> row (word index -> bits, empty words
-    # zero-filled): array element_at is O(1) where a map lookup scans
-    # the whole map per probe (constants block above)
-    spine = spark.range(n_words).select(F.col("id").cast("int").alias("w"))
-    bloom = (
+    spine = spark.range(bits // 64).select(F.col("id").cast("int").alias("w"))
+    return (
         spine.join(words, "w", "left")
         .select("w", F.coalesce("bits", F.lit(0).cast("long")).alias("bits"))
         .agg(F.transform(
@@ -569,7 +569,14 @@ def _novelty_core(docs: DataFrame) -> DataFrame:
             lambda s: s["bits"]).alias("bloom"))
     )
 
-    cand = docs.filter(~is_ref)
+
+def _novelty_probe(cand: DataFrame, ref: DataFrame, bloom: DataFrame,
+                   bits: int) -> DataFrame:
+    """Score candidate docs against the reference gram set: bloom probe
+    at the scan (misses are DEFINITELY novel and never shuffle), exact
+    inner join removes bloom false positives (not a semi -- the
+    q_join_bloom PushDownLeftSemiAntiJoin lesson)."""
+    fps = _novelty_fps()
     probed = (cand.select("doc_id", F.explode(fps).alias("gram"))
               .crossJoin(F.broadcast(bloom)))
     for i, s in enumerate(NOVELTY_BLOOM_SEEDS):
@@ -581,8 +588,6 @@ def _novelty_core(docs: DataFrame) -> DataFrame:
             f"((element_at(bloom, CAST(_p{i} DIV 64 AS INT) + 1)"
             f" >> CAST(_p{i} % 64 AS INT)) & 1) = 1")
         hit = t if hit is None else (hit & t)
-    # exact inner join (not semi -- the q_join_bloom
-    # PushDownLeftSemiAntiJoin lesson) removes bloom false positives
     seen = (probed.filter(hit).select("doc_id", "gram")
             .join(ref, "gram")
             .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seen")))
@@ -601,6 +606,21 @@ def _novelty_core(docs: DataFrame) -> DataFrame:
         .select("doc_id", "n_grams", novel.alias("n_novel"),
                 rnd(rate, 4).alias("novelty"))
     )
+
+
+def _novelty_core(docs: DataFrame) -> DataFrame:
+    """:func:`q_text_novelty` over an explicit docs table (planted-edge
+    tests construct known novelty fractions).  Pure composition of the
+    pieces above -- the plan is unchanged by the round-11 extraction
+    (the streaming scorer in streaming/pipeline.py reuses the pieces
+    with a build-once reference)."""
+    is_ref = F.col("doc_id") % NOVELTY_REF_MOD == NOVELTY_REF_REM
+    ref = _novelty_ref_grams(docs.filter(is_ref))
+    # adaptive sizing: one tiny count of the ref gram table the query
+    # needs anyway (the q_sim_lsh precedent; constants block above)
+    bits = _novelty_bloom_bits(ref.count())
+    bloom = _novelty_bloom_table(docs.sparkSession, ref, bits)
+    return _novelty_probe(docs.filter(~is_ref), ref, bloom, bits)
 
 
 CHUNK_TOKENS = 8        # tokens per non-overlapping chunk ("line")

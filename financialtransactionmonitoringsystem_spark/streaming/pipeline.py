@@ -187,6 +187,79 @@ def distinct_users(events: DataFrame, watermark: str = "10 minutes") -> DataFram
     )
 
 
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as an unbounded stream (file source stand-in
+    for the crawl landing bucket) -- the ingest side of streaming
+    novelty scoring.  Same staging trick as :func:`stream_events`."""
+    import os
+    import tempfile
+
+    apply_runtime_confs(spark)
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        "fintxmon_docstream_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return spark.readStream.schema(schema).parquet(stage)
+
+
+def novelty_scorer(ref_docs: DataFrame):
+    """Build-once streaming novelty scorer: returns ``score(batch_df)``
+    scoring any (micro-)batch of candidate docs for word-5-gram novelty
+    against a FIXED reference corpus (the "already trained on" set) --
+    the per-snapshot curation signal a crawl-ingest pipeline attaches
+    before a doc ever reaches the training mix.  Batch ground truth:
+    ``text.q_text_novelty`` (same fps / bloom / exact-join pieces).
+
+    The whole point vs calling the batch operator per micro-batch is
+    WHERE the reference cost is paid -- ONCE here, not per batch:
+
+    * the reference gram table materializes through the corpus-table
+      policy (one reference scan; per-batch exact joins re-read the
+      checkpointed gram parquet, never the reference corpus);
+    * the adaptive dense-array bloom (<= 16 MB by the sizing cap,
+      text.NOVELTY_BLOOM_MAX_BITS) is computed once and COLLECTED, then
+      re-injected as a driver-local one-row table -- each micro-batch's
+      probe plan reads the bloom from a local ``Scan ExistingRDD``,
+      zero reference work (pinned by
+      test_novelty_scorer_pays_zero_reference_work_per_batch).
+
+    State: NONE -- a doc's grams never span batches (the text column
+    arrives whole), so scoring is stateless per micro-batch; no
+    watermark, no state store, restart-safe via the sink checkpoint.
+    """
+    from ..operators import text
+
+    spark = ref_docs.sparkSession
+    ref = text._novelty_ref_grams(ref_docs)
+    bits = text._novelty_bloom_bits(ref.count())
+    packed = text._novelty_bloom_table(spark, ref, bits).collect()[0][0]
+    bloom = spark.createDataFrame([(packed,)], "bloom array<bigint>")
+
+    def score(batch: DataFrame) -> DataFrame:
+        return text._novelty_probe(batch, ref, bloom, bits)
+
+    return score
+
+
+def run_novelty_scoring(docs_stream: DataFrame, scorer, out_dir: str,
+                        ckpt_dir: str):
+    """Drive the scorer over a docs stream with ``foreachBatch``,
+    appending scored rows to a parquet landing table.  availableNow
+    drains the backlog in maxFilesPerTrigger-sized batches and stops --
+    the catch-up mode; a production deployment drops the trigger for
+    continuous scoring."""
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        scorer(batch_df).write.mode("append").parquet(out_dir)
+
+    return (docs_stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True).start())
+
+
 def _read_existing_partitions(spark: SparkSession, out_dir: str,
                               part_col: str, touched: list):
     """Read only the touched partitions of a foreachBatch-maintained

@@ -532,3 +532,64 @@ def test_stream_dedup_reemits_after_state_expiry(spark):
         ], got
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_novelty_stream_matches_batch_twin(spark, sf_dir):
+    """Streaming novelty scoring (build-once scorer + foreachBatch)
+    must equal the registered batch operator exactly: the candidate
+    docs are staged as TWO files and drained one file per micro-batch
+    (>= 2 commits asserted via the checkpoint), and the union of the
+    scored batches is row-identical to ``q_text_novelty`` -- per-doc
+    scoring is stateless, so batch boundaries cannot change a row."""
+    import os
+
+    from financialtransactionmonitoringsystem_spark.operators import text
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_ref = F.col("doc_id") % text.NOVELTY_REF_MOD == text.NOVELTY_REF_REM
+    scorer = pipeline.novelty_scorer(docs.filter(is_ref))
+
+    tmp = tempfile.mkdtemp(prefix="novelty_stream_")
+    try:
+        stage, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(stage)
+        cand = docs.filter(~is_ref)
+        for i in range(2):
+            half = cand.filter(F.col("doc_id") % 2 == i).coalesce(1)
+            half.write.parquet(f"{tmp}/half{i}")
+            part = next(f for f in os.listdir(f"{tmp}/half{i}")
+                        if f.endswith(".parquet"))
+            os.rename(f"{tmp}/half{i}/{part}", f"{stage}/batch{i}.parquet")
+        src = (spark.readStream.schema(cand.schema)
+               .option("maxFilesPerTrigger", "1").parquet(stage))
+        pipeline.run_novelty_scoring(src, scorer, out, ckpt).awaitTermination()
+
+        assert len(os.listdir(f"{ckpt}/commits")) >= 2  # really multi-batch
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        want = {tuple(r) for r in text.q_text_novelty(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_novelty_scorer_pays_zero_reference_work_per_batch(spark, sf_dir):
+    """The scorer's per-batch plan must carry the bloom as a
+    driver-LOCAL one-row table (``Scan ExistingRDD[bloom...]`` -- the
+    createDataFrame re-injection) -- the reference-corpus aggregation
+    that builds it ran ONCE at scorer construction, so a micro-batch
+    pays probe cost only.  The batch operator's plan, by contrast, has
+    no local bloom (its bloom is the distributed aggregate) -- pinning
+    that the two forms differ exactly where the build-once design says
+    they should."""
+    from financialtransactionmonitoringsystem_spark.operators import text
+    from financialtransactionmonitoringsystem_spark.plans import inspect as P
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_ref = F.col("doc_id") % text.NOVELTY_REF_MOD == text.NOVELTY_REF_REM
+    scorer = pipeline.novelty_scorer(docs.filter(is_ref))
+    s = P.plan_str(scorer(docs.filter(~is_ref).limit(10)), "simple")
+    assert "ExistingRDD[bloom" in s and "element_at(bloom" in s, s
+    batch_plan = P.plan_str(text.q_text_novelty(spark, sf_dir), "simple")
+    assert "ExistingRDD[bloom" not in batch_plan
