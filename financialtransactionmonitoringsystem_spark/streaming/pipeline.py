@@ -245,9 +245,57 @@ def novelty_scorer(ref_docs: DataFrame):
     return score
 
 
-def run_novelty_scoring(docs_stream: DataFrame, scorer, out_dir: str,
-                        ckpt_dir: str):
-    """Drive the scorer over a docs stream with ``foreachBatch``,
+def decontam_scorer(bench_docs: DataFrame):
+    """Build-once streaming decontamination scorer: returns
+    ``score(batch_df)`` flagging any (micro-)batch of incoming training
+    docs that share a word 5-gram with a FIXED benchmark suite -- the
+    ingest-time contamination gate.  Batch ground truth:
+    ``text.q_text_decontam`` (the broadcast-semi core; the stream-vs-
+    batch equality test pins the two gram derivations in lockstep).
+
+    A benchmark suite is fixed-size by the operator's own scale premise
+    (it does not grow with the corpus), so here it goes one step
+    further than the batch plan: the distinct (bench_id, gram
+    fingerprint) pairs are COLLECTED once at scorer construction and
+    re-injected as a driver-local table -- each micro-batch's plan
+    scans ONLY the batch (one FileScan, plan-pinned); the benchmark
+    corpus is never re-read.  The semi-filter against the broadcast
+    gram set still evaluates map-side in the batch scan's stage, so the
+    per-batch shuffle is contamination-sized exactly as in the batch
+    operator.
+
+    State: NONE -- per-doc hit counts never span batches (the text
+    column arrives whole), so scoring is stateless per micro-batch.
+    """
+    from ..operators import text
+
+    spark = bench_docs.sparkSession
+    fps = F.transform(text._wordgrams(F.col("text"), text.DECONTAM_NGRAM),
+                      lambda g: F.xxhash64(g))
+    rows = (bench_docs.select(F.col("doc_id").alias("bench_id"),
+                              F.explode(fps).alias("gram"))
+            .distinct().collect())
+    bench = spark.createDataFrame(rows, "bench_id long, gram long")
+    bench_gram_set = bench.select("gram").distinct()
+
+    def score(batch: DataFrame) -> DataFrame:
+        grams = batch.select("doc_id", F.explode(fps).alias("gram"))
+        train = (grams.join(F.broadcast(bench_gram_set), "gram", "left_semi")
+                 .distinct())
+        return (
+            train.join(F.broadcast(bench), "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"),
+                 F.countDistinct("bench_id").alias("n_bench_docs"))
+        )
+
+    return score
+
+
+def run_scoring(docs_stream: DataFrame, scorer, out_dir: str,
+                ckpt_dir: str):
+    """Drive a build-once scorer (:func:`novelty_scorer`,
+    :func:`decontam_scorer`) over a docs stream with ``foreachBatch``,
     appending scored rows to a parquet landing table.  availableNow
     drains the backlog in maxFilesPerTrigger-sized batches and stops --
     the catch-up mode; a production deployment drops the trigger for

@@ -563,7 +563,7 @@ def test_novelty_stream_matches_batch_twin(spark, sf_dir):
             os.rename(f"{tmp}/half{i}/{part}", f"{stage}/batch{i}.parquet")
         src = (spark.readStream.schema(cand.schema)
                .option("maxFilesPerTrigger", "1").parquet(stage))
-        pipeline.run_novelty_scoring(src, scorer, out, ckpt).awaitTermination()
+        pipeline.run_scoring(src, scorer, out, ckpt).awaitTermination()
 
         assert len(os.listdir(f"{ckpt}/commits")) >= 2  # really multi-batch
         got = {tuple(r) for r in spark.read.parquet(out).collect()}
@@ -593,3 +593,58 @@ def test_novelty_scorer_pays_zero_reference_work_per_batch(spark, sf_dir):
     assert "ExistingRDD[bloom" in s and "element_at(bloom" in s, s
     batch_plan = P.plan_str(text.q_text_novelty(spark, sf_dir), "simple")
     assert "ExistingRDD[bloom" not in batch_plan
+
+
+def test_decontam_stream_matches_batch_twin(spark, sf_dir):
+    """Streaming decontamination (build-once benchmark + foreachBatch)
+    must equal the registered batch operator exactly: candidate docs
+    drained in two micro-batches, union of scored batches row-identical
+    to ``q_text_decontam`` -- per-doc hit counts are stateless, so
+    batch boundaries cannot change a row.  This also pins the scorer's
+    gram derivation in lockstep with the batch operator's."""
+    import os
+
+    from financialtransactionmonitoringsystem_spark.operators import text
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scorer = pipeline.decontam_scorer(docs.filter(F.col("doc_id") % 50 == 0))
+
+    tmp = tempfile.mkdtemp(prefix="decontam_stream_")
+    try:
+        stage, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(stage)
+        cand = docs.filter(F.col("doc_id") % 50 != 0)
+        for i in range(2):
+            half = cand.filter(F.col("doc_id") % 2 == i).coalesce(1)
+            half.write.parquet(f"{tmp}/half{i}")
+            part = next(f for f in os.listdir(f"{tmp}/half{i}")
+                        if f.endswith(".parquet"))
+            os.rename(f"{tmp}/half{i}/{part}", f"{stage}/batch{i}.parquet")
+        src = (spark.readStream.schema(cand.schema)
+               .option("maxFilesPerTrigger", "1").parquet(stage))
+        pipeline.run_scoring(src, scorer, out, ckpt).awaitTermination()
+
+        assert len(os.listdir(f"{ckpt}/commits")) >= 2
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        want = {tuple(r) for r in text.q_text_decontam(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_decontam_scorer_pays_zero_benchmark_work_per_batch(spark, sf_dir):
+    """The scorer's per-batch plan must scan ONLY the batch: exactly one
+    FileScan (the candidates), with the benchmark pairs arriving as the
+    driver-local re-injection (Scan ExistingRDD) -- the benchmark corpus
+    was read once at scorer construction.  The batch operator, by
+    contrast, derives the bench side from the corpus scan each run."""
+    from financialtransactionmonitoringsystem_spark.plans import inspect as P
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    scorer = pipeline.decontam_scorer(docs.filter(F.col("doc_id") % 50 == 0))
+    s = P.plan_str(scorer(docs.filter(F.col("doc_id") % 50 != 0).limit(10)),
+                   "simple")
+    assert s.count("FileScan") == 1, s
+    assert "ExistingRDD" in s, s
