@@ -1170,6 +1170,50 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 _J_SQL = """CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
             / (a.n_toks + b.n_toks - len(list_intersect(a.toks, b.toks)))"""
 
+
+def url_canon_sql(src: str) -> str:
+    """DuckDB-side URL canonicalization as CTEs ``parts`` and ``c``
+    over ``src`` -- any relation exposing (doc_id, url).  This is the
+    INDEPENDENT canonicalizer (RE2 regexps, no parse_url) the
+    q_dedup_url oracle checks :func:`canonical_url` against; ONE
+    definition shared with the cross-engine property test so the two
+    copies can never drift -- three rounds of ADVICE residuals
+    (userinfo keep, first-vs-last '@') lived exactly in that drift."""
+    return f"""parts AS (
+          SELECT doc_id, url,
+                 lower(regexp_extract(url,
+                     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_replace(lower(regexp_replace(regexp_replace(
+                     regexp_extract(url,
+                         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                     '^.*@', ''), ':[0-9]+$', '')),
+                     '^www\\.', '') AS host,
+                 regexp_extract(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                     ':([0-9]+)$', 1) AS port,
+                 regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
+                 regexp_extract(url, '\\?([^#]*)', 1) AS q
+          FROM {src}
+        ), c AS (
+          SELECT doc_id, url,
+                 scheme || '://' || host
+                 || (CASE WHEN port <> ''
+                          AND NOT ((scheme = 'https' AND port = '443')
+                                   OR (scheme = 'http' AND port = '80'))
+                          THEN ':' || port ELSE '' END)
+                 || (CASE WHEN p LIKE '%/' AND length(p) > 1
+                          THEN substr(p, 1, length(p) - 1) ELSE p END)
+                 || (CASE WHEN len(list_filter(string_split(q, '&'),
+                              x -> x <> '' AND NOT starts_with(x, 'utm_'))) > 0
+                     THEN '?' || array_to_string(list_sort(
+                              list_filter(string_split(q, '&'),
+                                  x -> x <> ''
+                                       AND NOT starts_with(x, 'utm_'))), '&')
+                     ELSE '' END) AS canon
+          FROM parts
+        )"""
+
 ORACLES: dict[str, str] = {
     # Same raw-URL fixture construction, then an INDEPENDENT
     # canonicalizer: RE2 regexps for scheme/host/path/query (DuckDB has
@@ -1204,40 +1248,7 @@ ORACLES: dict[str, str] = {
                           || CAST(doc_id % 3 AS VARCHAR) END)
             || (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
           FROM documents
-        ), parts AS (
-          SELECT doc_id, url,
-                 lower(regexp_extract(url,
-                     '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-                 regexp_replace(lower(regexp_replace(regexp_replace(
-                     regexp_extract(url,
-                         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-                     '^.*@', ''), ':[0-9]+$', '')),
-                     '^www\\.', '') AS host,
-                 regexp_extract(regexp_extract(url,
-                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-                     ':([0-9]+)$', 1) AS port,
-                 regexp_extract(url,
-                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1) AS p,
-                 regexp_extract(url, '\\?([^#]*)', 1) AS q
-          FROM u
-        ), c AS (
-          SELECT doc_id, url,
-                 scheme || '://' || host
-                 || (CASE WHEN port <> ''
-                          AND NOT ((scheme = 'https' AND port = '443')
-                                   OR (scheme = 'http' AND port = '80'))
-                          THEN ':' || port ELSE '' END)
-                 || (CASE WHEN p LIKE '%/' AND length(p) > 1
-                          THEN substr(p, 1, length(p) - 1) ELSE p END)
-                 || (CASE WHEN len(list_filter(string_split(q, '&'),
-                              x -> x <> '' AND NOT starts_with(x, 'utm_'))) > 0
-                     THEN '?' || array_to_string(list_sort(
-                              list_filter(string_split(q, '&'),
-                                  x -> x <> ''
-                                       AND NOT starts_with(x, 'utm_'))), '&')
-                     ELSE '' END) AS canon
-          FROM parts
-        )
+        ), """ + url_canon_sql("u") + """
         SELECT canon AS canonical_url, COUNT(*) AS n_docs,
                COUNT(DISTINCT url) AS n_variants,
                MIN(doc_id) AS keep_doc
