@@ -648,3 +648,51 @@ def test_decontam_scorer_pays_zero_benchmark_work_per_batch(spark, sf_dir):
                    "simple")
     assert s.count("FileScan") == 1, s
     assert "ExistingRDD" in s, s
+
+
+def test_scoring_sink_restart_is_exactly_once(spark, sf_dir):
+    """The scorers' restart-safety claim: re-starting run_scoring with
+    the SAME checkpoint after a completed drain must process nothing
+    (the file source's committed offsets cover the backlog), leaving
+    the output byte-identical -- no re-scored duplicates.  A NEW file
+    arriving after the restart is scored exactly once."""
+    import os
+
+    from financialtransactionmonitoringsystem_spark.operators import text
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_ref = F.col("doc_id") % text.NOVELTY_REF_MOD == text.NOVELTY_REF_REM
+    scorer = pipeline.novelty_scorer(docs.filter(is_ref))
+
+    tmp = tempfile.mkdtemp(prefix="novelty_restart_")
+    try:
+        stage, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(stage)
+        cand = docs.filter(~is_ref)
+
+        def stage_file(frag, name):
+            frag.coalesce(1).write.parquet(f"{tmp}/{name}")
+            part = next(f for f in os.listdir(f"{tmp}/{name}")
+                        if f.endswith(".parquet"))
+            os.rename(f"{tmp}/{name}/{part}", f"{stage}/{name}.parquet")
+
+        def src():
+            return spark.readStream.schema(cand.schema).parquet(stage)
+
+        stage_file(cand.filter(F.col("doc_id") % 2 == 0), "b0")
+        pipeline.run_scoring(src(), scorer, out, ckpt).awaitTermination()
+        first = sorted(map(tuple, spark.read.parquet(out).collect()))
+
+        # restart with nothing new: zero re-processing
+        pipeline.run_scoring(src(), scorer, out, ckpt).awaitTermination()
+        assert sorted(map(tuple, spark.read.parquet(out).collect())) == first
+
+        # restart with one new file: only its docs are appended
+        stage_file(cand.filter(F.col("doc_id") % 2 == 1), "b1")
+        pipeline.run_scoring(src(), scorer, out, ckpt).awaitTermination()
+        got = sorted(map(tuple, spark.read.parquet(out).collect()))
+        want = sorted(map(tuple, text.q_text_novelty(spark, sf_dir).collect()))
+        assert got == want  # exactly once overall: batch-op identical
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
