@@ -152,6 +152,44 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_tokens", "seq_id", "seq_off")
 
 
+def pack_audit_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over :func:`q_pack_sequences`' layout:
+    per language -- documents, total tokens, sequence count, and how
+    many documents SPAN a sequence boundary (``seq_off + n_tokens >
+    budget``).  Spanning documents lose attention context at training
+    time, so the span fraction is the metric a packing policy is tuned
+    against (budget vs median doc length); the contiguous layout itself
+    wastes nothing, making this the packing dashboard's one
+    non-trivial number.
+
+    Shape at scale: one O(langs) map-side-combinable aggregate on top
+    of the pack's existing per-lang running sums -- the audit adds no
+    exchange beyond what the pack already does.
+
+    Tested-but-unregistered twin (registry at rotation capacity, the
+    shard_balance_twin precedent); ``PACK_AUDIT_ORACLE`` composes the
+    q_pack_sequences oracle verbatim, so the two can never drift.
+    """
+    p = q_pack_sequences(spark, sf_dir)
+    spanning = (F.col("seq_off") + F.col("n_tokens") > PACK_BUDGET)
+    # n_seqs = sequences OCCUPIED = ceil(total/budget), in pure integer
+    # arithmetic -- NOT max(seq_id)+1, which counts only STARTING
+    # sequences and undercounts when a lang's final doc spans the
+    # boundary (caught by the planted test before this ever shipped)
+    return (
+        p.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.sum(spanning.cast("long")).alias("n_spanning"))
+        .select("lang", "n_docs", "total_tokens",
+                F.expr(f"CAST((total_tokens + {PACK_BUDGET - 1})"
+                       f" DIV {PACK_BUDGET} AS BIGINT)").alias("n_seqs"),
+                "n_spanning",
+                rnd(F.col("n_spanning") / F.col("n_docs"), 4)
+                .alias("span_frac"))
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic sampling (data mixing): keep 50% of
     English documents and 12.5% of everything else by md5-prefix
@@ -758,6 +796,38 @@ _MIX_TARGET_ROWS = ", ".join(
 _MIX_W_SQL = R(
     "least(1e1, greatest(1e-1, tot / (nd * n_tokens)))", 6)
 
+# The q_pack_sequences oracle body, shared with PACK_AUDIT_ORACLE (one
+# definition of the packing layout both sides of the audit compose).
+_PACK_SQL = f"""
+        SELECT doc_id, lang, n_tokens,
+               CAST(floor(start_tok / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+               CAST(start_tok % {PACK_BUDGET} AS BIGINT) AS seq_off
+        FROM (
+          SELECT doc_id, lang, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY doc_id) AS BIGINT)
+                 - n_tokens AS start_tok
+          FROM (SELECT doc_id, lang,
+                       CAST({_N_TOKENS_SQL} AS INTEGER) AS n_tokens
+                FROM documents)
+        )
+    """
+
+# DuckDB oracle for pack_audit_twin (tested-but-unregistered; registers
+# only if rotation capacity ever opens).
+PACK_AUDIT_ORACLE = f"""
+    WITH p AS ({_PACK_SQL})
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) + {PACK_BUDGET - 1}) // {PACK_BUDGET}
+                AS BIGINT) AS n_seqs,
+           CAST(SUM(CASE WHEN seq_off + n_tokens > {PACK_BUDGET}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning,
+           {R('CAST(SUM(CASE WHEN seq_off + n_tokens > ' + str(PACK_BUDGET) + ' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 4)}
+               AS span_frac
+    FROM p GROUP BY lang
+"""
+
 ORACLES: dict[str, str] = {
     "q_license_propagate": """
         WITH policy AS (
@@ -887,20 +957,7 @@ ORACLES: dict[str, str] = {
                doc_id, n_chars
         FROM s
     """,
-    "q_pack_sequences": f"""
-        SELECT doc_id, lang, n_tokens,
-               CAST(floor(start_tok / {PACK_BUDGET}.0) AS BIGINT) AS seq_id,
-               CAST(start_tok % {PACK_BUDGET} AS BIGINT) AS seq_off
-        FROM (
-          SELECT doc_id, lang, n_tokens,
-                 CAST(SUM(n_tokens) OVER (
-                     PARTITION BY lang ORDER BY doc_id) AS BIGINT)
-                 - n_tokens AS start_tok
-          FROM (SELECT doc_id, lang,
-                       CAST({_N_TOKENS_SQL} AS INTEGER) AS n_tokens
-                FROM documents)
-        )
-    """,
+    "q_pack_sequences": _PACK_SQL,
     "q_sample_stratified": f"""
         SELECT doc_id, lang, source,
                substring(md5('mix-' || CAST(doc_id AS VARCHAR)), 1, 2) AS hb

@@ -1556,3 +1556,66 @@ def test_corpus_materialize_rederive_output_identical(spark, sf_dir):
         finally:
             spark.conf.unset(CORPUS_MATERIALIZE_CONF)
         assert rows == base and rows, fn.__name__
+
+
+def test_pack_audit_twin_oracle_parity(spark, duck, sf_dir):
+    """The packing-efficiency audit: exact rows vs its DuckDB oracle
+    (which composes the q_pack_sequences oracle verbatim), plus the
+    closed-form invariants -- per-lang n_seqs equals ceil(total_tokens
+    / budget) under contiguous packing, the span fraction matches its
+    own counts, and doc totals reconcile with the pack itself."""
+    import math
+
+    from financialtransactionmonitoringsystem_spark.operators import curate
+    from tests.compare import assert_frames_match
+
+    twin = curate.pack_audit_twin(spark, sf_dir)
+    assert_frames_match(twin.toPandas(),
+                        duck.execute(curate.PACK_AUDIT_ORACLE).df(),
+                        "pack_audit_twin")
+    rows = twin.collect()
+    assert rows
+    pack = curate.q_pack_sequences(spark, sf_dir)
+    n_by_lang = {r.lang: r.n for r in
+                 pack.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+                 .collect()}
+    for r in rows:
+        assert r.n_seqs == math.ceil(r.total_tokens / curate.PACK_BUDGET), r
+        assert 0 <= r.n_spanning <= r.n_docs, r
+        assert r.n_docs == n_by_lang[r.lang], r
+    # correct precondition, not corpus luck (the mixture_cap lesson): a
+    # doc longer than the budget MUST span; if the corpus has one, some
+    # lang must report a crossing
+    max_tok = pack.agg(F.max("n_tokens")).first()[0]
+    if max_tok > curate.PACK_BUDGET:
+        assert any(r.n_spanning > 0 for r in rows)
+
+
+def test_pack_audit_planted_spans(spark, duck):
+    """Planted packing-audit edges via the oracle side over a tiny
+    registered table (the twin's Spark side is a pure composition over
+    q_pack_sequences, itself oracle-checked): budget 512; lang 'a'
+    packs 500+20 so doc 2 crosses the boundary (1 spanning, 2 seqs);
+    lang 'b' packs 512 exactly then 1 (no crossing, 2 seqs); lang 'c'
+    is a single 1030-token doc spanning 3 seqs (counts once)."""
+    import pandas as pd
+
+    from financialtransactionmonitoringsystem_spark.operators import curate
+
+    def doc(i, lang, n):
+        return {"doc_id": i, "lang": lang, "text": " ".join(["w"] * n)}
+
+    pdf = pd.DataFrame([doc(1, "a", 500), doc(2, "a", 20),
+                        doc(3, "b", 512), doc(4, "b", 1),
+                        doc(5, "c", 1030)])
+    duck.register("documents_planted", pdf)
+    try:
+        sql = curate.PACK_AUDIT_ORACLE.replace("FROM documents",
+                                               "FROM documents_planted")
+        got = {r.lang: r for r in
+               duck.execute(sql).df().itertuples(index=False)}
+    finally:
+        duck.unregister("documents_planted")
+    assert (got["a"].n_seqs, got["a"].n_spanning) == (2, 1)
+    assert (got["b"].n_seqs, got["b"].n_spanning) == (2, 0)
+    assert (got["c"].n_seqs, got["c"].n_spanning) == (3, 1)
