@@ -234,6 +234,67 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def perplexity_bigram_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filtering: score each document by average
+    negative log-likelihood of its token TRANSITIONS under an
+    add-one-smoothed bigram model P(w | prev) = (c2(prev,w) + 1) /
+    (c1(prev) + V) trained on the corpus itself -- the next step up
+    from :func:`q_text_perplexity`'s unigram model (a doc of common
+    words in garbled ORDER scores fluent under unigram; only the
+    transition model catches it).
+
+    Scale shape: ONE corpus gram pass feeds BOTH model tables -- the
+    prefix counts are c1(prev) = sum of c2(prev, w) over the
+    vocabulary-sized bigram-count table, a metadata-sized rollup, not
+    a second corpus aggregation; V comes from the token explode the
+    unigram model already prices.  Per-doc scoring is the unigram
+    join shape with ``gram`` as the key.  Same micro-nat snapping:
+    each transition's NLL is floored to integer micro-nats BEFORE the
+    per-doc sum, so cross-engine double-sum associativity cannot
+    change a row (the q_text_perplexity determinism note, including
+    its ~ulp ``ln`` caveat).
+
+    Docs with no transition (zero or one token) are absent from the
+    output by construction -- the gram explode yields nothing for
+    them, which also keeps the avg division ANSI-safe.
+
+    Tested-but-unregistered twin (registry at rotation capacity);
+    ``PERPLEXITY_BIGRAM_ORACLE`` is the DuckDB side.
+    """
+    return _perplexity_bigram_core(load_table(spark, sf_dir, "documents"))
+
+
+def _perplexity_bigram_core(docs: DataFrame) -> DataFrame:
+    """:func:`perplexity_bigram_twin` over an explicit docs table
+    (planted tests construct known fluent/garbled transition mixes)."""
+    grams = docs.select("doc_id",
+                        F.explode(_wordgrams(F.col("text"), 2)).alias("gram"))
+    doc_gram = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    c2 = (grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c2"))
+          .withColumn("prev", F.substring_index("gram", " ", 1)))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    vocab = (docs.select(F.explode(_toks()).alias("tok"))
+             .filter(F.length("tok") > 0)
+             .agg(F.countDistinct("tok").alias("v")))
+    logp = F.ln((F.col("c2") + 1).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double"))
+    model = (c2.join(c1, "prev")
+             .crossJoin(F.broadcast(vocab))
+             .select("gram",
+                     (-F.floor(logp * F.lit(1e6) + F.lit(0.5)))
+                     .alias("nll_t")))
+    return (
+        doc_gram.join(model, "gram")
+        .groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_trans"),
+             F.sum(F.col("cnt") * F.col("nll_t")).alias("nll_micro"))
+        .select("doc_id", "n_trans", "nll_micro",
+                rnd(F.col("nll_micro").cast("double") / F.lit(1e6)
+                    / F.col("n_trans"), 4).alias("avg_nll"))
+    )
+
+
 PII_EMAIL = "[a-z0-9._]+@[a-z0-9.]+"
 PII_LONGNUM = "[0-9]{4,}"
 
@@ -875,6 +936,35 @@ NOVELTY_ORACLE = f"""
     FROM (SELECT doc_id FROM documents
           WHERE doc_id % {NOVELTY_REF_MOD} != {NOVELTY_REF_REM}) d
     LEFT JOIN per ON per.doc_id = d.doc_id
+"""
+
+# DuckDB oracle for perplexity_bigram_twin (tested-but-unregistered;
+# registers only if rotation capacity ever opens).
+PERPLEXITY_BIGRAM_ORACLE = f"""
+    WITH g AS ({_grams_sql(2)}),
+    doc_gram AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2
+    ), c2 AS (
+      SELECT gram, split_part(gram, ' ', 1) AS prev, COUNT(*) AS c2
+      FROM g GROUP BY 1, 2
+    ), c1 AS (
+      SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT tok) AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE length(tok) > 0
+    ), model AS (
+      SELECT gram,
+             CAST(-floor(ln(CAST(c2.c2 + 1 AS DOUBLE)
+                            / CAST(c1.c1 + v AS DOUBLE)) * 1e6
+                         + 5e-1) AS BIGINT) AS nll_t
+      FROM c2 JOIN c1 USING (prev), vocab
+    )
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_trans,
+           CAST(SUM(cnt * nll_t) AS BIGINT) AS nll_micro,
+           {R('CAST(SUM(cnt * nll_t) AS DOUBLE) / 1e6'
+              ' / CAST(SUM(cnt) AS BIGINT)', 4)} AS avg_nll
+    FROM doc_gram JOIN model USING (gram) GROUP BY doc_id
 """
 
 ORACLES: dict[str, str] = {

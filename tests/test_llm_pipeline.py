@@ -1619,3 +1619,44 @@ def test_pack_audit_planted_spans(spark, duck):
     assert (got["a"].n_seqs, got["a"].n_spanning) == (2, 1)
     assert (got["b"].n_seqs, got["b"].n_spanning) == (2, 0)
     assert (got["c"].n_seqs, got["c"].n_spanning) == (3, 1)
+
+
+def test_perplexity_bigram_twin_oracle_parity(spark, duck, sf_dir):
+    """The bigram-LM perplexity twin: exact rows vs its DuckDB oracle
+    (micro-nat integer snapping makes the per-doc sums associativity-
+    proof across engines, the q_text_perplexity convention), plus the
+    structural invariants: only docs with >= 1 transition appear, and
+    every score is positive (add-one smoothing means no transition has
+    probability 1 on a corpus with a vocabulary)."""
+    from tests.compare import assert_frames_match
+
+    twin = text.perplexity_bigram_twin(spark, sf_dir)
+    assert_frames_match(twin.toPandas(),
+                        duck.execute(text.PERPLEXITY_BIGRAM_ORACLE).df(),
+                        "perplexity_bigram_twin")
+    rows = twin.collect()
+    assert rows and all(r.n_trans >= 1 and r.avg_nll > 0 for r in rows)
+
+
+def test_perplexity_bigram_orders_garbled_above_fluent(spark):
+    """The reason the bigram model exists: two docs with the SAME token
+    multiset -- one in the corpus-dominant order, one shuffled -- must
+    score differently, fluent below garbled (a unigram model scores
+    them identically by construction).  Corpus: many repeats of 'a b
+    c d' make those transitions common; the probe docs reuse exactly
+    the tokens a/b/c/d."""
+    fluent = "a b c d a b c d"
+    garbled = "a c b d d c b a"
+    docs = spark.createDataFrame(
+        [(i, "a b c d") for i in range(1, 21)]
+        + [(100, fluent), (101, garbled)],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           text._perplexity_bigram_core(docs).collect()}
+    assert got[100].n_trans == got[101].n_trans == 7
+    assert got[100].avg_nll < got[101].avg_nll, (got[100], got[101])
+    # a single-token doc has no transition and must be absent
+    docs2 = docs.union(spark.createDataFrame([(102, "a")],
+                                             "doc_id long, text string"))
+    assert 102 not in {r.doc_id for r in
+                       text._perplexity_bigram_core(docs2).collect()}
