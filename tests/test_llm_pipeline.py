@@ -1660,3 +1660,22 @@ def test_perplexity_bigram_orders_garbled_above_fluent(spark):
                                              "doc_id long, text string"))
     assert 102 not in {r.doc_id for r in
                        text._perplexity_bigram_core(docs2).collect()}
+
+
+def test_corpus_contract_text_never_null(spark, sf_dir):
+    """The curate family's shared token counter (curate._n_tokens /
+    _N_TOKENS_SQL) diverges between engines on NULL text (Spark
+    size(split(NULL)) = -1 vs DuckDB len(...) = NULL) -- the latent
+    class ADVICE r10 flagged on mixture_cap.  Its callers span TWO
+    attestation cohorts (pack/budget r9, epochs/shard_card r10), so a
+    symmetric guard can never land in one free-swap round now that
+    every window is exactly full.  Resolution: the generated corpus
+    CONTRACT is that text is never null -- pinned here so a future
+    corpus regeneration that breaks it fails LOUDLY in CI instead of
+    surfacing as a silent oracle divergence in some round's window."""
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.filter(F.col("text").isNull()).count() == 0
+    # the same contract the doc_id-keyed operators assume
+    assert docs.select("doc_id").distinct().count() == docs.count()
