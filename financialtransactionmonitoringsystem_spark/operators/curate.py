@@ -489,6 +489,45 @@ def _mixture_cap_core(docs: DataFrame) -> DataFrame:
         F.size(toks).alias("n_tok"),
         (F.size(F.array_distinct(toks)).cast("double")
          / F.size(toks)).alias("ttr"))
+    return _domain_cap(base)
+
+
+def mixture_cap_epochs_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-WEIGHTED mixture cap -- :func:`mixture_cap_twin` on the
+    token volume a trainer actually sees: each doc's weight is
+    ``n_tok x epochs`` under :func:`q_curate_epochs`' quality-tier rule
+    (integer cross-multiplication, no float ratio), so a domain of
+    high-quality docs that repeat 3 epochs hits the cap three times
+    faster than its raw token count suggests.  Composes the two
+    attested shapes end-to-end: the rank-P75 cap machinery is shared
+    with mixture_cap_twin (:func:`_domain_cap`), only the weight
+    changes.
+
+    Shape at scale: identical to mixture_cap_twin -- the epoch tier is
+    a pure projection over the same scan (zero added exchange).
+
+    Tested-but-unregistered twin (rotation capacity);
+    ``MIXTURE_CAP_EPOCHS_ORACLE`` is the DuckDB side.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    d = F.size(F.array_distinct(toks))
+    epochs = F.when(4 * d >= 3 * n, 3).when(2 * d >= n, 2).otherwise(1)
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", "source",
+        (n * epochs).alias("n_tok"),
+        (d.cast("double") / n).alias("ttr"))
+    return _domain_cap(base)
+
+
+def _domain_cap(base: DataFrame) -> DataFrame:
+    """The shared P75-by-rank domain-cap skeleton over ``base(doc_id,
+    source, n_tok, ttr)``: cap = the rank-ceil(3n/4) smallest domain
+    total of ``n_tok``; each over-cap domain keeps its best docs (ttr
+    desc, doc_id tiebreak) up to the cap.  ``n_tok`` is whatever
+    weight the caller projects (raw tokens for mixture_cap_twin,
+    epoch-weighted tokens for mixture_cap_epochs_twin)."""
     dom = base.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("tok_total"))
@@ -521,16 +560,10 @@ def _mixture_cap_core(docs: DataFrame) -> DataFrame:
     )
 
 
-# DuckDB oracle for mixture_cap_twin (registers with the key if
-# rotation capacity ever opens; see the twin's docstring).
-MIXTURE_CAP_ORACLE = f"""
-    WITH base AS (
-      SELECT doc_id, source,
-             len(string_split(text, ' ')) AS n_tok,
-             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-                 / len(string_split(text, ' ')) AS ttr
-      FROM documents WHERE text IS NOT NULL
-    ), dom AS (
+# The shared P75-by-rank domain-cap tail (dom/ranked/cap/kept + final
+# select) composed under both mixture-cap oracles -- one definition so
+# the two can't drift from _domain_cap.
+_DOMAIN_CAP_TAIL_SQL = f"""dom AS (
       SELECT source, COUNT(*) AS n_docs,
              CAST(SUM(n_tok) AS BIGINT) AS tok_total
       FROM base GROUP BY source
@@ -559,6 +592,32 @@ MIXTURE_CAP_ORACLE = f"""
            CAST(COALESCE(k.tokens_kept, 0) AS BIGINT) AS tokens_kept,
            d.tok_total > c.cap AS capped
     FROM dom d CROSS JOIN cap c LEFT JOIN kept k ON k.source = d.source
+"""
+
+MIXTURE_CAP_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tok,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS ttr
+      FROM documents WHERE text IS NOT NULL
+    ), {_DOMAIN_CAP_TAIL_SQL}
+"""
+
+# DuckDB oracle for mixture_cap_epochs_twin: the same tail over the
+# epoch-weighted token volume (q_curate_epochs' integer
+# cross-multiplication tier rule, no float ratio in the tier cut).
+MIXTURE_CAP_EPOCHS_ORACLE = f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             n * (CASE WHEN 4 * d >= 3 * n THEN 3
+                       WHEN 2 * d >= n THEN 2 ELSE 1 END) AS n_tok,
+             CAST(d AS DOUBLE) / n AS ttr
+      FROM (SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n,
+                   len(list_distinct(string_split(text, ' '))) AS d
+            FROM documents WHERE text IS NOT NULL)
+    ), {_DOMAIN_CAP_TAIL_SQL}
 """
 
 

@@ -1679,3 +1679,25 @@ def test_corpus_contract_text_never_null(spark, sf_dir):
     assert docs.filter(F.col("text").isNull()).count() == 0
     # the same contract the doc_id-keyed operators assume
     assert docs.select("doc_id").distinct().count() == docs.count()
+
+
+def test_mixture_cap_epochs_twin_oracle_parity(spark, duck, sf_dir):
+    """The epoch-weighted mixture cap: exact rows vs its DuckDB oracle
+    (the shared rank-P75 tail over epoch-weighted token volume), plus
+    the composition invariants -- every tok_total equals the raw twin's
+    total scaled by a 1/2/3 epoch blend (so between 1x and 3x), and
+    the weighting can reorder which domains are capped."""
+    from financialtransactionmonitoringsystem_spark.operators import curate
+    from tests.compare import assert_frames_match
+
+    twin = curate.mixture_cap_epochs_twin(spark, sf_dir)
+    assert_frames_match(twin.toPandas(),
+                        duck.execute(curate.MIXTURE_CAP_EPOCHS_ORACLE).df(),
+                        "mixture_cap_epochs_twin")
+    eff = {r.source: r for r in twin.collect()}
+    raw = {r.source: r for r in curate.mixture_cap_twin(spark, sf_dir).collect()}
+    assert set(eff) == set(raw)
+    for s in eff:
+        assert raw[s].tok_total <= eff[s].tok_total <= 3 * raw[s].tok_total, s
+        assert eff[s].tokens_kept <= eff[s].cap, s
+        assert eff[s].capped == (eff[s].tok_total > eff[s].cap), s

@@ -43,6 +43,7 @@ qs["shard_balance_twin"] = _cur.shard_balance_twin
 qs["mixture_cap_twin"] = _cur.mixture_cap_twin
 qs["pack_audit_twin"] = _cur.pack_audit_twin
 qs["perplexity_bigram_twin"] = _txt.perplexity_bigram_twin
+qs["mixture_cap_epochs_twin"] = _cur.mixture_cap_epochs_twin
 
 jvm_gc = spark.sparkContext._jvm.System.gc
 for key in KEYS:
