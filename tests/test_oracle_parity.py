@@ -146,7 +146,6 @@ EXPECTED_KEYS = {
     "q_dedup_incremental",
     "q_dedup_keep_best",
     "q_dedup_minhash",
-    "q_dedup_ngram",
     "q_dedup_prefix",
     "q_dedup_simhash",
     "q_dedup_url",

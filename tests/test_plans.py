@@ -95,11 +95,12 @@ def test_dedup_verify_joins_never_force_broadcast(spark, sf_dir):
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        # q_dedup_ngram joined the list in r7: its ground-truth self-join
-        # dropped the forced corpus broadcast (VERDICT r6 #1) and must
-        # stay hint-free like the verify joins.
+        # The ngram ground truth joined the list in r7 (retired from the
+        # registry in r12, kept module-private): its self-join dropped
+        # the forced corpus broadcast (VERDICT r6 #1) and must stay
+        # hint-free like the verify joins.
         for q in (dedup.q_dedup_minhash, dedup.q_dedup_embed,
-                  dedup.q_dedup_ngram):
+                  dedup._dedup_ngram):
             plan = P.plan_str(q(spark, sf_dir), "simple")
             assert "BroadcastExchange" not in plan, plan
         # The band-bucket candidate join is materialized inside
