@@ -566,7 +566,7 @@ def test_novelty_stream_matches_batch_twin(spark, sf_dir):
         pipeline.run_scoring(src, scorer, out, ckpt).awaitTermination()
 
         assert len(os.listdir(f"{ckpt}/commits")) >= 2  # really multi-batch
-        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        got = {tuple(r) for r in pipeline.read_scores(spark, out).collect()}
         want = {tuple(r) for r in text.q_text_novelty(spark, sf_dir).collect()}
         assert got == want and len(got) > 0
     finally:
@@ -626,7 +626,7 @@ def test_decontam_stream_matches_batch_twin(spark, sf_dir):
         pipeline.run_scoring(src, scorer, out, ckpt).awaitTermination()
 
         assert len(os.listdir(f"{ckpt}/commits")) >= 2
-        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        got = {tuple(r) for r in pipeline.read_scores(spark, out).collect()}
         want = {tuple(r) for r in text.q_text_decontam(spark, sf_dir).collect()}
         assert got == want and len(got) > 0
     finally:
@@ -682,17 +682,112 @@ def test_scoring_sink_restart_is_exactly_once(spark, sf_dir):
 
         stage_file(cand.filter(F.col("doc_id") % 2 == 0), "b0")
         pipeline.run_scoring(src(), scorer, out, ckpt).awaitTermination()
-        first = sorted(map(tuple, spark.read.parquet(out).collect()))
+        first = sorted(map(tuple, pipeline.read_scores(spark, out).collect()))
 
         # restart with nothing new: zero re-processing
         pipeline.run_scoring(src(), scorer, out, ckpt).awaitTermination()
-        assert sorted(map(tuple, spark.read.parquet(out).collect())) == first
+        assert sorted(map(tuple, pipeline.read_scores(spark, out).collect())) == first
 
         # restart with one new file: only its docs are appended
         stage_file(cand.filter(F.col("doc_id") % 2 == 1), "b1")
         pipeline.run_scoring(src(), scorer, out, ckpt).awaitTermination()
-        got = sorted(map(tuple, spark.read.parquet(out).collect()))
+        got = sorted(map(tuple, pipeline.read_scores(spark, out).collect()))
         want = sorted(map(tuple, text.q_text_novelty(spark, sf_dir).collect()))
         assert got == want  # exactly once overall: batch-op identical
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_scoring_sink_epoch_replay_is_idempotent(spark, sf_dir):
+    """The at-least-once window ADVICE r11 flagged: foreachBatch can
+    replay a micro-batch with the SAME epoch_id after a crash between
+    the parquet write and the checkpoint commit.  Driving the sink
+    function directly IS that replay -- scoring the same batch twice
+    under one epoch_id must leave the landing table byte-identical
+    (the epoch partition is overwritten, not appended), while a new
+    epoch_id accumulates normally."""
+    import os
+
+    from financialtransactionmonitoringsystem_spark.operators import text
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_ref = F.col("doc_id") % text.NOVELTY_REF_MOD == text.NOVELTY_REF_REM
+    scorer = pipeline.novelty_scorer(docs.filter(is_ref))
+    cand = docs.filter(~is_ref)
+    b0 = cand.filter(F.col("doc_id") % 2 == 0)
+    b1 = cand.filter(F.col("doc_id") % 2 == 1)
+
+    tmp = tempfile.mkdtemp(prefix="novelty_replay_")
+    try:
+        out = f"{tmp}/out"
+        sink = pipeline.scoring_sink(scorer, out)
+        sink(b0, 0)
+        first = sorted(map(tuple, pipeline.read_scores(spark, out).collect()))
+        assert first
+        sink(b0, 0)  # crash-replay of epoch 0
+        assert sorted(map(tuple,
+                          pipeline.read_scores(spark, out).collect())) == first
+        sink(b1, 1)  # the next epoch still lands
+        got = sorted(map(tuple, pipeline.read_scores(spark, out).collect()))
+        want = sorted(map(tuple, text.q_text_novelty(spark, sf_dir).collect()))
+        assert got == want
+        # exactly one file set per epoch partition, no append residue
+        assert sorted(d for d in os.listdir(out)
+                      if d.startswith("__epoch=")) == ["__epoch=0",
+                                                       "__epoch=1"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_decontam_scorer_benchmark_size_guard_trips(spark, sf_dir, monkeypatch):
+    """The build-once premise is guarded, not assumed (VERDICT r11 #4):
+    a 'benchmark' whose distinct (bench_id, gram) pairs exceed the
+    driver-local cap must fail LOUDLY at scorer construction, naming
+    the distributed batch operator as the fallback -- never a silent
+    driver OOM.  The cap is monkeypatched down so the planted oversize
+    is cheap; a real benchmark-sized input still constructs fine."""
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    monkeypatch.setattr(pipeline, "DECONTAM_SCORER_MAX_PAIRS", 10)
+    with pytest.raises(ValueError, match="q_text_decontam"):
+        pipeline.decontam_scorer(bench)
+    monkeypatch.setattr(pipeline, "DECONTAM_SCORER_MAX_PAIRS", 5_000_000)
+    assert pipeline.decontam_scorer(bench) is not None
+
+
+def test_stream_documents_drains_table_and_heals_dangling_link(spark, sf_dir):
+    """stream_documents is the ingest side of streaming scoring: one
+    availableNow drain must deliver exactly the batch documents table.
+    The staging symlink guard must use lexists semantics -- a DANGLING
+    link left by a deleted/regenerated sf_dir previously made
+    os.symlink raise FileExistsError on the next call (ADVICE r11)."""
+    import os
+    import tempfile as _tf
+
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    stage = os.path.join(
+        _tf.gettempdir(),
+        "fintxmon_docstream_" + sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "documents.parquet")
+    if os.path.lexists(link):
+        os.unlink(link)
+    os.symlink(f"{sf_dir}/does_not_exist.parquet", link)  # dangling
+
+    tmp = tempfile.mkdtemp(prefix="docstream_")
+    try:
+        src = pipeline.stream_documents(spark, sf_dir)  # must heal the link
+        out, ckpt = f"{tmp}/out", f"{tmp}/ckpt"
+        (src.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start().awaitTermination())
+        got = sorted(map(tuple, spark.read.parquet(out).collect()))
+        want = sorted(map(tuple, load_table(spark, sf_dir, "documents")
+                          .collect()))
+        assert got == want and len(got) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
