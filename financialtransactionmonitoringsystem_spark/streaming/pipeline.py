@@ -322,6 +322,87 @@ def decontam_scorer(bench_docs: DataFrame):
     return score
 
 
+def neardup_gate_scorer(corpus_docs: DataFrame):
+    """Build-once streaming near-dup INGEST GATE: returns
+    ``score(batch_df)`` admitting exactly the batch docs with no
+    token-set-Jaccard >= t near-duplicate in a FIXED corpus -- the
+    streaming form of the daily-ingest operator, completing the
+    build-once scorer family (novelty = "have we trained on these
+    grams", decontam = "is this a benchmark leak", near-dup gate = "is
+    this document already in the corpus").  Batch ground truth:
+    ``dedup.q_dedup_incremental`` (stream-vs-batch equality pinned).
+
+    Construction pays the corpus cost ONCE (the novelty/decontam
+    convention): the corpus token-set table and its rarest-first prefix
+    index materialize through ``dedup._scoped_build`` -- at 100 TB these
+    are the persisted ``build_token_table`` / prefix-index artifacts,
+    corpus-pass work that belongs to the corpus snapshot, not to any
+    micro-batch.
+
+    Per batch: tokenize the batch (narrow JVM map), probe ALL batch
+    tokens against the corpus PREFIX index on (lang, tok) with the
+    exact integer length filter, then exact-verify survivors against
+    the two token tables and anti-join the rejects.  Probing with the
+    batch's full token sets (no batch-side prefix) is deliberate and
+    LOSSLESS by the single-sided prefix principle: Jaccard(A,B) >= t
+    implies |A∩B| >= t*|A|, and the index keeps the
+    ``n - ceil(t*n) + 1`` rarest tokens of each corpus doc A, so a
+    qualifying overlap cannot hide entirely in A's suffix -- no shared
+    canonical token order with the (unseen-at-build-time) batch is
+    needed, which is exactly what a streaming probe requires.  The
+    batch operator's two-sided positional residual assumes one global
+    frequency order over corpus+delta and so does not stream; both
+    plans exact-verify, so their admitted rows are identical.
+
+    Per-batch cost is index-probe + verify sized: one batch FileScan,
+    the checkpointed prefix/token tables arriving as local block reads
+    (``Scan ExistingRDD`` -- plan-pinned), ZERO corpus-text re-reads.
+    Admission is corpus-gated only (within-batch duplicates are left to
+    the next compaction, same contract as the batch operator), so the
+    gate is associative across micro-batches and across concurrent
+    ingest streams.  State: NONE; restart-safe via the sink checkpoint
+    exactly like the other scorers.
+    """
+    from ..operators import dedup
+
+    corpus_toks = dedup._scoped_build(
+        dedup._tok_sets(corpus_docs).select("doc_id", "lang", "toks", "n_toks"))
+    corpus_pref = dedup._scoped_build(dedup._prefix_table(corpus_toks))
+    p, q = dedup.PRUNE_NUM, dedup.PRUNE_DEN
+
+    def score(batch: DataFrame) -> DataFrame:
+        bt = dedup._tok_sets(batch)
+        probe = bt.select("doc_id", "lang", "n_toks", F.explode("toks").alias("tok"))
+        a, b = corpus_pref.alias("a"), probe.alias("b")
+        na, nb = F.col("a.n_toks").cast("long"), F.col("b.n_toks").cast("long")
+        cands = (
+            a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                   & (F.col("a.lang") == F.col("b.lang"))
+                   # exact integer length filter: t*nb <= na and t*na <= nb
+                   & (q * na >= p * nb) & (q * nb >= p * na))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        ta, tb = corpus_toks.alias("ta"), bt.alias("tb")
+        # exact-verify in LOCKSTEP with dedup._verify_jaccard (same
+        # _jaccard expression, same rnd(j, 6) floor-rounding, same
+        # threshold), split across the two token tables: doc_a ids live
+        # in the corpus, doc_b ids in the batch.
+        j = dedup._jaccard(F.col("ta.toks"), F.col("tb.toks"),
+                           F.col("ta.n_toks"), F.col("tb.n_toks"))
+        rejected = (
+            cands.join(ta, cands.doc_a == F.col("ta.doc_id"))
+            .join(tb, cands.doc_b == F.col("tb.doc_id"))
+            .filter(rnd(j, 6) >= dedup.JACCARD_THRESHOLD)
+            .select(F.col("doc_b").alias("doc_id")).distinct()
+        )
+        return (batch.join(rejected, "doc_id", "left_anti")
+                .select("doc_id", "lang", "source", "n_chars"))
+
+    return score
+
+
 def scoring_sink(scorer, out_dir: str):
     """The foreachBatch sink behind :func:`run_scoring`: write each
     micro-batch's scored rows into an ``__epoch=<id>``-partitioned

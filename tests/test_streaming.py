@@ -791,3 +791,72 @@ def test_stream_documents_drains_table_and_heals_dangling_link(spark, sf_dir):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_neardup_gate_stream_matches_batch_twin(spark, sf_dir):
+    """Streaming near-dup ingest gate (build-once corpus index +
+    foreachBatch) must equal the registered batch operator exactly:
+    the delta docs are drained in TWO micro-batches and the union of
+    admitted rows is row-identical to ``q_dedup_incremental`` --
+    admission is corpus-gated only (never batch-vs-batch), so batch
+    boundaries cannot change a verdict, exactly the associativity the
+    batch operator's docstring claims for concurrent ingest."""
+    import os
+
+    from financialtransactionmonitoringsystem_spark.operators import dedup
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % dedup.DELTA_MOD == dedup.DELTA_REM
+    scorer = pipeline.neardup_gate_scorer(docs.filter(~is_delta))
+
+    tmp = tempfile.mkdtemp(prefix="neardup_gate_")
+    try:
+        stage, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(stage)
+        cand = docs.filter(is_delta)
+        for i in range(2):
+            half = cand.filter(F.col("doc_id") % 2 == i).coalesce(1)
+            half.write.parquet(f"{tmp}/half{i}")
+            part = next(f for f in os.listdir(f"{tmp}/half{i}")
+                        if f.endswith(".parquet"))
+            os.rename(f"{tmp}/half{i}/{part}", f"{stage}/batch{i}.parquet")
+        src = (spark.readStream.schema(cand.schema)
+               .option("maxFilesPerTrigger", "1").parquet(stage))
+        pipeline.run_scoring(src, scorer, out, ckpt).awaitTermination()
+
+        assert len(os.listdir(f"{ckpt}/commits")) >= 2  # really multi-batch
+        got = {tuple(r) for r in pipeline.read_scores(spark, out).collect()}
+        want = {tuple(r)
+                for r in dedup.q_dedup_incremental(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
+        # the gate actually rejects something on this corpus
+        assert len(got) < cand.count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_neardup_gate_scorer_pays_zero_corpus_work_per_batch(spark, sf_dir):
+    """The gate's per-batch plan must do zero CORPUS work: the corpus
+    prefix index and token table arrive as the construction-time
+    localCheckpoint blocks (two ``Scan ExistingRDD``) -- corpus
+    tokenization/indexing ran ONCE at scorer construction, never per
+    micro-batch.  Every FileScan in the plan reads the BATCH side (the
+    micro-batch is consumed by probe, verify and the final anti-join;
+    in a real stream those are block reads of the already-materialized
+    micro-batch): here corpus and delta share one parquet file, so the
+    corpus side is distinguishable by its negated pushed filter --
+    none may appear under a FileScan."""
+    from financialtransactionmonitoringsystem_spark.operators import dedup
+    from financialtransactionmonitoringsystem_spark.plans import inspect as P
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % dedup.DELTA_MOD == dedup.DELTA_REM
+    scorer = pipeline.neardup_gate_scorer(docs.filter(~is_delta))
+    s = P.plan_str(scorer(docs.filter(is_delta).limit(10)), "simple")
+    scans = [ln for ln in s.splitlines() if "FileScan" in ln]
+    assert scans, s
+    # a corpus-side scan would push NOT ((doc_id % 20) = 7)
+    assert all("NOT" not in ln for ln in scans), s
+    assert s.count("ExistingRDD") >= 2, s
