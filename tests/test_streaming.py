@@ -860,3 +860,90 @@ def test_neardup_gate_scorer_pays_zero_corpus_work_per_batch(spark, sf_dir):
     # a corpus-side scan would push NOT ((doc_id % 20) = 7)
     assert all("NOT" not in ln for ln in scans), s
     assert s.count("ExistingRDD") >= 2, s
+
+
+def test_neardup_gate_adversarial_and_randomized(spark):
+    """Corpus-luck-proofing for the gate's LOSSLESS claim (the planted
+    component-generator pattern): the corpus parity test above only
+    exercises pairs the generated corpus happens to contain.  Here the
+    gate runs against a pure-Python reference on (a) planted edge
+    classes -- overlap at exactly ceil(t*n) hiding in the corpus doc's
+    SUFFIX under its own rarest-first order (the single-sided prefix
+    principle's boundary), a pair exactly AT the 0.8 threshold after
+    floor-rounding, just below it, identical docs, same text in a
+    different lang (lang-blocked), unseen-vocabulary docs, repeated
+    tokens -- and (b) a seeded randomized corpus/batch over a small
+    alphabet dense in near-dups."""
+    import math
+    import random
+
+    from financialtransactionmonitoringsystem_spark.operators import dedup
+
+    def py_admitted(corpus, batch):
+        def toks(t):
+            return set(t.split(" "))
+
+        def j6(a, b):
+            inter = len(toks(a) & toks(b))
+            j = inter / (len(toks(a)) + len(toks(b)) - inter)
+            return math.floor(j * 1e6 + 0.5) / 1e6  # util.rnd's formula
+
+        out = set()
+        for bid, blang, btext in batch:
+            if not any(clang == blang
+                       and j6(ctext, btext) >= dedup.JACCARD_THRESHOLD
+                       for _, clang, ctext in corpus):
+                out.add(bid)
+        return out
+
+    def run(corpus, batch):
+        cdf = spark.createDataFrame(
+            [(i, l, t, len(t)) for i, l, t in corpus],
+            "doc_id long, lang string, text string, n_chars long"
+        ).withColumn("source", F.lit("c")).select(
+            "doc_id", "text", "lang", "source", "n_chars")
+        bdf = spark.createDataFrame(
+            [(i, l, t, len(t)) for i, l, t in batch],
+            "doc_id long, lang string, text string, n_chars long"
+        ).withColumn("source", F.lit("b")).select(
+            "doc_id", "text", "lang", "source", "n_chars")
+        got = {r.doc_id for r in
+               pipeline.neardup_gate_scorer(cdf)(bdf).collect()}
+        assert got == py_admitted(corpus, batch), (corpus, batch)
+
+    # --- planted edges ------------------------------------------------
+    # 10-token corpus doc; a batch doc sharing exactly 9 = ceil(.8*10)+1
+    # ... plant both sides of the boundary: j = 9/11 = 0.818 (reject)
+    # and j = 8/12 = 0.667 (admit); and the exact-threshold pair
+    # j = 8/10 via 8 shared of sets sized 9 and 9: j = 8/10 = 0.8.
+    base = [f"t{i}" for i in range(10)]
+    corpus = [
+        (1, "en", " ".join(base)),
+        (2, "en", "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (3, "fr", "un deux trois quatre"),
+    ]
+    batch = [
+        # 9 shared + 1 new: j = 9/11 >= .8 is False (0.8181... >= .8 True!)
+        (100, "en", " ".join(base[:9] + ["x1"])),          # j=9/11=.818 reject
+        (101, "en", " ".join(base[:8] + ["x1", "x2"])),    # j=8/12=.667 admit
+        # exact threshold: |A|=9,|B|=9, inter=8 -> j=8/10=.8 reject
+        (102, "en", "alpha beta gamma delta epsilon zeta eta theta kappa"),
+        # identical text -> j=1 reject; same text other lang -> admit
+        (103, "en", " ".join(base)),
+        (104, "de", " ".join(base)),
+        # unseen vocabulary -> admit; repeated tokens collapse
+        (105, "en", "q w e r q w"),
+        (106, "fr", "un deux trois quatre un"),            # j=1 after distinct
+    ]
+    run(corpus, batch)
+
+    # --- seeded randomized sweep ---------------------------------------
+    rng = random.Random(12)
+    alpha = [f"w{i}" for i in range(12)]
+    corpus = [(i, rng.choice(["en", "fr"]),
+               " ".join(rng.sample(alpha, rng.randint(4, 9))))
+              for i in range(30)]
+    batch = [(1000 + i, rng.choice(["en", "fr"]),
+              " ".join(rng.sample(alpha, rng.randint(4, 9))))
+             for i in range(25)]
+    run(corpus, batch)
