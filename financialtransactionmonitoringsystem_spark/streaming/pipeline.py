@@ -18,9 +18,10 @@ Design (holds at 100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import os
 from contextlib import contextmanager
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import apply_runtime_confs
@@ -401,6 +402,145 @@ def neardup_gate_scorer(corpus_docs: DataFrame):
                 .select("doc_id", "lang", "source", "n_chars"))
 
     return score
+
+
+def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
+    """Near-dup ingest gate whose state GROWS with admissions -- the
+    sequential crawl-ingest shape :func:`neardup_gate_scorer` and the
+    batch operator deliberately leave to "the next compaction": batch k
+    is gated against corpus + every doc ADMITTED in batches < k, so a
+    near-duplicate arriving two micro-batches after its original is
+    rejected even though neither is in the seed corpus.  This
+    implements the index-append step q_dedup_incremental's docstring
+    promises ("admitted docs' prefixes append to the index
+    afterwards").
+
+    State = two parquet tables under ``state_dir`` (``toks``, ``pref``),
+    partitioned by ``__epoch`` with the seed corpus at ``__epoch=-1``
+    and each micro-batch's admissions appended under its own epoch via
+    DYNAMIC partition overwrite -- so a foreachBatch crash-replay
+    rewrites its epoch's state partition instead of double-appending:
+    state AND output are exactly-once together (the
+    :func:`scoring_sink` idempotence argument applied to both writes).
+    At 100 TB this is precisely the persisted prefix-index artifact
+    with per-ingest appended files; per-batch reads are index-sized,
+    the corpus text is scanned once at construction, never again.
+
+    New docs' prefixes are computed under the FROZEN seed-corpus token
+    frequency (persisted at construction): rarest-first ordering is a
+    SELECTIVITY optimization only -- the single-sided prefix principle
+    needs just the prefix LENGTH ``n - ceil(t*n) + 1``, so any fixed
+    per-doc token choice stays lossless, and frozen frequencies keep a
+    doc's index entry immutable once written (re-ranking under evolving
+    frequencies would require rewriting history).  Unseen tokens rank
+    as frequency 0 = rarest = maximally selective.
+
+    Within a batch, docs are NOT gated against each other (corpus +
+    prior admissions only, the batch operator's semantics per batch) --
+    order inside a micro-batch therefore cannot change a verdict; order
+    ACROSS batches is the operator's point.
+
+    Returns ``score(batch_df, epoch_id) -> admitted DataFrame``; drive
+    it with :func:`run_evolving_gate`.
+    """
+    from ..operators import dedup
+
+    spark = corpus_docs.sparkSession
+    p, q = dedup.PRUNE_NUM, dedup.PRUNE_DEN
+
+    def _write_state(toks: DataFrame, pref: DataFrame, epoch: int) -> None:
+        for name, df in (("toks", toks), ("pref", pref)):
+            (df.withColumn("__epoch", F.lit(int(epoch)))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("__epoch")
+             .parquet(os.path.join(state_dir, name)))
+
+    def _prefix_under_frozen_freq(toksets: DataFrame) -> DataFrame:
+        freq = spark.read.parquet(os.path.join(state_dir, "freq"))
+        tok = toksets.select("doc_id", "lang", "n_toks",
+                             F.explode("toks").alias("tok"))
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("gf").asc(), F.col("tok").asc())
+        min_overlap = dedup._ceil_div(p * F.col("n_toks").cast("long"), q)
+        return (
+            tok.join(F.broadcast(freq), "tok", "left")
+            .withColumn("gf", F.coalesce("gf", F.lit(0)))
+            .withColumn("pos", F.row_number().over(w))
+            .filter(F.col("pos") <= F.col("n_toks") - min_overlap + 1)
+            .select("doc_id", "lang", "tok", "pos", "n_toks")
+        )
+
+    # construction: one corpus pass seeds the state (idempotent layout:
+    # re-construction overwrites the same partitions)
+    corpus_toks = dedup._tok_sets(corpus_docs).select(
+        "doc_id", "lang", "toks", "n_toks")
+    (corpus_toks.select(F.explode("toks").alias("tok"))
+     .groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
+     .write.mode("overwrite").parquet(os.path.join(state_dir, "freq")))
+    _write_state(corpus_toks, dedup._prefix_table(corpus_toks), -1)
+
+    def score(batch: DataFrame, epoch_id: int) -> DataFrame:
+        state_toks = spark.read.parquet(os.path.join(state_dir, "toks"))
+        # a replayed epoch must not gate the batch against its own
+        # earlier attempt's admissions
+        state_toks = state_toks.filter(F.col("__epoch") < int(epoch_id))
+        state_pref = (spark.read.parquet(os.path.join(state_dir, "pref"))
+                      .filter(F.col("__epoch") < int(epoch_id)))
+
+        bt = dedup._tok_sets(batch)
+        probe = bt.select("doc_id", "lang", "n_toks",
+                          F.explode("toks").alias("tok"))
+        a, b = state_pref.alias("a"), probe.alias("b")
+        na, nb = F.col("a.n_toks").cast("long"), F.col("b.n_toks").cast("long")
+        cands = (
+            a.join(b, (F.col("a.tok") == F.col("b.tok"))
+                   & (F.col("a.lang") == F.col("b.lang"))
+                   & (q * na >= p * nb) & (q * nb >= p * na))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+        ta, tb = state_toks.alias("ta"), bt.alias("tb")
+        j = dedup._jaccard(F.col("ta.toks"), F.col("tb.toks"),
+                           F.col("ta.n_toks"), F.col("tb.n_toks"))
+        rejected = (
+            cands.join(ta, cands.doc_a == F.col("ta.doc_id"))
+            .join(tb, cands.doc_b == F.col("tb.doc_id"))
+            .filter(rnd(j, 6) >= dedup.JACCARD_THRESHOLD)
+            .select(F.col("doc_b").alias("doc_id")).distinct()
+        )
+        admitted = (batch.join(rejected, "doc_id", "left_anti")
+                    .select("doc_id", "text", "lang", "source", "n_chars"))
+        # materialize the verdict ONCE (the state read below must not
+        # race the state write; localCheckpoint pins the admitted set)
+        admitted = dedup._scoped_build(admitted)
+        adm_toks = dedup._tok_sets(admitted).select(
+            "doc_id", "lang", "toks", "n_toks")
+        _write_state(adm_toks, _prefix_under_frozen_freq(adm_toks), epoch_id)
+        return admitted.select("doc_id", "lang", "source", "n_chars")
+
+    return score
+
+
+def run_evolving_gate(docs_stream: DataFrame, gate, out_dir: str,
+                      ckpt_dir: str):
+    """Drive an :func:`evolving_neardup_gate` over a docs stream: per
+    micro-batch, score against the current state (which the gate itself
+    advances under the batch's epoch) and land admitted rows in an
+    epoch-partitioned output -- state and output both epoch-keyed, so
+    the whole pipeline replays idempotently."""
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        (gate(batch_df, epoch_id)
+         .withColumn("__epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__epoch")
+         .parquet(out_dir))
+
+    return (docs_stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True).start())
 
 
 def scoring_sink(scorer, out_dir: str):
