@@ -523,6 +523,45 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
     return score
 
 
+def compact_gate_state(spark: SparkSession, state_dir: str) -> None:
+    """Offline compaction for :func:`evolving_neardup_gate` state: fold
+    every epoch partition into a new ``__epoch=-1`` baseline and refresh
+    the frozen token-frequency table from the FULL admitted state.
+
+    Why it exists at scale: each micro-batch appends one (usually
+    small) partition to ``toks``/``pref`` -- after a few thousand
+    epochs the per-batch state read degrades into the classic parquet
+    small-files problem, and the seed-corpus frequencies drift ever
+    further from the true token distribution (hurting prefix
+    SELECTIVITY -- never correctness, the single-sided principle only
+    needs prefix length).  Compaction rewrites history offline: one
+    pass re-ranks every doc's prefix under the refreshed frequencies
+    (allowed here precisely because the whole index is rewritten
+    atomically-per-table; the per-batch path must NOT re-rank, its
+    entries are immutable).  Gate verdicts are invariant across a
+    compaction -- pinned by test.
+
+    Epoch numbering continues unchanged afterwards: the baseline sits
+    at -1, below any replayed or future epoch's ``__epoch < epoch_id``
+    state filter.  Run it between drains (availableNow catch-up
+    windows), not concurrently with a live score() write."""
+    from ..operators import dedup
+
+    toks = dedup._scoped_build(
+        spark.read.parquet(os.path.join(state_dir, "toks")).drop("__epoch"))
+    (toks.select(F.explode("toks").alias("tok"))
+     .groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
+     .write.mode("overwrite").parquet(os.path.join(state_dir, "freq")))
+    # static (whole-table) overwrite drops the old epoch partitions;
+    # _prefix_table re-ranks under frequencies computed from its input,
+    # which now equals the refreshed freq table above
+    pref = dedup._scoped_build(dedup._prefix_table(toks))
+    for name, df in (("toks", toks), ("pref", pref)):
+        (df.withColumn("__epoch", F.lit(-1))
+         .write.mode("overwrite").partitionBy("__epoch")
+         .parquet(os.path.join(state_dir, name)))
+
+
 def run_evolving_gate(docs_stream: DataFrame, gate, out_dir: str,
                       ckpt_dir: str):
     """Drive an :func:`evolving_neardup_gate` over a docs stream: per

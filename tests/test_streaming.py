@@ -1124,3 +1124,43 @@ def test_evolving_gate_streaming_drain(spark, tmp_path):
            pipeline.read_scores(spark, f"{tmp}/out").collect()}
     want = set().union(*_py_sequential_admit(corpus, [b1, b2]))
     assert got == want == {100, 201}
+
+
+def test_compact_gate_state_preserves_verdicts_and_folds_epochs(spark):
+    """Compaction is an offline rewrite, never a semantic change: after
+    folding all epoch partitions into the -1 baseline and refreshing
+    the frozen frequencies, the gate's verdicts on the next batch are
+    IDENTICAL (a cross-batch near-dup of a pre-compaction admission is
+    still rejected), the state holds only the baseline partition, and
+    epoch numbering continues unchanged."""
+    import os
+
+    corpus = [(1, "en", "seed one two three four five")]
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a_dup = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    b1 = [(100, "en", a)]
+    b2 = [(200, "en", a_dup), (201, "en", "totally fresh words here")]
+
+    tmp = tempfile.mkdtemp(prefix="evogate_compact_")
+    try:
+        state = f"{tmp}/state"
+        gate = pipeline.evolving_neardup_gate(_gate_df(spark, corpus), state)
+        assert {r.doc_id
+                for r in gate(_gate_df(spark, b1, "b"), 0).collect()} == {100}
+
+        want = _py_sequential_admit(corpus, [b1, b2])[1]
+        pipeline.compact_gate_state(spark, state)
+        epochs = {d for d in os.listdir(f"{state}/toks")
+                  if d.startswith("__epoch=")}
+        assert epochs == {"__epoch=-1"}
+        got = {r.doc_id for r in gate(_gate_df(spark, b2, "b"), 1).collect()}
+        assert got == want == {201}
+        # frequencies were refreshed from the full state, not the seed
+        freq = {r.tok: r.gf for r in
+                spark.read.parquet(f"{state}/freq").collect()}
+        import pyspark.sql.functions as SF
+        alpha_fp = spark.range(1).select(
+            SF.xxhash64(SF.lit("alpha")).alias("h")).first().h
+        assert freq.get(alpha_fp) == 1  # the epoch-0 admission's token
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
