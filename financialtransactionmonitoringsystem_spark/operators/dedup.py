@@ -1040,6 +1040,56 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_gate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-space admission -- ``q_dedup_incremental``
+    for the vector modality (tested-but-unregistered twin; joins the
+    capacity queue).  Admit a delta vector (vec_id % DELTA_MOD ==
+    DELTA_REM, the text twin's split) iff no CORPUS vector in its label
+    block reaches cosine >= 0.35 (``q_dedup_embed``'s threshold);
+    output = admitted (vec_id, label).
+
+    Scale shape is q_dedup_embed's: the block join shuffles both sides
+    on ``label`` -- at 10^9 vectors the block key is the shuffle key and
+    each block's pair space stays partition-local; the delta side is
+    ingest-sized, so per-run work is O(|delta| x label block), never
+    corpus x corpus.  The ANN path for blocks too hot to brute-force is
+    the persisted IVF index (``build_ivf_index`` / ``q_sim_ivf``):
+    probe nprobe cells instead of the whole block, recall-tested there.
+    Streaming form: ``pipeline.embed_gate_scorer`` (equality-pinned).
+    """
+    emb = load_table(spark, sf_dir, "embeddings") \
+        .withColumn("nrm", norm_fold(F.col("embedding")))
+    a = emb.filter(~(F.col("vec_id") % DELTA_MOD == DELTA_REM)).alias("a")
+    b = emb.filter(F.col("vec_id") % DELTA_MOD == DELTA_REM).alias("b")
+    cos = dot_fold(F.col("a.embedding"), F.col("b.embedding")) \
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    rejected = (
+        a.join(b, F.col("a.label") == F.col("b.label"))
+        .filter(rnd(cos, 6) >= 0.35)
+        .select(F.col("b.vec_id").alias("vec_id")).distinct()
+    )
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % DELTA_MOD == DELTA_REM)
+        .join(rejected, "vec_id", "left_anti")
+        .select("vec_id", "label")
+    )
+
+
+EMBED_GATE_ORACLE: str = f"""
+    WITH rejected AS (
+      SELECT DISTINCT b.vec_id
+      FROM embeddings a JOIN embeddings b ON a.label = b.label
+      WHERE a.vec_id % {DELTA_MOD} <> {DELTA_REM}
+        AND b.vec_id % {DELTA_MOD} = {DELTA_REM}
+        AND {R(SQL_COSINE.format(a='a.embedding', b='b.embedding'), 6)} >= 0.35
+    )
+    SELECT e.vec_id, e.label FROM embeddings e
+    ANTI JOIN rejected r ON e.vec_id = r.vec_id
+    WHERE e.vec_id % {DELTA_MOD} = {DELTA_REM}
+"""
+
+
 def connected_components(edges: DataFrame, src: str = "doc_a",
                          dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation:

@@ -404,6 +404,49 @@ def neardup_gate_scorer(corpus_docs: DataFrame):
     return score
 
 
+def embed_gate_scorer(corpus_vecs: DataFrame):
+    """Build-once streaming ingest gate for the EMBEDDING modality:
+    ``score(batch_df)`` admits exactly the batch vectors with no
+    same-label corpus vector at cosine >= 0.35 -- the fourth member of
+    the scorer family (text novelty / benchmark decontam / text
+    near-dup / vector near-dup).  Batch ground truth:
+    ``dedup.embed_gate_twin`` (equality-pinned).
+
+    Construction pays the corpus cost once: the corpus vectors persist
+    with PRECOMPUTED L2 norms through ``_scoped_build`` (norm_fold
+    hoisting -- the per-pair cosine is then one fold, not three).  Per
+    batch: norm the batch (narrow JVM map) and block-join on ``label``
+    against the checkpointed corpus -- q_dedup_embed's scale shape, the
+    block key is the shuffle key and the batch side is ingest-sized.
+    For label blocks too hot to brute-force, the ANN path is the
+    persisted IVF index (``similarity.build_ivf_index``): probe nprobe
+    cells instead of the block; exactness trades to its recall
+    envelope.  State: NONE; stateless per micro-batch, restart-safe via
+    the sink checkpoint like the other scorers.
+    """
+    from ..operators import dedup
+
+    corpus = dedup._scoped_build(
+        corpus_vecs
+        .withColumn("nrm", dedup.norm_fold(F.col("embedding")))
+        .select("vec_id", "label", "embedding", "nrm"))
+
+    def score(batch: DataFrame) -> DataFrame:
+        bt = batch.withColumn("nrm", dedup.norm_fold(F.col("embedding")))
+        a, b = corpus.alias("a"), bt.alias("b")
+        cos = dedup.dot_fold(F.col("a.embedding"), F.col("b.embedding")) \
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        rejected = (
+            a.join(b, F.col("a.label") == F.col("b.label"))
+            .filter(rnd(cos, 6) >= 0.35)
+            .select(F.col("b.vec_id").alias("vec_id")).distinct()
+        )
+        return (batch.join(rejected, "vec_id", "left_anti")
+                .select("vec_id", "label"))
+
+    return score
+
+
 def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
     """Near-dup ingest gate whose state GROWS with admissions -- the
     sequential crawl-ingest shape :func:`neardup_gate_scorer` and the

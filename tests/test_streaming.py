@@ -1164,3 +1164,41 @@ def test_compact_gate_state_preserves_verdicts_and_folds_epochs(spark):
         assert freq.get(alpha_fp) == 1  # the epoch-0 admission's token
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_embed_gate_stream_matches_batch_twin(spark, sf_dir):
+    """Streaming embedding-space admission (build-once normed corpus +
+    foreachBatch) must equal the batch twin exactly: delta vectors
+    drained in two micro-batches, union of admissions row-identical to
+    dedup.embed_gate_twin -- admission is corpus-gated, so batch
+    boundaries cannot change a verdict."""
+    import os
+
+    from financialtransactionmonitoringsystem_spark.operators import dedup
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_delta = F.col("vec_id") % dedup.DELTA_MOD == dedup.DELTA_REM
+    scorer = pipeline.embed_gate_scorer(emb.filter(~is_delta))
+
+    tmp = tempfile.mkdtemp(prefix="embed_gate_")
+    try:
+        stage, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        os.makedirs(stage)
+        cand = emb.filter(is_delta)
+        for i in range(2):
+            half = cand.filter(F.col("vec_id") % 2 == i).coalesce(1)
+            half.write.parquet(f"{tmp}/half{i}")
+            part = next(f for f in os.listdir(f"{tmp}/half{i}")
+                        if f.endswith(".parquet"))
+            os.rename(f"{tmp}/half{i}/{part}", f"{stage}/batch{i}.parquet")
+        src = (spark.readStream.schema(cand.schema)
+               .option("maxFilesPerTrigger", "1").parquet(stage))
+        pipeline.run_scoring(src, scorer, out, ckpt).awaitTermination()
+
+        assert len(os.listdir(f"{ckpt}/commits")) >= 2
+        got = {tuple(r) for r in pipeline.read_scores(spark, out).collect()}
+        want = {tuple(r) for r in dedup.embed_gate_twin(spark, sf_dir).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -44,6 +44,8 @@ qs["mixture_cap_twin"] = _cur.mixture_cap_twin
 qs["pack_audit_twin"] = _cur.pack_audit_twin
 qs["perplexity_bigram_twin"] = _txt.perplexity_bigram_twin
 qs["mixture_cap_epochs_twin"] = _cur.mixture_cap_epochs_twin
+from financialtransactionmonitoringsystem_spark.operators import dedup as _ddp
+qs["embed_gate_twin"] = _ddp.embed_gate_twin
 
 jvm_gc = spark.sparkContext._jvm.System.gc
 for key in KEYS:
