@@ -1739,3 +1739,33 @@ def test_embed_gate_twin_oracle_parity(spark, duck, sf_dir):
         F.col("vec_id") % dedup.DELTA_MOD == dedup.DELTA_REM).count()
     n_adm = twin.count()
     assert 0 < n_adm < n_delta  # the gate rejects something, not all
+
+
+def test_corpus_contract_embeddings_finite_nonzero_norm(spark, sf_dir):
+    """The embedding family's cross-engine NaN bomb, pinned as a corpus
+    contract: a zero-norm (or NaN/NULL-element) embedding makes the
+    cosine NaN, and the engines DISAGREE on the threshold comparison --
+    Spark/IEEE says NaN >= 0.35 is false, DuckDB says TRUE (NaN orders
+    above everything).  Every cosine consumer (q_dedup_embed,
+    q_sim_cosine, q_sim_knn_per_label, q_sim_lsh's verify,
+    embed_gate_twin) would silently hash-diverge.  Those keys span
+    several attestation cohorts, so a symmetric both-engine guard can
+    never land in one free-swap round -- instead the generated corpus
+    CONTRACT is pinned here: embeddings are non-null, fixed-width,
+    all-finite, with strictly positive norms.  A regeneration that
+    breaks it fails CI loudly instead of surfacing as some round's
+    window mismatch."""
+    from financialtransactionmonitoringsystem_spark.operators import dedup
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert emb.filter(F.col("embedding").isNull()).count() == 0
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert len(dims) == 1 and dims[0].d > 0  # fixed dimensionality
+    bad = emb.filter(
+        F.exists("embedding", lambda x: x.isNull() | F.isnan(x))
+        | F.isnan(dedup.norm_fold(F.col("embedding")))
+        | (dedup.norm_fold(F.col("embedding")) <= 0)).count()
+    assert bad == 0
+    # vec_id is the key every gate/join assumes unique
+    assert emb.select("vec_id").distinct().count() == emb.count()
