@@ -447,6 +447,62 @@ def embed_gate_scorer(corpus_vecs: DataFrame):
     return score
 
 
+def embed_gate_scorer_ivf(corpus_cells: DataFrame, centers: DataFrame,
+                          nprobe: int = 2):
+    """ANN form of :func:`embed_gate_scorer` for label blocks too hot
+    to brute-force: candidates come from the batch vector's ``nprobe``
+    nearest IVF cells instead of its whole label block.
+
+    ``corpus_cells`` is the persisted inverted file -- e.g.
+    ``similarity.ivf_index(...)[0]`` filtered to the corpus side --
+    (vec_id, label, embedding, cell), partitioned on disk BY CELL so a
+    probe is a partition-pruned join touching nprobe/nlist of the
+    corpus; ``centers`` is the tiny nlist-row centroid table
+    (broadcast).  The cosine filter on probed candidates is EXACT, so
+    precision is 1.0 (every rejection is a true near-dup -- pinned);
+    recall trades to the probe width: a corpus near-dup outside the
+    probed cells is missed and its batch vector falsely admitted.  An
+    EXACT-duplicate corpus vector is always caught at any nprobe >= 1:
+    it has the batch vector's distances to every centroid, so its cell
+    IS the probe's top cell (pinned with planted cells).  State: NONE;
+    build-once (the index is the persisted artifact; no KMeans in the
+    score path)."""
+    from ..operators import dedup
+
+    corpus = corpus_cells.withColumn(
+        "nrm", dedup.norm_fold(F.col("embedding")))
+
+    def score(batch: DataFrame) -> DataFrame:
+        bt = batch.withColumn("nrm", dedup.norm_fold(F.col("embedding")))
+        d2 = F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"),
+                       F.col("center"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, v: acc + v)
+        wq = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("cell").asc())
+        probes = (
+            bt.crossJoin(F.broadcast(centers))
+            .select("vec_id", "label", "embedding", "nrm", "cell",
+                    d2.alias("d2"))
+            .withColumn("pr", F.row_number().over(wq))
+            .filter(F.col("pr") <= nprobe)
+            .select("vec_id", "label", "embedding", "nrm", "cell")
+        )
+        a, b = corpus.alias("a"), probes.alias("b")
+        cos = dedup.dot_fold(F.col("a.embedding"), F.col("b.embedding")) \
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        rejected = (
+            a.join(F.broadcast(b), (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a.label") == F.col("b.label")))
+            .filter(rnd(cos, 6) >= 0.35)
+            .select(F.col("b.vec_id").alias("vec_id")).distinct()
+        )
+        return (batch.join(rejected, "vec_id", "left_anti")
+                .select("vec_id", "label"))
+
+    return score
+
+
 def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
     """Near-dup ingest gate whose state GROWS with admissions -- the
     sequential crawl-ingest shape :func:`neardup_gate_scorer` and the

@@ -1202,3 +1202,54 @@ def test_embed_gate_stream_matches_batch_twin(spark, sf_dir):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_embed_gate_ivf_precision_recall_vs_exact(spark, sf_dir):
+    """The ANN gate against the real persisted index: every IVF
+    rejection must be a TRUE rejection (the cosine filter on probed
+    candidates is exact -> admitted_exact ⊆ admitted_ivf), and on this
+    corpus the probe catches >= 60% of the exact twin's rejections
+    (measured 2/3 at sf0.001, 1.0 at sf0.01)."""
+    from financialtransactionmonitoringsystem_spark.operators import dedup, similarity
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    cells, centers = similarity.ivf_index(spark, sf_dir)
+    is_delta = F.col("vec_id") % dedup.DELTA_MOD == dedup.DELTA_REM
+    scorer = pipeline.embed_gate_scorer_ivf(cells.filter(~is_delta), centers)
+    batch = load_table(spark, sf_dir, "embeddings").filter(is_delta)
+    adm_ivf = {r.vec_id for r in scorer(batch).collect()}
+    adm_exact = {r.vec_id
+                 for r in dedup.embed_gate_twin(spark, sf_dir).collect()}
+    assert adm_exact <= adm_ivf  # precision 1.0: no false rejections
+    n = batch.count()
+    rej_ivf, rej_exact = n - len(adm_ivf), n - len(adm_exact)
+    assert rej_exact > 0, "corpus should reject something"
+    assert rej_ivf / rej_exact >= 0.6
+
+
+def test_embed_gate_ivf_planted_cells_pin_probe_semantics(spark):
+    """Hand-assigned cells pin the two guarantees the docstring makes:
+    an EXACT-duplicate corpus vector is caught at nprobe=1 (identical
+    vector -> identical centroid distances -> its cell IS the top
+    probe), while a near-dup living in a non-probed cell is missed at
+    nprobe=1 and caught at nprobe=2 -- recall trades to probe width,
+    precision never does."""
+    centers = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, center array<double>")
+    corpus = spark.createDataFrame(
+        [(1, "X", [0.9, 0.1], 0),    # cell 0
+         (2, "L", [0.45, 0.55], 1)], # cell 1
+        "vec_id long, label string, embedding array<double>, cell int")
+    # batch 100: identical to corpus 1 (label X), top cell 0 -> caught
+    # batch 101: label L, top cell 0 (d2 .4525 < .5525), but its only
+    #            same-label near-dup (corpus 2, cos .989) sits in cell 1
+    batch = spark.createDataFrame(
+        [(100, "X", [0.9, 0.1]), (101, "L", [0.55, 0.5])],
+        "vec_id long, label string, embedding array<double>")
+
+    adm1 = {r.vec_id for r in pipeline.embed_gate_scorer_ivf(
+        corpus, centers, nprobe=1)(batch).collect()}
+    assert adm1 == {101}  # dup caught, cross-cell near-dup missed
+    adm2 = {r.vec_id for r in pipeline.embed_gate_scorer_ivf(
+        corpus, centers, nprobe=2)(batch).collect()}
+    assert adm2 == set()  # wider probe closes the miss
