@@ -1769,3 +1769,27 @@ def test_corpus_contract_embeddings_finite_nonzero_norm(spark, sf_dir):
     assert bad == 0
     # vec_id is the key every gate/join assumes unique
     assert emb.select("vec_id").distinct().count() == emb.count()
+
+
+def test_corpus_contract_no_nulls_in_any_base_column(spark, sf_dir):
+    """Generalizes the text-never-null pin: the generated corpus ships
+    ZERO nulls in every base column of every table (verified at all
+    SFs this round; q_filter_null synthesizes its nulls via nullif).
+    This is the implicit contract masking a whole cross-engine
+    divergence class -- Spark default-sorts NULLS FIRST ascending,
+    DuckDB NULLS LAST, so a regeneration that introduces nulls into
+    any column an oracle sorts or window-orders on (row_number
+    tiebreaks especially) could silently hash-diverge keys across
+    several attestation cohorts.  Fail loudly here instead, and if the
+    contract ever breaks for real, add explicit NULLS FIRST/LAST to
+    the affected oracles per-cohort over free-swap rounds."""
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"):
+        df = load_table(spark, sf_dir, t)
+        cond = None
+        for c in df.columns:
+            isnull = F.col(c).isNull()
+            cond = isnull if cond is None else (cond | isnull)
+        assert df.filter(cond).count() == 0, t
