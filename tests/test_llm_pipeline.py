@@ -1793,3 +1793,25 @@ def test_corpus_contract_no_nulls_in_any_base_column(spark, sf_dir):
             isnull = F.col(c).isNull()
             cond = isnull if cond is None else (cond | isnull)
         assert df.filter(cond).count() == 0, t
+
+
+def test_corpus_contract_doubles_all_finite(spark, sf_dir):
+    """Companion to the embeddings pin, for every scalar double column
+    (acctbals, prices, quantities, discounts, event values): a NaN
+    would diverge the engines on any threshold comparison or ordering
+    (DuckDB: NaN greater than everything; Spark: IEEE false), an
+    Infinity on any aggregate.  The corpus ships all-finite doubles --
+    pinned so a regeneration says so loudly."""
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    cols = {"customer": ["c_acctbal"], "supplier": ["s_acctbal"],
+            "part": ["p_retailprice"], "orders": ["o_totalprice"],
+            "lineitem": ["l_quantity", "l_extendedprice", "l_discount",
+                         "l_tax"],
+            "events": ["value"]}
+    for t, cc in cols.items():
+        df = load_table(spark, sf_dir, t)
+        for c in cc:
+            bad = df.filter(F.isnan(F.col(c))
+                            | (F.abs(F.col(c)) == float("inf"))).count()
+            assert bad == 0, (t, c)
