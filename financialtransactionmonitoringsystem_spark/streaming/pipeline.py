@@ -571,13 +571,37 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
         )
 
     # construction: one corpus pass seeds the state (idempotent layout:
-    # re-construction overwrites the same partitions)
+    # re-construction overwrites the same partitions).  A corpus
+    # IDENTITY marker guards the resume path: reconstructing over an
+    # existing state_dir is legal only for the SAME seed corpus (a
+    # stream restart) -- with a different corpus the lingering epoch
+    # partitions would silently gate new batches against another
+    # stream's admissions, so that fails loudly instead (the
+    # fingerprint-marker convention of artifacts.py).
     corpus_toks = dedup._tok_sets(corpus_docs).select(
         "doc_id", "lang", "toks", "n_toks")
+    ident = corpus_toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").alias("ids"),
+        F.sum("n_toks").alias("toks")).first()
+    fingerprint = f"n={ident.n} ids={ident.ids} toks={ident.toks}"
+    marker = os.path.join(state_dir, "_CORPUS")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            prev = fh.read().strip()
+        if prev != fingerprint:
+            raise ValueError(
+                "evolving_neardup_gate: state_dir holds state seeded from "
+                f"a DIFFERENT corpus ({prev!r} != {fingerprint!r}); its "
+                "epoch partitions would silently gate this stream against "
+                "another stream's admissions. Use a fresh state_dir (or "
+                "delete this one) per (corpus, stream).")
     (corpus_toks.select(F.explode("toks").alias("tok"))
      .groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
      .write.mode("overwrite").parquet(os.path.join(state_dir, "freq")))
     _write_state(corpus_toks, dedup._prefix_table(corpus_toks), -1)
+    with open(marker, "w") as fh:
+        fh.write(fingerprint + "\n")
 
     def score(batch: DataFrame, epoch_id: int) -> DataFrame:
         state_toks = spark.read.parquet(os.path.join(state_dir, "toks"))

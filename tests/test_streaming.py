@@ -1253,3 +1253,27 @@ def test_embed_gate_ivf_planted_cells_pin_probe_semantics(spark):
     adm2 = {r.vec_id for r in pipeline.embed_gate_scorer_ivf(
         corpus, centers, nprobe=2)(batch).collect()}
     assert adm2 == set()  # wider probe closes the miss
+
+
+def test_evolving_gate_rejects_state_dir_from_other_corpus(spark):
+    """Reconstruction over an existing state_dir is legal only for the
+    SAME seed corpus (a stream restart); a different corpus would
+    silently gate new batches against another stream's admissions --
+    must fail loudly at construction instead, and a same-corpus
+    reconstruction must keep prior epochs visible (the resume path)."""
+    corpus_a = [(1, "en", "seed one two three four five")]
+    corpus_b = [(2, "en", "other corpus entirely different words")]
+    b1 = [(100, "en", "alpha beta gamma delta epsilon zeta eta theta")]
+
+    tmp = tempfile.mkdtemp(prefix="evogate_ident_")
+    try:
+        state = f"{tmp}/state"
+        gate = pipeline.evolving_neardup_gate(_gate_df(spark, corpus_a), state)
+        assert gate(_gate_df(spark, b1, "b"), 0).count() == 1
+        # same corpus: resume is fine, epoch-0 admissions still gate
+        gate2 = pipeline.evolving_neardup_gate(_gate_df(spark, corpus_a), state)
+        assert gate2(_gate_df(spark, b1, "b"), 1).count() == 0  # dup of e0
+        with pytest.raises(ValueError, match="DIFFERENT corpus"):
+            pipeline.evolving_neardup_gate(_gate_df(spark, corpus_b), state)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
