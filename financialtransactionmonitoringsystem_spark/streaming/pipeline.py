@@ -562,8 +562,13 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
         w = Window.partitionBy("doc_id").orderBy(
             F.col("gf").asc(), F.col("tok").asc())
         min_overlap = dedup._ceil_div(p * F.col("n_toks").cast("long"), q)
+        # no broadcast hint on freq: it is corpus-VOCABULARY-sized and
+        # grows with the corpus (VERDICT r2 #2 -- never force-broadcast
+        # a corpus-derived table; Catalyst's stats pick broadcast at
+        # micro-batch scale and reverse themselves when the vocabulary
+        # outgrows the threshold, a hint does not)
         return (
-            tok.join(F.broadcast(freq), "tok", "left")
+            tok.join(freq, "tok", "left")
             .withColumn("gf", F.coalesce("gf", F.lit(0)))
             .withColumn("pos", F.row_number().over(w))
             .filter(F.col("pos") <= F.col("n_toks") - min_overlap + 1)
