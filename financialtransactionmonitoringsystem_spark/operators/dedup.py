@@ -56,6 +56,12 @@ JACCARD_THRESHOLD = 0.8
 # exactly the sizes where the bound is tight (caught by the adversarial
 # losslessness test).  All prune math must use these integers.
 JACCARD_NUM, JACCARD_DEN = 4, 5
+
+# Embedding-cosine near-dup threshold, shared by q_dedup_embed, the
+# incremental embed_gate_twin + its oracle, and the streaming gates in
+# streaming/pipeline.py -- ONE constant so a tune cannot silently
+# desynchronize the stream/batch/oracle triple (review finding, r12).
+EMBED_NEARDUP_THRESHOLD = 0.35
 assert JACCARD_NUM / JACCARD_DEN == JACCARD_THRESHOLD
 # Verification emits pairs on the ROUNDED predicate rnd(J, 6) >= 0.8
 # (the oracle's own form), which admits true J down to
@@ -444,13 +450,28 @@ def prefix_candidates(docs: DataFrame,
     return _prefix_join(_prefix_table(_tok_sets(docs)))
 
 
-def _prefix_table(toksets: DataFrame) -> DataFrame:
+def _prefix_table(toksets: DataFrame, freq: DataFrame | None = None) -> DataFrame:
     """Rarest-first prefix-token table (doc_id, lang, tok, pos, n_toks)
     from a token-set table (:func:`_tok_sets` / :func:`corpus_tok_sets`):
-    the tokens a qualifying partner MUST share one of."""
+    the tokens a qualifying partner MUST share one of.
+
+    ``freq`` (a (tok, gf) table) overrides the default input-derived
+    token frequencies -- the evolving-gate append path ranks NEW docs
+    under the FROZEN seed-corpus frequencies so index entries stay
+    immutable; tokens absent from it rank as frequency 0 = rarest =
+    maximally selective.  Any fixed frequency choice is lossless (the
+    prefix principle needs only the prefix LENGTH); frequency order is
+    selectivity only."""
     p, q = PRUNE_NUM, PRUNE_DEN
     tok = toksets.select("doc_id", "lang", "n_toks", F.explode("toks").alias("tok"))
-    freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
+    if freq is None:
+        freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
+        joined = tok.join(freq, "tok")  # derived: every token present
+    else:
+        # no broadcast hint: the frequency table is corpus-VOCABULARY-
+        # sized and grows with the corpus (VERDICT r2 #2)
+        joined = (tok.join(freq, "tok", "left")
+                  .withColumn("gf", F.coalesce("gf", F.lit(0))))
     w = W.partitionBy("doc_id").orderBy(F.col("gf").asc(), F.col("tok").asc())
     # Smallest qualifying overlap with ANY partner is ceil(t*n) (at the
     # minimum partner size t*n), so the prefix is n - ceil(t*n) + 1
@@ -458,7 +479,7 @@ def _prefix_table(toksets: DataFrame) -> DataFrame:
     # widened to long so p * n_toks cannot wrap 32-bit.
     min_overlap_self = _ceil_div(p * F.col("n_toks").cast("long"), q)
     return (
-        tok.join(freq, "tok")
+        joined
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= F.col("n_toks") - min_overlap_self + 1)
         .select("doc_id", "lang", "tok", "pos", "n_toks")
@@ -1036,7 +1057,7 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("a.vec_id") < F.col("b.vec_id")))
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"),
                 F.col("a.label").alias("label"), rnd(cos, 6).alias("cos"))
-        .filter(F.col("cos") >= 0.35)
+        .filter(F.col("cos") >= EMBED_NEARDUP_THRESHOLD)
     )
 
 
@@ -1065,7 +1086,7 @@ def embed_gate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("a.nrm") * F.col("b.nrm"))
     rejected = (
         a.join(b, F.col("a.label") == F.col("b.label"))
-        .filter(rnd(cos, 6) >= 0.35)
+        .filter(rnd(cos, 6) >= EMBED_NEARDUP_THRESHOLD)
         .select(F.col("b.vec_id").alias("vec_id")).distinct()
     )
     return (
@@ -1082,7 +1103,7 @@ EMBED_GATE_ORACLE: str = f"""
       FROM embeddings a JOIN embeddings b ON a.label = b.label
       WHERE a.vec_id % {DELTA_MOD} <> {DELTA_REM}
         AND b.vec_id % {DELTA_MOD} = {DELTA_REM}
-        AND {R(SQL_COSINE.format(a='a.embedding', b='b.embedding'), 6)} >= 0.35
+        AND {R(SQL_COSINE.format(a='a.embedding', b='b.embedding'), 6)} >= {EMBED_NEARDUP_THRESHOLD}
     )
     SELECT e.vec_id, e.label FROM embeddings e
     ANTI JOIN rejected r ON e.vec_id = r.vec_id
@@ -1380,7 +1401,7 @@ ORACLES: dict[str, str] = {
                {R(SQL_COSINE.format(a='a.embedding', b='b.embedding'), 6)} AS cos
         FROM embeddings a JOIN embeddings b
           ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE {R(SQL_COSINE.format(a='a.embedding', b='b.embedding'), 6)} >= 0.35
+        WHERE {R(SQL_COSINE.format(a='a.embedding', b='b.embedding'), 6)} >= {EMBED_NEARDUP_THRESHOLD}
     """,
 }
 

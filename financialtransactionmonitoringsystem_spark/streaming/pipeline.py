@@ -55,6 +55,23 @@ def state_store_provider(spark: SparkSession,
         spark.conf.set(STATE_PROVIDER_CONF, old)
 
 
+def _stage_symlink(stage: str, name: str, target: str) -> None:
+    """Ensure ``stage/name`` is a symlink to ``target``, healing ONLY a
+    dangling link (lexists-true, exists-false -- the leftover of a
+    deleted/regenerated sf_dir, which made the old exists()-guarded
+    os.symlink raise FileExistsError; ADVICE r11).  A VALID existing
+    link is left untouched: unconditionally unlink-and-recreate would
+    open a window where a concurrently draining stream sees the staged
+    file vanish (review finding, r12)."""
+    import os
+
+    link = os.path.join(stage, name)
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an unbounded stream (file source stand-in for
     Kafka).  Same ts normalization as the batch loader.
@@ -71,9 +88,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = os.path.join(tempfile.gettempdir(),
                          "fintxmon_stream_" + sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    _stage_symlink(stage, "events.parquet", f"{sf_dir}/events.parquet")
     # The file stream source needs an upfront schema; probe the parquet
     # footer via a batch read (driver-side metadata only, no data scan) so
     # the stream matches whichever physical ts form the testdata has.
@@ -200,13 +215,7 @@ def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.gettempdir(),
         "fintxmon_docstream_" + sf_dir.strip("/").replace("/", "_"))
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "documents.parquet")
-    # lexists, not exists: a stale link left by a deleted sf_dir answers
-    # False to exists() and would make os.symlink raise FileExistsError.
-    # Unlink-and-recreate also repoints the link after a regeneration.
-    if os.path.lexists(link):
-        os.unlink(link)
-    os.symlink(f"{sf_dir}/documents.parquet", link)
+    _stage_symlink(stage, "documents.parquet", f"{sf_dir}/documents.parquet")
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     return spark.readStream.schema(schema).parquet(stage)
 
@@ -323,6 +332,43 @@ def decontam_scorer(bench_docs: DataFrame):
     return score
 
 
+def _gate_rejects(index_pref: DataFrame, index_toks: DataFrame,
+                 batch_toks: DataFrame) -> DataFrame:
+    """The shared lossless-gate core (review finding, r12 -- one copy,
+    not three): candidate pairs from an equi-join of ALL batch tokens
+    against an index prefix table on (lang, tok) with the exact integer
+    length filter, exact-verified in LOCKSTEP with
+    ``dedup._verify_jaccard`` (same ``_jaccard`` expression, same
+    ``rnd(j, 6)`` floor-rounding, same threshold) across the two token
+    tables.  Returns the rejected batch doc_ids.  Lossless by the
+    single-sided prefix principle -- see ``neardup_gate_scorer``."""
+    from ..operators import dedup
+
+    p, q = dedup.PRUNE_NUM, dedup.PRUNE_DEN
+    probe = batch_toks.select("doc_id", "lang", "n_toks",
+                              F.explode("toks").alias("tok"))
+    a, b = index_pref.alias("a"), probe.alias("b")
+    na, nb = F.col("a.n_toks").cast("long"), F.col("b.n_toks").cast("long")
+    cands = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok"))
+               & (F.col("a.lang") == F.col("b.lang"))
+               # exact integer length filter: t*nb <= na and t*na <= nb
+               & (q * na >= p * nb) & (q * nb >= p * na))
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta, tb = index_toks.alias("ta"), batch_toks.alias("tb")
+    j = dedup._jaccard(F.col("ta.toks"), F.col("tb.toks"),
+                       F.col("ta.n_toks"), F.col("tb.n_toks"))
+    return (
+        cands.join(ta, cands.doc_a == F.col("ta.doc_id"))
+        .join(tb, cands.doc_b == F.col("tb.doc_id"))
+        .filter(rnd(j, 6) >= dedup.JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id")).distinct()
+    )
+
+
 def neardup_gate_scorer(corpus_docs: DataFrame):
     """Build-once streaming near-dup INGEST GATE: returns
     ``score(batch_df)`` admitting exactly the batch docs with no
@@ -369,35 +415,10 @@ def neardup_gate_scorer(corpus_docs: DataFrame):
     corpus_toks = dedup._scoped_build(
         dedup._tok_sets(corpus_docs).select("doc_id", "lang", "toks", "n_toks"))
     corpus_pref = dedup._scoped_build(dedup._prefix_table(corpus_toks))
-    p, q = dedup.PRUNE_NUM, dedup.PRUNE_DEN
 
     def score(batch: DataFrame) -> DataFrame:
-        bt = dedup._tok_sets(batch)
-        probe = bt.select("doc_id", "lang", "n_toks", F.explode("toks").alias("tok"))
-        a, b = corpus_pref.alias("a"), probe.alias("b")
-        na, nb = F.col("a.n_toks").cast("long"), F.col("b.n_toks").cast("long")
-        cands = (
-            a.join(b, (F.col("a.tok") == F.col("b.tok"))
-                   & (F.col("a.lang") == F.col("b.lang"))
-                   # exact integer length filter: t*nb <= na and t*na <= nb
-                   & (q * na >= p * nb) & (q * nb >= p * na))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-        )
-        ta, tb = corpus_toks.alias("ta"), bt.alias("tb")
-        # exact-verify in LOCKSTEP with dedup._verify_jaccard (same
-        # _jaccard expression, same rnd(j, 6) floor-rounding, same
-        # threshold), split across the two token tables: doc_a ids live
-        # in the corpus, doc_b ids in the batch.
-        j = dedup._jaccard(F.col("ta.toks"), F.col("tb.toks"),
-                           F.col("ta.n_toks"), F.col("tb.n_toks"))
-        rejected = (
-            cands.join(ta, cands.doc_a == F.col("ta.doc_id"))
-            .join(tb, cands.doc_b == F.col("tb.doc_id"))
-            .filter(rnd(j, 6) >= dedup.JACCARD_THRESHOLD)
-            .select(F.col("doc_b").alias("doc_id")).distinct()
-        )
+        rejected = _gate_rejects(corpus_pref, corpus_toks,
+                                 dedup._tok_sets(batch))
         return (batch.join(rejected, "doc_id", "left_anti")
                 .select("doc_id", "lang", "source", "n_chars"))
 
@@ -438,7 +459,7 @@ def embed_gate_scorer(corpus_vecs: DataFrame):
             / (F.col("a.nrm") * F.col("b.nrm"))
         rejected = (
             a.join(b, F.col("a.label") == F.col("b.label"))
-            .filter(rnd(cos, 6) >= 0.35)
+            .filter(rnd(cos, 6) >= dedup.EMBED_NEARDUP_THRESHOLD)
             .select(F.col("b.vec_id").alias("vec_id")).distinct()
         )
         return (batch.join(rejected, "vec_id", "left_anti")
@@ -448,7 +469,7 @@ def embed_gate_scorer(corpus_vecs: DataFrame):
 
 
 def embed_gate_scorer_ivf(corpus_cells: DataFrame, centers: DataFrame,
-                          nprobe: int = 2):
+                          nprobe: int | None = None):
     """ANN form of :func:`embed_gate_scorer` for label blocks too hot
     to brute-force: candidates come from the batch vector's ``nprobe``
     nearest IVF cells instead of its whole label block.
@@ -467,7 +488,12 @@ def embed_gate_scorer_ivf(corpus_cells: DataFrame, centers: DataFrame,
     IS the probe's top cell (pinned with planted cells).  State: NONE;
     build-once (the index is the persisted artifact; no KMeans in the
     score path)."""
-    from ..operators import dedup
+    from ..operators import dedup, similarity
+
+    # default to the index's sanctioned probe width so this gate and
+    # q_sim_ivf share one recall envelope (review finding, r12)
+    if nprobe is None:
+        nprobe = similarity.IVF_NPROBE
 
     corpus = corpus_cells.withColumn(
         "nrm", dedup.norm_fold(F.col("embedding")))
@@ -494,7 +520,7 @@ def embed_gate_scorer_ivf(corpus_cells: DataFrame, centers: DataFrame,
         rejected = (
             a.join(F.broadcast(b), (F.col("a.cell") == F.col("b.cell"))
                    & (F.col("a.label") == F.col("b.label")))
-            .filter(rnd(cos, 6) >= 0.35)
+            .filter(rnd(cos, 6) >= dedup.EMBED_NEARDUP_THRESHOLD)
             .select(F.col("b.vec_id").alias("vec_id")).distinct()
         )
         return (batch.join(rejected, "vec_id", "left_anti")
@@ -545,7 +571,6 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
     from ..operators import dedup
 
     spark = corpus_docs.sparkSession
-    p, q = dedup.PRUNE_NUM, dedup.PRUNE_DEN
 
     def _write_state(toks: DataFrame, pref: DataFrame, epoch: int) -> None:
         for name, df in (("toks", toks), ("pref", pref)):
@@ -555,41 +580,27 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
              .partitionBy("__epoch")
              .parquet(os.path.join(state_dir, name)))
 
-    def _prefix_under_frozen_freq(toksets: DataFrame) -> DataFrame:
-        freq = spark.read.parquet(os.path.join(state_dir, "freq"))
-        tok = toksets.select("doc_id", "lang", "n_toks",
-                             F.explode("toks").alias("tok"))
-        w = Window.partitionBy("doc_id").orderBy(
-            F.col("gf").asc(), F.col("tok").asc())
-        min_overlap = dedup._ceil_div(p * F.col("n_toks").cast("long"), q)
-        # no broadcast hint on freq: it is corpus-VOCABULARY-sized and
-        # grows with the corpus (VERDICT r2 #2 -- never force-broadcast
-        # a corpus-derived table; Catalyst's stats pick broadcast at
-        # micro-batch scale and reverse themselves when the vocabulary
-        # outgrows the threshold, a hint does not)
-        return (
-            tok.join(freq, "tok", "left")
-            .withColumn("gf", F.coalesce("gf", F.lit(0)))
-            .withColumn("pos", F.row_number().over(w))
-            .filter(F.col("pos") <= F.col("n_toks") - min_overlap + 1)
-            .select("doc_id", "lang", "tok", "pos", "n_toks")
-        )
-
-    # construction: one corpus pass seeds the state (idempotent layout:
-    # re-construction overwrites the same partitions).  A corpus
-    # IDENTITY marker guards the resume path: reconstructing over an
-    # existing state_dir is legal only for the SAME seed corpus (a
-    # stream restart) -- with a different corpus the lingering epoch
-    # partitions would silently gate new batches against another
-    # stream's admissions, so that fails loudly instead (the
-    # fingerprint-marker convention of artifacts.py).
+    # Construction seeds the state ONLY when none exists.  A corpus
+    # IDENTITY marker distinguishes the two legal cases: no marker =
+    # first construction (seed + write marker LAST, so a crash mid-seed
+    # re-seeds); marker matching = stream-restart RESUME, where the
+    # existing state is authoritative and must NOT be re-seeded --
+    # after a compact_gate_state the __epoch=-1 baseline holds every
+    # prior admission, and re-seeding it with corpus-only state would
+    # silently destroy them (review finding, r12).  A marker from a
+    # DIFFERENT corpus fails loudly: its epoch partitions would gate
+    # this stream against another stream's admissions.  The
+    # fingerprint is content-sensitive (count + id/token sums + an
+    # order-insensitive XOR over text hashes -- bit_xor cannot
+    # overflow under ANSI the way a sum of xxhash64 values would), so
+    # a same-shape regenerated corpus cannot impersonate the original.
     corpus_toks = dedup._tok_sets(corpus_docs).select(
         "doc_id", "lang", "toks", "n_toks")
-    ident = corpus_toks.agg(
+    ident = corpus_docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").alias("ids"),
-        F.sum("n_toks").alias("toks")).first()
-    fingerprint = f"n={ident.n} ids={ident.ids} toks={ident.toks}"
+        F.expr("bit_xor(xxhash64(text))").alias("xh")).first()
+    fingerprint = f"n={ident.n} ids={ident.ids} xh={ident.xh}"
     marker = os.path.join(state_dir, "_CORPUS")
     if os.path.exists(marker):
         with open(marker) as fh:
@@ -601,12 +612,13 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
                 "epoch partitions would silently gate this stream against "
                 "another stream's admissions. Use a fresh state_dir (or "
                 "delete this one) per (corpus, stream).")
-    (corpus_toks.select(F.explode("toks").alias("tok"))
-     .groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
-     .write.mode("overwrite").parquet(os.path.join(state_dir, "freq")))
-    _write_state(corpus_toks, dedup._prefix_table(corpus_toks), -1)
-    with open(marker, "w") as fh:
-        fh.write(fingerprint + "\n")
+    else:
+        (corpus_toks.select(F.explode("toks").alias("tok"))
+         .groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
+         .write.mode("overwrite").parquet(os.path.join(state_dir, "freq")))
+        _write_state(corpus_toks, dedup._prefix_table(corpus_toks), -1)
+        with open(marker, "w") as fh:
+            fh.write(fingerprint + "\n")
 
     def score(batch: DataFrame, epoch_id: int) -> DataFrame:
         state_toks = spark.read.parquet(os.path.join(state_dir, "toks"))
@@ -616,28 +628,8 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
         state_pref = (spark.read.parquet(os.path.join(state_dir, "pref"))
                       .filter(F.col("__epoch") < int(epoch_id)))
 
-        bt = dedup._tok_sets(batch)
-        probe = bt.select("doc_id", "lang", "n_toks",
-                          F.explode("toks").alias("tok"))
-        a, b = state_pref.alias("a"), probe.alias("b")
-        na, nb = F.col("a.n_toks").cast("long"), F.col("b.n_toks").cast("long")
-        cands = (
-            a.join(b, (F.col("a.tok") == F.col("b.tok"))
-                   & (F.col("a.lang") == F.col("b.lang"))
-                   & (q * na >= p * nb) & (q * nb >= p * na))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct()
-        )
-        ta, tb = state_toks.alias("ta"), bt.alias("tb")
-        j = dedup._jaccard(F.col("ta.toks"), F.col("tb.toks"),
-                           F.col("ta.n_toks"), F.col("tb.n_toks"))
-        rejected = (
-            cands.join(ta, cands.doc_a == F.col("ta.doc_id"))
-            .join(tb, cands.doc_b == F.col("tb.doc_id"))
-            .filter(rnd(j, 6) >= dedup.JACCARD_THRESHOLD)
-            .select(F.col("doc_b").alias("doc_id")).distinct()
-        )
+        rejected = _gate_rejects(state_pref, state_toks,
+                                 dedup._tok_sets(batch))
         admitted = (batch.join(rejected, "doc_id", "left_anti")
                     .select("doc_id", "text", "lang", "source", "n_chars"))
         # materialize the verdict ONCE (the state read below must not
@@ -645,7 +637,9 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
         admitted = dedup._scoped_build(admitted)
         adm_toks = dedup._tok_sets(admitted).select(
             "doc_id", "lang", "toks", "n_toks")
-        _write_state(adm_toks, _prefix_under_frozen_freq(adm_toks), epoch_id)
+        frozen_freq = spark.read.parquet(os.path.join(state_dir, "freq"))
+        _write_state(adm_toks, dedup._prefix_table(adm_toks, frozen_freq),
+                     epoch_id)
         return admitted.select("doc_id", "lang", "source", "n_chars")
 
     return score
@@ -675,19 +669,44 @@ def compact_gate_state(spark: SparkSession, state_dir: str) -> None:
     windows), not concurrently with a live score() write."""
     from ..operators import dedup
 
+    # Crash-safe by construction (review finding, r12): every step is
+    # idempotent and every crash point leaves the gate's VERDICTS
+    # correct, so recovery is always "re-run compact_gate_state".
+    #   1. Fold everything into the -1 baseline via DYNAMIC partition
+    #      overwrite (only -1 is replaced; the folded data was
+    #      materialized first, so the read never races the write).  A
+    #      crash after this step leaves the admissions REDUNDANT --
+    #      present in the new baseline AND still in their epoch
+    #      partitions -- which is harmless: duplicate index rows feed
+    #      the candidate distinct(), duplicate token rows the verify
+    #      join, verdicts unchanged.  Old-ranked prefix entries are
+    #      valid too (any fixed per-doc prefix is lossless).
+    #   2. Delete the folded epoch partitions.
+    #   3. Refresh the freq table LAST: until it commits the gate
+    #      appends under the old frequencies, which stays lossless
+    #      (frequency order is selectivity only); a crash mid-write is
+    #      a LOUD read failure healed by re-running.
     toks = dedup._scoped_build(
         spark.read.parquet(os.path.join(state_dir, "toks")).drop("__epoch"))
-    (toks.select(F.explode("toks").alias("tok"))
-     .groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
-     .write.mode("overwrite").parquet(os.path.join(state_dir, "freq")))
-    # static (whole-table) overwrite drops the old epoch partitions;
     # _prefix_table re-ranks under frequencies computed from its input,
-    # which now equals the refreshed freq table above
+    # which equals the freq table written in step 3
     pref = dedup._scoped_build(dedup._prefix_table(toks))
     for name, df in (("toks", toks), ("pref", pref)):
         (df.withColumn("__epoch", F.lit(-1))
-         .write.mode("overwrite").partitionBy("__epoch")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__epoch")
          .parquet(os.path.join(state_dir, name)))
+    import shutil as _shutil
+
+    for name in ("toks", "pref"):
+        base = os.path.join(state_dir, name)
+        for d in os.listdir(base):
+            if d.startswith("__epoch=") and d != "__epoch=-1":
+                _shutil.rmtree(os.path.join(base, d))
+    (toks.select(F.explode("toks").alias("tok"))
+     .groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
+     .write.mode("overwrite").parquet(os.path.join(state_dir, "freq")))
 
 
 def run_evolving_gate(docs_stream: DataFrame, gate, out_dir: str,

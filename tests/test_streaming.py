@@ -1277,3 +1277,31 @@ def test_evolving_gate_rejects_state_dir_from_other_corpus(spark):
             pipeline.evolving_neardup_gate(_gate_df(spark, corpus_b), state)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_evolving_gate_reconstruct_after_compaction_keeps_admissions(spark):
+    """The review-found composition bug, pinned: compact_gate_state
+    folds every admission into the __epoch=-1 baseline, so a
+    stream-restart reconstruction (same corpus, same state_dir) must
+    treat the existing state as authoritative and NOT re-seed -- the
+    old unconditional seed overwrote the compacted baseline with
+    corpus-only state, silently destroying every admission.  A
+    near-dup of a pre-compaction admission must still be rejected
+    after compact + reconstruct."""
+    corpus = [(1, "en", "seed one two three four five")]
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a_dup = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+
+    tmp = tempfile.mkdtemp(prefix="evogate_compact_resume_")
+    try:
+        state = f"{tmp}/state"
+        gate = pipeline.evolving_neardup_gate(_gate_df(spark, corpus), state)
+        assert gate(_gate_df(spark, [(100, "en", a)], "b"), 0).count() == 1
+        pipeline.compact_gate_state(spark, state)
+        gate2 = pipeline.evolving_neardup_gate(_gate_df(spark, corpus), state)
+        got = {r.doc_id for r in gate2(_gate_df(
+            spark, [(200, "en", a_dup), (201, "en", "fresh words only here")],
+            "b"), 1).collect()}
+        assert got == {201}, got  # 200 still gated by the folded admission
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
