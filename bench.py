@@ -133,6 +133,11 @@ HEADLINE = [
     # measured against the reference-gram exchange it avoids)
     "q_text_decontam_bylang",
     "q_text_novelty",
+    # round-13 addition: the shard-balance audit registered as step two
+    # of the approved swap (one map-side-combinable groupBy to |shards|
+    # rows + a broadcast totals row; included so its single-pass claim
+    # stays measured)
+    "q_shard_balance",
     # q_cte_recursive is deliberately NOT benched: Spark executes one
     # job per recursion step, so an 80-month spine costs ~80 scheduler
     # round-trips (~11s) regardless of data size.  The key exists to

@@ -166,8 +166,9 @@ def pack_audit_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the pack's existing per-lang running sums -- the audit adds no
     exchange beyond what the pack already does.
 
-    Tested-but-unregistered twin (registry at rotation capacity, the
-    shard_balance_twin precedent); ``PACK_AUDIT_ORACLE`` composes the
+    Tested-but-unregistered twin (registry at rotation capacity; the
+    former shard_balance_twin shows the path -- it registered as
+    ``q_shard_balance`` in round 13); ``PACK_AUDIT_ORACLE`` composes the
     q_pack_sequences oracle verbatim, so the two can never drift.
     """
     p = q_pack_sequences(spark, sf_dir)
@@ -371,7 +372,7 @@ def q_shard_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 SHARD_BALANCE_TOL_DEN = 20
 
 
-def shard_balance_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shard-balance audit over the export layout: per export shard (the
     same md5-nibble assignment ``q_export_shards`` writes and
     ``q_shard_card`` describes), its doc count, char volume, share of
@@ -386,9 +387,9 @@ def shard_balance_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     back as a single row.  Cross-shard comparison never touches the
     corpus again; output is |shards| rows regardless of corpus size.
 
-    Registry queue: renames to ``q_shard_balance`` in a free window
-    slot (the q_stream_dedup precedent); ``SHARD_BALANCE_ORACLE`` joins
-    ORACLES with it.
+    Registered round 13 (step two of the judge-approved swap that
+    retired ``q_dedup_ngram`` in round 12; shipped as the tested twin
+    ``shard_balance_twin`` since round 11, parity-green every round).
     """
     docs = load_table(spark, sf_dir, "documents")
     h = _salted_md5("shard")
@@ -411,8 +412,8 @@ def shard_balance_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# DuckDB oracle for shard_balance_twin; moves into ORACLES as
-# "q_shard_balance" when the key registers (first free window slot).
+# DuckDB oracle for q_shard_balance (kept as a named module constant so
+# the invariants test can run it standalone; ORACLES references it).
 SHARD_BALANCE_ORACLE = f"""
     WITH per AS (
       SELECT substring({_salted_md5_sql('shard')}, 1, 1) AS shard,
@@ -468,7 +469,7 @@ def mixture_cap_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     capacity (PLANS round 10: the 50-key window x 3-round staleness
     caps it at 150, and the two r11 registrations consumed the final
     slack), so this ships as a tested-but-unregistered twin, the
-    shard_balance_twin precedent.
+    former-shard_balance_twin precedent (registered round 13).
     """
     return _mixture_cap_core(load_table(spark, sf_dir, "documents"))
 
@@ -888,6 +889,7 @@ PACK_AUDIT_ORACLE = f"""
 """
 
 ORACLES: dict[str, str] = {
+    "q_shard_balance": SHARD_BALANCE_ORACLE,
     "q_license_propagate": """
         WITH policy AS (
           SELECT DISTINCT source,

@@ -70,13 +70,14 @@ LAST_ATTESTED: dict[str, int] = {
         'q_union', 'q_unpivot', 'q_win_frame', 'q_win_range',
         'q_win_rank',
     )},
-    # round 9 window (CORRECTNESS_r09.json: 46 hash-green + 4 no_oracle
+    # round 12 window (CORRECTNESS_r12.json: 46 hash-green + 4 no_oracle
     # rows-only verdicts (q_agg_hll, q_dedup_fuzzy, q_dedup_minhash,
-    # q_dedup_simhash), all 50 attested, zero errors -- the 48 r6-stale
-    # keys + 2 TOUCHED re-attests (q_stream_state, q_retention_funnel);
-    # these 50 keys legally overflow the round-11 window as the
-    # least-stale attested cohort)
-    **{k: 9 for k in (
+    # q_dedup_simhash), all 50 attested, zero errors -- set-equal to the
+    # round-9 cohort re-attested on schedule: with the registry at 149
+    # after the q_dedup_ngram retirement and zero TOUCHED, the window is
+    # exactly the whole 50-key r9 cohort, as the round-12 simulation
+    # predicted)
+    **{k: 12 for k in (
         "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_global",
         "q_agg_gsets", "q_agg_having", "q_agg_hll", "q_curate_budget",
         "q_dedup_cluster", "q_dedup_fuzzy", "q_dedup_incremental",
@@ -119,12 +120,12 @@ LAST_ATTESTED: dict[str, int] = {
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  Round-12 touches: NONE -- with the registry at 149 after the
-# q_dedup_ngram retirement, the round-12 window is exactly the whole
-# 50-key r9 cohort (simulated OK by tools/simulate_rotation.py; the 49
-# r10 keys overflow legally as least-stale).  q_shard_balance registers
-# in round 13 per the simulation-corrected two-step schedule -- a
-# same-round swap strands one r9 key while r10 is least-stale (FAIL).
+# history.  Round-13 touches: NONE -- the one registry change is the NEW
+# key q_shard_balance (step two of the judge-approved swap; absent from
+# LAST_ATTESTED so it sorts most-stale automatically), which joins the
+# 49-key r10 cohort to fill the round-13 window exactly (simulated OK by
+# tools/simulate_rotation.py; the 50 r11 keys overflow legally as
+# less-stale, the 50 r12 keys as least-stale).
 TOUCHED: tuple[str, ...] = ()
 
 # Among equally-stale keys, spread families across the window edge instead of

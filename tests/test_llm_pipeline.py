@@ -1435,21 +1435,20 @@ def test_mixture_cap_planted_over_cap_domain(spark):
     assert (got["h"].n_kept, got["h"].tokens_kept) == (1, 8)  # at-cap keeps all
 
 
-def test_shard_balance_twin_oracle_parity(spark, duck, sf_dir):
-    """Pre-registration parity for the queued q_shard_balance key (the
-    cross-shard balance audit over the export layout): exact rows vs
-    its DuckDB oracle, plus the closed-form invariants -- shares sum to
-    1, deviations sum to 0, doc counts sum to the corpus, and the
-    balanced flag agrees with the float deviation column at the 5%
-    line."""
+def test_shard_balance_invariants(spark, duck, sf_dir):
+    """Closed-form invariants for q_shard_balance (registered round 13;
+    full oracle parity runs in the registry-wide sweep): exact rows vs
+    its DuckDB oracle, plus -- shares sum to 1, deviations sum to 0,
+    doc counts sum to the corpus, and the balanced flag agrees with the
+    float deviation column at the 5% line."""
     from financialtransactionmonitoringsystem_spark.operators import curate
     from financialtransactionmonitoringsystem_spark.tables import load_table
     from tests.compare import assert_frames_match
 
-    twin = curate.shard_balance_twin(spark, sf_dir)
+    twin = curate.q_shard_balance(spark, sf_dir)
     assert_frames_match(twin.toPandas(),
                         duck.execute(curate.SHARD_BALANCE_ORACLE).df(),
-                        "shard_balance_twin")
+                        "q_shard_balance")
     rows = twin.collect()
     assert len(rows) == 16  # md5 nibble shards, all populated at any sf
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-4

@@ -212,6 +212,7 @@ EXPECTED_KEYS = {
     "q_scan_prune",
     "q_scd2",
     "q_sessionize",
+    "q_shard_balance",
     "q_shard_card",
     "q_sim_cosine",
     "q_sim_ivf",

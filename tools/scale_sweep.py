@@ -39,7 +39,6 @@ import __spark_entry__ as E
 qs = E.queries()  # q_text_decontam_bylang / q_text_novelty registered r11
 from financialtransactionmonitoringsystem_spark.operators import curate as _cur
 from financialtransactionmonitoringsystem_spark.operators import text as _txt
-qs["shard_balance_twin"] = _cur.shard_balance_twin
 qs["mixture_cap_twin"] = _cur.mixture_cap_twin
 qs["pack_audit_twin"] = _cur.pack_audit_twin
 qs["perplexity_bigram_twin"] = _txt.perplexity_bigram_twin
