@@ -62,14 +62,31 @@ def _stage_symlink(stage: str, name: str, target: str) -> None:
     os.symlink raise FileExistsError; ADVICE r11).  A VALID existing
     link is left untouched: unconditionally unlink-and-recreate would
     open a window where a concurrently draining stream sees the staged
-    file vanish (review finding, r12)."""
+    file vanish (review finding, r12).
+
+    The create itself is race-tolerant (ADVICE r12): two sessions
+    staging the same sf_dir can both pass the lexists pre-check, so the
+    loser's ``os.symlink`` EEXIST is caught and the link re-validated
+    instead of propagated -- whoever won created the same target, which
+    is the success condition.  A surviving mismatch (someone staged a
+    DIFFERENT target under our name) still raises loudly."""
     import os
 
     link = os.path.join(stage, name)
     if os.path.lexists(link) and not os.path.exists(link):
-        os.unlink(link)
+        try:
+            os.unlink(link)
+        except FileNotFoundError:
+            pass  # concurrent healer got there first
     if not os.path.lexists(link):
-        os.symlink(target, link)
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass  # concurrent stager won the race; validate below
+    if os.path.realpath(link) != os.path.realpath(target):
+        raise FileExistsError(
+            f"{link} exists but points at {os.path.realpath(link)!r}, "
+            f"not {target!r}")
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +485,14 @@ def embed_gate_scorer(corpus_vecs: DataFrame):
     return score
 
 
+# Probe-table rows (micro-batch vectors x nprobe) above which the IVF
+# gate's forced probes-side broadcast refuses to build: at ~0.5-1 KB per
+# row (the embedding array dominates) the cap keeps the broadcast under
+# ~100 MB, far inside executor budgets while 100x the gate's designed
+# ingest-batch sizes.
+EMBED_GATE_IVF_MAX_PROBE_ROWS = 100_000
+
+
 def embed_gate_scorer_ivf(corpus_cells: DataFrame, centers: DataFrame,
                           nprobe: int | None = None):
     """ANN form of :func:`embed_gate_scorer` for label blocks too hot
@@ -487,7 +512,20 @@ def embed_gate_scorer_ivf(corpus_cells: DataFrame, centers: DataFrame,
     it has the batch vector's distances to every centroid, so its cell
     IS the probe's top cell (pinned with planted cells).  State: NONE;
     build-once (the index is the persisted artifact; no KMeans in the
-    score path)."""
+    score path).
+
+    The probes-side broadcast is GUARDED, not assumed (ADVICE r12: a
+    forced broadcast of a table that grows with an unbounded input is
+    this repo's twice-repeated defect class): micro-batch size is set
+    by source config, not by this gate, so a batch whose probe table
+    (batch rows x nprobe) exceeds
+    :data:`EMBED_GATE_IVF_MAX_PROBE_ROWS` raises a loud ``ValueError``
+    naming the fix (bound the trigger, or use the exact block gate)
+    instead of silently building an executor-crushing broadcast.  The
+    broadcast itself is load-bearing at scale -- it is what lets
+    dynamic partition pruning restrict the corpus scan to the probed
+    cells -- so "drop the hint" would trade a bounded-memory risk for
+    an every-batch full-corpus scan."""
     from ..operators import dedup, similarity
 
     # default to the index's sanctioned probe width so this gate and
@@ -499,6 +537,17 @@ def embed_gate_scorer_ivf(corpus_cells: DataFrame, centers: DataFrame,
         "nrm", dedup.norm_fold(F.col("embedding")))
 
     def score(batch: DataFrame) -> DataFrame:
+        n_batch = batch.count()
+        if n_batch * nprobe > EMBED_GATE_IVF_MAX_PROBE_ROWS:
+            raise ValueError(
+                f"embed_gate_scorer_ivf: micro-batch of {n_batch:,} "
+                f"vectors x nprobe={nprobe} expands to more probe rows "
+                f"than EMBED_GATE_IVF_MAX_PROBE_ROWS="
+                f"{EMBED_GATE_IVF_MAX_PROBE_ROWS:,}, so the forced "
+                "probes-side broadcast is no longer safe. Bound the "
+                "micro-batch at the source (maxFilesPerTrigger / "
+                "maxOffsetsPerTrigger), score with the exact block gate "
+                "embed_gate_scorer, or raise the cap deliberately.")
         bt = batch.withColumn("nrm", dedup.norm_fold(F.col("embedding")))
         d2 = F.aggregate(
             F.zip_with(F.col("embedding").cast("array<double>"),
@@ -540,13 +589,21 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
     promises ("admitted docs' prefixes append to the index
     afterwards").
 
-    State = two parquet tables under ``state_dir`` (``toks``, ``pref``),
-    partitioned by ``__epoch`` with the seed corpus at ``__epoch=-1``
-    and each micro-batch's admissions appended under its own epoch via
-    DYNAMIC partition overwrite -- so a foreachBatch crash-replay
-    rewrites its epoch's state partition instead of double-appending:
-    state AND output are exactly-once together (the
-    :func:`scoring_sink` idempotence argument applied to both writes).
+    State layout (all maintenance through the Hadoop FS API in
+    :mod:`..fsio`, so a non-local ``state_dir`` works -- ADVICE r12):
+
+    * ``gen=<G>/{toks,pref,freq}`` -- the BASELINE generation: seed
+      corpus plus everything folded in by past compactions, committed
+      ATOMICALLY by creating ``gen=<G>/_COMMITTED`` (readers use the
+      highest committed generation; an uncommitted directory is a
+      crashed compaction's debris, invisible until overwritten).
+    * ``toks/__epoch=<k>`` / ``pref/__epoch=<k>`` -- each micro-batch's
+      admissions appended under their own epoch via DYNAMIC partition
+      overwrite, so a foreachBatch crash-replay rewrites its epoch's
+      state partition instead of double-appending: state AND output are
+      exactly-once together (the :func:`scoring_sink` idempotence
+      argument applied to both writes).
+
     At 100 TB this is precisely the persisted prefix-index artifact
     with per-ingest appended files; per-batch reads are index-sized,
     the corpus text is scanned once at construction, never again.
@@ -568,6 +625,7 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
     Returns ``score(batch_df, epoch_id) -> admitted DataFrame``; drive
     it with :func:`run_evolving_gate`.
     """
+    from .. import fsio
     from ..operators import dedup
 
     spark = corpus_docs.sparkSession
@@ -582,14 +640,14 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
 
     # Construction seeds the state ONLY when none exists.  A corpus
     # IDENTITY marker distinguishes the two legal cases: no marker =
-    # first construction (seed + write marker LAST, so a crash mid-seed
-    # re-seeds); marker matching = stream-restart RESUME, where the
-    # existing state is authoritative and must NOT be re-seeded --
-    # after a compact_gate_state the __epoch=-1 baseline holds every
-    # prior admission, and re-seeding it with corpus-only state would
-    # silently destroy them (review finding, r12).  A marker from a
-    # DIFFERENT corpus fails loudly: its epoch partitions would gate
-    # this stream against another stream's admissions.  The
+    # first construction (seed generation 0 + write marker LAST, so a
+    # crash mid-seed re-seeds); marker matching = stream-restart
+    # RESUME, where the existing state is authoritative and must NOT
+    # be re-seeded -- after a compact_gate_state the current baseline
+    # generation holds every prior admission, and re-seeding with
+    # corpus-only state would silently destroy them (review finding,
+    # r12).  A marker from a DIFFERENT corpus fails loudly: its state
+    # would gate this stream against another stream's admissions.  The
     # fingerprint is content-sensitive (count + id/token sums + an
     # order-insensitive XOR over text hashes -- bit_xor cannot
     # overflow under ANSI the way a sum of xxhash64 values would), so
@@ -602,9 +660,8 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
         F.expr("bit_xor(xxhash64(text))").alias("xh")).first()
     fingerprint = f"n={ident.n} ids={ident.ids} xh={ident.xh}"
     marker = os.path.join(state_dir, "_CORPUS")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            prev = fh.read().strip()
+    if fsio.exists(spark, marker):
+        prev = fsio.read_text(spark, marker).strip()
         if prev != fingerprint:
             raise ValueError(
                 "evolving_neardup_gate: state_dir holds state seeded from "
@@ -613,20 +670,32 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
                 "another stream's admissions. Use a fresh state_dir (or "
                 "delete this one) per (corpus, stream).")
     else:
-        (corpus_toks.select(F.explode("toks").alias("tok"))
-         .groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
-         .write.mode("overwrite").parquet(os.path.join(state_dir, "freq")))
-        _write_state(corpus_toks, dedup._prefix_table(corpus_toks), -1)
-        with open(marker, "w") as fh:
-            fh.write(fingerprint + "\n")
+        gen0 = _gen_path(state_dir, 0)
+        _write_baseline(gen0, corpus_toks,
+                        dedup._prefix_table(corpus_toks))
+        fsio.create_marker(spark, os.path.join(gen0, "_COMMITTED"))
+        fsio.write_text(spark, marker, fingerprint + "\n")
 
-    def score(batch: DataFrame, epoch_id: int) -> DataFrame:
-        state_toks = spark.read.parquet(os.path.join(state_dir, "toks"))
+    def _state_table(name: str, gen: int, epoch_id: int) -> DataFrame:
+        base = spark.read.parquet(
+            os.path.join(_gen_path(state_dir, gen), name))
+        appends = os.path.join(state_dir, name)
+        # the appends table may not exist yet (no batch has written) or
+        # may be an empty husk (compaction deleted every partition) --
+        # either way there is nothing to union and the read would fail
+        if not any(n.startswith("__epoch=")
+                   for n in fsio.list_names(spark, appends)):
+            return base
         # a replayed epoch must not gate the batch against its own
         # earlier attempt's admissions
-        state_toks = state_toks.filter(F.col("__epoch") < int(epoch_id))
-        state_pref = (spark.read.parquet(os.path.join(state_dir, "pref"))
-                      .filter(F.col("__epoch") < int(epoch_id)))
+        app = (spark.read.parquet(appends)
+               .filter(F.col("__epoch") < int(epoch_id)).drop("__epoch"))
+        return base.unionByName(app)
+
+    def score(batch: DataFrame, epoch_id: int) -> DataFrame:
+        gen = _current_gen(spark, state_dir)
+        state_toks = _state_table("toks", gen, epoch_id)
+        state_pref = _state_table("pref", gen, epoch_id)
 
         rejected = _gate_rejects(state_pref, state_toks,
                                  dedup._tok_sets(batch))
@@ -637,7 +706,8 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
         admitted = dedup._scoped_build(admitted)
         adm_toks = dedup._tok_sets(admitted).select(
             "doc_id", "lang", "toks", "n_toks")
-        frozen_freq = spark.read.parquet(os.path.join(state_dir, "freq"))
+        frozen_freq = spark.read.parquet(
+            os.path.join(_gen_path(state_dir, gen), "freq"))
         _write_state(adm_toks, dedup._prefix_table(adm_toks, frozen_freq),
                      epoch_id)
         return admitted.select("doc_id", "lang", "source", "n_chars")
@@ -645,10 +715,49 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
     return score
 
 
+def _gen_path(state_dir: str, gen: int) -> str:
+    return os.path.join(state_dir, f"gen={gen}")
+
+
+def _current_gen(spark, state_dir: str) -> int | None:
+    """Highest COMMITTED baseline generation under ``state_dir`` (the
+    one readers use), or None before the first seed.  A generation
+    directory without its ``_COMMITTED`` marker is a crashed
+    compaction's debris: ignored here, overwritten by the next
+    compaction run."""
+    from .. import fsio
+
+    gens = []
+    for name in fsio.list_names(spark, state_dir):
+        if name.startswith("gen="):
+            try:
+                g = int(name[4:])
+            except ValueError:
+                continue
+            if fsio.exists(spark, os.path.join(
+                    _gen_path(state_dir, g), "_COMMITTED")):
+                gens.append(g)
+    return max(gens) if gens else None
+
+
+def _write_baseline(gen_dir: str, toks: DataFrame, pref: DataFrame) -> None:
+    """Write one baseline generation's data files (toks, pref, and the
+    freq table derived from toks).  The caller commits by creating
+    ``_COMMITTED`` afterwards -- data writes and the commit point are
+    deliberately separate steps."""
+    toks.write.mode("overwrite").parquet(os.path.join(gen_dir, "toks"))
+    pref.write.mode("overwrite").parquet(os.path.join(gen_dir, "pref"))
+    (toks.select(F.explode("toks").alias("tok"))
+     .groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
+     .write.mode("overwrite").parquet(os.path.join(gen_dir, "freq")))
+
+
 def compact_gate_state(spark: SparkSession, state_dir: str) -> None:
     """Offline compaction for :func:`evolving_neardup_gate` state: fold
-    every epoch partition into a new ``__epoch=-1`` baseline and refresh
-    the frozen token-frequency table from the FULL admitted state.
+    the current baseline generation plus every complete epoch partition
+    into a NEW baseline generation (with freshly re-ranked prefixes and
+    a refreshed token-frequency table), commit it atomically, then
+    clean up the folded inputs.
 
     Why it exists at scale: each micro-batch appends one (usually
     small) partition to ``toks``/``pref`` -- after a few thousand
@@ -658,55 +767,86 @@ def compact_gate_state(spark: SparkSession, state_dir: str) -> None:
     SELECTIVITY -- never correctness, the single-sided principle only
     needs prefix length).  Compaction rewrites history offline: one
     pass re-ranks every doc's prefix under the refreshed frequencies
-    (allowed here precisely because the whole index is rewritten
-    atomically-per-table; the per-batch path must NOT re-rank, its
+    (allowed here precisely because the whole index is rewritten as one
+    committed snapshot; the per-batch path must NOT re-rank, its
     entries are immutable).  Gate verdicts are invariant across a
     compaction -- pinned by test.
 
-    Epoch numbering continues unchanged afterwards: the baseline sits
-    at -1, below any replayed or future epoch's ``__epoch < epoch_id``
-    state filter.  Run it between drains (availableNow catch-up
-    windows), not concurrently with a live score() write."""
+    Crash-safe by GENERATIONS (ADVICE r12: the previous in-place
+    dynamic overwrite of the baseline partition was delete-then-move at
+    job commit, so a crash mid-commit could lose the ONLY copy of the
+    seed corpus + past admissions, and re-running folded the loss in
+    permanently).  Now the current baseline is never mutated:
+
+    1. Write the folded state to ``gen=<G+1>`` (a fresh directory; a
+       crash here leaves uncommitted debris that readers ignore and the
+       next run overwrites).
+    2. COMMIT by creating ``gen=<G+1>/_COMMITTED`` -- an atomic
+       create-if-absent; readers switch to the new baseline exactly
+       when it appears.
+    3. Clean up: delete the folded epoch partitions and all older
+       generations.  A crash between 2 and 3 leaves redundant copies
+       (epoch rows also present in the new baseline) -- harmless for
+       verdicts (duplicate index rows feed the candidate ``distinct``,
+       duplicate token rows the verify join) and healed by re-running:
+       the fold dedupes on ``doc_id``.
+
+    A TORN epoch (``toks`` written but its ``pref`` twin missing -- a
+    batch crashed mid-score and will be replayed) is neither folded nor
+    deleted: folding it into the baseline would gate the replay against
+    its own earlier attempt.  The replay's dynamic partition overwrite
+    rewrites it.
+
+    Epoch numbering continues unchanged afterwards: the baseline lives
+    outside the epoch keyspace, below any replayed or future epoch's
+    ``__epoch < epoch_id`` state filter.  Run it between drains
+    (availableNow catch-up windows), not concurrently with a live
+    score() write."""
+    from .. import fsio
     from ..operators import dedup
 
-    # Crash-safe by construction (review finding, r12): every step is
-    # idempotent and every crash point leaves the gate's VERDICTS
-    # correct, so recovery is always "re-run compact_gate_state".
-    #   1. Fold everything into the -1 baseline via DYNAMIC partition
-    #      overwrite (only -1 is replaced; the folded data was
-    #      materialized first, so the read never races the write).  A
-    #      crash after this step leaves the admissions REDUNDANT --
-    #      present in the new baseline AND still in their epoch
-    #      partitions -- which is harmless: duplicate index rows feed
-    #      the candidate distinct(), duplicate token rows the verify
-    #      join, verdicts unchanged.  Old-ranked prefix entries are
-    #      valid too (any fixed per-doc prefix is lossless).
-    #   2. Delete the folded epoch partitions.
-    #   3. Refresh the freq table LAST: until it commits the gate
-    #      appends under the old frequencies, which stays lossless
-    #      (frequency order is selectivity only); a crash mid-write is
-    #      a LOUD read failure healed by re-running.
-    toks = dedup._scoped_build(
-        spark.read.parquet(os.path.join(state_dir, "toks")).drop("__epoch"))
+    cur = _current_gen(spark, state_dir)
+    if cur is None:
+        raise ValueError(
+            "compact_gate_state: no committed baseline generation under "
+            f"{state_dir!r} -- construct evolving_neardup_gate first.")
+
+    def _epochs(name: str) -> set[int]:
+        out = set()
+        for n in fsio.list_names(spark, os.path.join(state_dir, name)):
+            if n.startswith("__epoch="):
+                out.add(int(n.split("=", 1)[1]))
+        return out
+
+    # fold exactly the COMPLETE epochs listed now; anything appearing
+    # later (or torn) is left for the next run / the replay
+    fold_ids = sorted(_epochs("toks") & _epochs("pref"))
+
+    base_toks = spark.read.parquet(
+        os.path.join(_gen_path(state_dir, cur), "toks"))
+    if fold_ids:
+        app = (spark.read.parquet(os.path.join(state_dir, "toks"))
+               .filter(F.col("__epoch").isin(fold_ids)).drop("__epoch"))
+        base_toks = base_toks.unionByName(app)
+    # dropDuplicates heals the crash-between-commit-and-cleanup case:
+    # rows present in both the baseline and a leftover epoch partition
+    toks = dedup._scoped_build(base_toks.dropDuplicates(["doc_id"]))
     # _prefix_table re-ranks under frequencies computed from its input,
-    # which equals the freq table written in step 3
+    # which equals the freq table _write_baseline derives from toks
     pref = dedup._scoped_build(dedup._prefix_table(toks))
-    for name, df in (("toks", toks), ("pref", pref)):
-        (df.withColumn("__epoch", F.lit(-1))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("__epoch")
-         .parquet(os.path.join(state_dir, name)))
-    import shutil as _shutil
+
+    new_gen = _gen_path(state_dir, cur + 1)
+    _write_baseline(new_gen, toks, pref)
+    fsio.create_marker(spark, os.path.join(new_gen, "_COMMITTED"))
 
     for name in ("toks", "pref"):
-        base = os.path.join(state_dir, name)
-        for d in os.listdir(base):
-            if d.startswith("__epoch=") and d != "__epoch=-1":
-                _shutil.rmtree(os.path.join(base, d))
-    (toks.select(F.explode("toks").alias("tok"))
-     .groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
-     .write.mode("overwrite").parquet(os.path.join(state_dir, "freq")))
+        for e in fold_ids:
+            fsio.delete(spark, os.path.join(
+                state_dir, name, f"__epoch={e}"))
+    for name in fsio.list_names(spark, state_dir):
+        if name.startswith("gen=") and name[4:].isdigit() \
+                and int(name[4:]) <= cur:
+            fsio.delete(spark, os.path.join(state_dir, name))
 
 
 def run_evolving_gate(docs_stream: DataFrame, gate, out_dir: str,

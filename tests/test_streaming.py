@@ -793,6 +793,37 @@ def test_stream_documents_drains_table_and_heals_dangling_link(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_stage_symlink_race_tolerant_and_validates_target(tmp_path):
+    """_stage_symlink's TOCTOU close (ADVICE r12): a concurrent stager
+    winning the create race with the SAME target is success (the EEXIST
+    is swallowed and the link re-validated), while a link to a
+    DIFFERENT target still raises loudly instead of silently serving
+    another corpus's file."""
+    import os
+
+    target = tmp_path / "data.parquet"
+    target.write_bytes(b"x")
+    stage = tmp_path / "stage"
+    stage.mkdir()
+
+    # idempotent: second call over a valid link is a no-op
+    pipeline._stage_symlink(str(stage), "t.parquet", str(target))
+    pipeline._stage_symlink(str(stage), "t.parquet", str(target))
+    assert os.path.realpath(stage / "t.parquet") == str(target)
+
+    # the race shape: link appears (same target) between check and
+    # create -- simulated by pre-creating it; must not raise
+    other = tmp_path / "other.parquet"
+    other.write_bytes(b"y")
+    os.symlink(str(target), stage / "race.parquet")
+    pipeline._stage_symlink(str(stage), "race.parquet", str(target))
+
+    # a DIFFERENT target under our name is never acceptable
+    os.symlink(str(other), stage / "clash.parquet")
+    with pytest.raises(FileExistsError, match="points at"):
+        pipeline._stage_symlink(str(stage), "clash.parquet", str(target))
+
+
 def test_neardup_gate_stream_matches_batch_twin(spark, sf_dir):
     """Streaming near-dup ingest gate (build-once corpus index +
     foreachBatch) must equal the registered batch operator exactly:
@@ -1128,10 +1159,11 @@ def test_evolving_gate_streaming_drain(spark, tmp_path):
 
 def test_compact_gate_state_preserves_verdicts_and_folds_epochs(spark):
     """Compaction is an offline rewrite, never a semantic change: after
-    folding all epoch partitions into the -1 baseline and refreshing
-    the frozen frequencies, the gate's verdicts on the next batch are
-    IDENTICAL (a cross-batch near-dup of a pre-compaction admission is
-    still rejected), the state holds only the baseline partition, and
+    folding all epoch partitions into a new committed baseline
+    generation and refreshing the frozen frequencies, the gate's
+    verdicts on the next batch are IDENTICAL (a cross-batch near-dup of
+    a pre-compaction admission is still rejected), the state holds only
+    the new generation (no epoch partitions, no older generations), and
     epoch numbering continues unchanged."""
     import os
 
@@ -1152,12 +1184,14 @@ def test_compact_gate_state_preserves_verdicts_and_folds_epochs(spark):
         pipeline.compact_gate_state(spark, state)
         epochs = {d for d in os.listdir(f"{state}/toks")
                   if d.startswith("__epoch=")}
-        assert epochs == {"__epoch=-1"}
+        assert epochs == set()  # all folded into the new generation
+        assert pipeline._current_gen(spark, state) == 1
+        assert not os.path.exists(f"{state}/gen=0")  # old gen cleaned up
         got = {r.doc_id for r in gate(_gate_df(spark, b2, "b"), 1).collect()}
         assert got == want == {201}
         # frequencies were refreshed from the full state, not the seed
         freq = {r.tok: r.gf for r in
-                spark.read.parquet(f"{state}/freq").collect()}
+                spark.read.parquet(f"{state}/gen=1/freq").collect()}
         import pyspark.sql.functions as SF
         alpha_fp = spark.range(1).select(
             SF.xxhash64(SF.lit("alpha")).alias("h")).first().h
@@ -1255,6 +1289,28 @@ def test_embed_gate_ivf_planted_cells_pin_probe_semantics(spark):
     assert adm2 == set()  # wider probe closes the miss
 
 
+def test_embed_gate_ivf_probe_broadcast_guard_trips(spark, monkeypatch):
+    """The forced probes-side broadcast is bounded (ADVICE r12): a
+    micro-batch whose probe table (rows x nprobe) exceeds the cap must
+    raise loudly naming the fixes, not build an unbounded broadcast --
+    and the same batch passes once the cap accommodates it."""
+    centers = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, center array<double>")
+    corpus = spark.createDataFrame(
+        [(1, "X", [0.9, 0.1], 0)],
+        "vec_id long, label string, embedding array<double>, cell int")
+    batch = spark.createDataFrame(
+        [(100, "X", [0.9, 0.1]), (101, "L", [0.55, 0.5])],
+        "vec_id long, label string, embedding array<double>")
+
+    monkeypatch.setattr(pipeline, "EMBED_GATE_IVF_MAX_PROBE_ROWS", 3)
+    scorer = pipeline.embed_gate_scorer_ivf(corpus, centers, nprobe=2)
+    with pytest.raises(ValueError, match="MAX_PROBE_ROWS"):
+        scorer(batch)  # 2 rows x nprobe 2 = 4 > 3
+    monkeypatch.setattr(pipeline, "EMBED_GATE_IVF_MAX_PROBE_ROWS", 4)
+    assert {r.vec_id for r in scorer(batch).collect()} == {101}
+
+
 def test_evolving_gate_rejects_state_dir_from_other_corpus(spark):
     """Reconstruction over an existing state_dir is legal only for the
     SAME seed corpus (a stream restart); a different corpus would
@@ -1303,5 +1359,139 @@ def test_evolving_gate_reconstruct_after_compaction_keeps_admissions(spark):
             spark, [(200, "en", a_dup), (201, "en", "fresh words only here")],
             "b"), 1).collect()}
         assert got == {201}, got  # 200 still gated by the folded admission
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compact_crash_before_commit_preserves_baseline(spark, monkeypatch):
+    """The ADVICE-r12 crash scenario, pinned: a compaction that dies
+    AFTER writing the new generation's data but BEFORE creating its
+    _COMMITTED marker must leave the old baseline untouched and
+    authoritative -- the old in-place overwrite could lose the ONLY
+    copy of the seed corpus + past admissions at exactly this point.
+    Verdicts are unchanged through the crash, and recovery is simply
+    re-running compact_gate_state."""
+    import os
+
+    from financialtransactionmonitoringsystem_spark import fsio
+
+    corpus = [(1, "en", "seed one two three four five")]
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a_dup = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    b2 = [(200, "en", a_dup), (201, "en", "totally fresh words here")]
+
+    tmp = tempfile.mkdtemp(prefix="evogate_crash_")
+    try:
+        state = f"{tmp}/state"
+        gate = pipeline.evolving_neardup_gate(_gate_df(spark, corpus), state)
+        assert gate(_gate_df(spark, [(100, "en", a)], "b"), 0).count() == 1
+
+        real_marker = fsio.create_marker
+
+        def crash_at_commit(sp, path):
+            raise RuntimeError("simulated crash before commit")
+
+        monkeypatch.setattr(fsio, "create_marker", crash_at_commit)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            pipeline.compact_gate_state(spark, state)
+        monkeypatch.setattr(fsio, "create_marker", real_marker)
+
+        # old generation intact and still current; debris uncommitted
+        assert pipeline._current_gen(spark, state) == 0
+        assert os.path.exists(f"{state}/gen=0/_COMMITTED")
+        assert not os.path.exists(f"{state}/gen=1/_COMMITTED")
+        # verdicts unchanged through the crash: 200 still gated by the
+        # epoch-0 admission, which the debris generation must not hide
+        got = {r.doc_id for r in
+               gate(_gate_df(spark, b2, "b"), 1).collect()}
+        assert got == {201}, got
+        # recovery = re-run; epoch 1's state now exists and folds too
+        pipeline.compact_gate_state(spark, state)
+        assert pipeline._current_gen(spark, state) == 1
+        assert not os.path.exists(f"{state}/gen=0")
+        assert {d for d in os.listdir(f"{state}/toks")
+                if d.startswith("__epoch=")} == set()
+        # the folded baseline holds corpus + both epochs' admissions
+        n = spark.read.parquet(f"{state}/gen=1/toks").count()
+        assert n == 3  # docs 1, 100, 201
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compact_crash_after_commit_heals_on_rerun(spark, monkeypatch):
+    """A compaction that dies AFTER the atomic commit but BEFORE
+    cleanup leaves redundant copies (folded epochs + the old
+    generation).  Redundancy must be verdict-neutral, and a re-run must
+    fold without duplicating rows (the doc_id dedupe) and finish the
+    cleanup."""
+    import os
+
+    from financialtransactionmonitoringsystem_spark import fsio
+
+    corpus = [(1, "en", "seed one two three four five")]
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    a_dup = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+
+    tmp = tempfile.mkdtemp(prefix="evogate_crash2_")
+    try:
+        state = f"{tmp}/state"
+        gate = pipeline.evolving_neardup_gate(_gate_df(spark, corpus), state)
+        assert gate(_gate_df(spark, [(100, "en", a)], "b"), 0).count() == 1
+
+        monkeypatch.setattr(fsio, "delete", lambda sp, path: None)
+        pipeline.compact_gate_state(spark, state)  # commit lands, no cleanup
+        monkeypatch.undo()
+
+        assert pipeline._current_gen(spark, state) == 1
+        assert os.path.exists(f"{state}/gen=0")          # leftover
+        assert os.path.exists(f"{state}/toks/__epoch=0")  # leftover
+        # verdict-neutral: 200 still rejected, 201 admitted, despite the
+        # epoch-0 rows existing in BOTH the new baseline and the epoch
+        got = {r.doc_id for r in gate(_gate_df(
+            spark, [(200, "en", a_dup), (201, "en", "fresh words here")],
+            "b"), 1).collect()}
+        assert got == {201}, got
+        # re-run folds (epochs 0 redundant + 1 new) without duplicates
+        pipeline.compact_gate_state(spark, state)
+        assert pipeline._current_gen(spark, state) == 2
+        assert not os.path.exists(f"{state}/gen=0")
+        toks = spark.read.parquet(f"{state}/gen=2/toks")
+        assert toks.count() == toks.select("doc_id").distinct().count() == 3
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compact_skips_torn_epoch(spark):
+    """An epoch whose toks partition exists but whose pref twin is
+    missing is a batch that crashed mid-score and WILL be replayed:
+    folding it into the baseline would gate the replay against its own
+    earlier attempt.  Compaction must neither fold nor delete it."""
+    corpus = [(1, "en", "seed one two three four five")]
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    tmp = tempfile.mkdtemp(prefix="evogate_torn_")
+    try:
+        state = f"{tmp}/state"
+        gate = pipeline.evolving_neardup_gate(_gate_df(spark, corpus), state)
+        assert gate(_gate_df(spark, [(100, "en", a)], "b"), 0).count() == 1
+        # simulate the torn write: epoch 1's toks landed, pref did not
+        import os
+
+        from financialtransactionmonitoringsystem_spark.operators import dedup
+        torn = dedup._tok_sets(
+            _gate_df(spark, [(999, "en", "torn epoch partial state")], "b")
+        ).select("doc_id", "lang", "toks", "n_toks")
+        (torn.withColumn("__epoch", F.lit(1))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__epoch").parquet(f"{state}/toks"))
+
+        pipeline.compact_gate_state(spark, state)
+        # complete epoch 0 folded + deleted; torn epoch 1 untouched
+        assert {d for d in os.listdir(f"{state}/toks")
+                if d.startswith("__epoch=")} == {"__epoch=1"}
+        folded = {r.doc_id for r in
+                  spark.read.parquet(f"{state}/gen=1/toks").collect()}
+        assert folded == {1, 100}  # 999 NOT folded
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
