@@ -1061,6 +1061,80 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embed_pairs_vectorized(spark: SparkSession, sf_dir: str,
+                           chunk_doubles: int = 1 << 22) -> DataFrame:
+    """Arrow-vectorized form of :func:`q_dedup_embed` -- the r14 swap
+    candidate, shipped and A/B'd in round 13 but NOT yet the registered
+    implementation (q_dedup_embed sits in the r11 cohort; the free-swap
+    rule makes it legally changeable in round 14, the q_text_decontam
+    -> decontam_prefiltered precedent).
+
+    Why: the r13 embedding-replica sweep measured the JVM
+    zip_with/aggregate pair fold at ~12 us/pair -- q_dedup_embed runs
+    121.7 s at 50x (10M in-block pairs), LINEAR but constant-heavy.
+    Here each label block becomes one ``applyInPandas`` group and the
+    pair space is one BLAS matmul (``X @ X.T``), turning the per-pair
+    fold into a vectorized multiply-accumulate.
+
+    Same output contract: pairs (vec_a < vec_b) within a label block
+    with floor-rounded cosine >= the threshold.  The rounding replays
+    :func:`..util.rnd`'s formula (floor(c*1e6 + 5e-1)/1e6) in numpy;
+    BLAS summation order differs from the sequential fold in the last
+    ulp, which can flip a 6-dp floor only when a cosine sits within
+    ~1e-15 of a rounding boundary (~1e-9 odds per pair -- the
+    q_text_linededup probabilistic-parity class; equality vs the fold
+    form and the DuckDB oracle is pinned empirically at suite SFs).
+
+    Scale shape: groups shuffle on ``label`` exactly like the join
+    form, but each group must FIT one task (the grouped-map contract),
+    so this form is for IVF-style coarse blocking where block size is
+    bounded; the chunked matmul (``chunk_doubles`` caps the scratch
+    pair matrix, default 32 MB) bounds the pair-space memory, not the
+    block itself.  For unbounded blocks keep the join form or probe
+    IVF cells (:func:`q_sim_ivf`), which bound the block by
+    construction.
+    """
+    import pandas as pd
+
+    def block_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_a": np.array([], dtype=np.int64),
+                 "vec_b": np.array([], dtype=np.int64),
+                 "label": np.array([], dtype=np.int32),
+                 "cos": np.array([], dtype=np.float64)})
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        ids = pdf["vec_id"].to_numpy()
+        label = pdf["label"].iloc[0]
+        nrm = np.sqrt((X * X).sum(axis=1))
+        chunk = max(1, chunk_doubles // n)
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n - 1, chunk):
+            hi = min(lo + chunk, n - 1)
+            C = (X[lo:hi] @ X.T) / np.outer(nrm[lo:hi], nrm)
+            C = np.floor(C * 1e6 + 0.5) / 1e6  # util.rnd, replayed
+            ii, jj = np.nonzero(C >= EMBED_NEARDUP_THRESHOLD)
+            keep = jj > (ii + lo)  # vec_a < vec_b, ids sorted
+            ii, jj = ii[keep], jj[keep]
+            out_a.append(ids[ii + lo])
+            out_b.append(ids[jj])
+            out_c.append(C[ii, jj])
+        return pd.DataFrame(
+            {"vec_a": np.concatenate(out_a),
+             "vec_b": np.concatenate(out_b),
+             "label": np.full(sum(map(len, out_a)), label, dtype=np.int32),
+             "cos": np.concatenate(out_c)})
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (emb.groupBy("label")
+            .applyInPandas(block_pairs,
+                           "vec_a long, vec_b long, label int, cos double"))
+
+
 def embed_gate_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental embedding-space admission -- ``q_dedup_incremental``
     for the vector modality (tested-but-unregistered twin; joins the

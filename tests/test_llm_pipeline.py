@@ -1740,6 +1740,35 @@ def test_embed_gate_twin_oracle_parity(spark, duck, sf_dir):
     assert 0 < n_adm < n_delta  # the gate rejects something, not all
 
 
+def test_embed_pairs_vectorized_matches_fold_form_and_oracle(spark, duck,
+                                                             sf_dir):
+    """The r14 swap candidate: embed_pairs_vectorized (Arrow grouped-map
+    + BLAS matmul per label block) must produce EXACTLY the registered
+    q_dedup_embed's rows -- and match the same DuckDB oracle -- at the
+    suite SF.  Also exercises the chunked-matmul path with a scratch
+    budget small enough to force multiple chunks per block, which must
+    not change a single pair (the chunk boundary is the bug surface:
+    an off-by-one drops or duplicates the pairs whose vec_a sits at a
+    chunk edge)."""
+    from tests.compare import assert_frames_match
+
+    fold = dedup.q_dedup_embed(spark, sf_dir).toPandas()
+    vec = dedup.embed_pairs_vectorized(spark, sf_dir).toPandas()
+    assert_frames_match(vec, fold, "embed_pairs_vectorized vs fold")
+    assert_frames_match(vec, duck.execute(dedup.ORACLES["q_dedup_embed"]).df(),
+                        "embed_pairs_vectorized vs oracle")
+    assert len(vec) > 0  # the corpus has in-block near-dups to find
+    # chunked path: budget of N doubles over blocks of ~N/4 rows forces
+    # ceil((n-1)/chunk) >= 2 chunks in every populated block
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+    max_block = (load_table(spark, sf_dir, "embeddings")
+                 .groupBy("label").count().agg(F.max("count")).first()[0])
+    chunked = dedup.embed_pairs_vectorized(
+        spark, sf_dir, chunk_doubles=max(1, max_block // 2) * max_block
+    ).toPandas()
+    assert_frames_match(chunked, fold, "embed_pairs_vectorized chunked")
+
+
 def test_corpus_contract_embeddings_finite_nonzero_norm(spark, sf_dir):
     """The embedding family's cross-engine NaN bomb, pinned as a corpus
     contract: a zero-norm (or NaN/NULL-element) embedding makes the

@@ -45,6 +45,7 @@ qs["perplexity_bigram_twin"] = _txt.perplexity_bigram_twin
 qs["mixture_cap_epochs_twin"] = _cur.mixture_cap_epochs_twin
 from financialtransactionmonitoringsystem_spark.operators import dedup as _ddp
 qs["embed_gate_twin"] = _ddp.embed_gate_twin
+qs["embed_pairs_vectorized"] = _ddp.embed_pairs_vectorized
 
 jvm_gc = spark.sparkContext._jvm.System.gc
 for key in KEYS:
