@@ -671,8 +671,9 @@ def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
                 "delete this one) per (corpus, stream).")
     else:
         gen0 = _gen_path(state_dir, 0)
-        _write_baseline(gen0, corpus_toks,
-                        dedup._prefix_table(corpus_toks))
+        _write_baseline(gen0, {"toks": corpus_toks,
+                               "pref": dedup._prefix_table(corpus_toks),
+                               "freq": _token_freq(corpus_toks)})
         fsio.create_marker(spark, os.path.join(gen0, "_COMMITTED"))
         fsio.write_text(spark, marker, fingerprint + "\n")
 
@@ -740,16 +741,21 @@ def _current_gen(spark, state_dir: str) -> int | None:
     return max(gens) if gens else None
 
 
-def _write_baseline(gen_dir: str, toks: DataFrame, pref: DataFrame) -> None:
-    """Write one baseline generation's data files (toks, pref, and the
-    freq table derived from toks).  The caller commits by creating
-    ``_COMMITTED`` afterwards -- data writes and the commit point are
-    deliberately separate steps."""
-    toks.write.mode("overwrite").parquet(os.path.join(gen_dir, "toks"))
-    pref.write.mode("overwrite").parquet(os.path.join(gen_dir, "pref"))
-    (toks.select(F.explode("toks").alias("tok"))
-     .groupBy("tok").agg(F.count(F.lit(1)).alias("gf"))
-     .write.mode("overwrite").parquet(os.path.join(gen_dir, "freq")))
+def _write_baseline(gen_dir: str, tables: dict) -> None:
+    """Write one baseline generation's data files (name -> DataFrame).
+    The caller commits by creating ``_COMMITTED`` afterwards -- data
+    writes and the commit point are deliberately separate steps.
+    Shared by the text gate (toks/pref/freq) and the embedding gate
+    (vecs) so the generation protocol cannot drift between them."""
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(gen_dir, name))
+
+
+def _token_freq(toks: DataFrame) -> DataFrame:
+    """Global token frequencies of a token-set table (the text gate's
+    prefix-selectivity ranking input)."""
+    return (toks.select(F.explode("toks").alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("gf")))
 
 
 def compact_gate_state(spark: SparkSession, state_dir: str) -> None:
@@ -836,13 +842,154 @@ def compact_gate_state(spark: SparkSession, state_dir: str) -> None:
     pref = dedup._scoped_build(dedup._prefix_table(toks))
 
     new_gen = _gen_path(state_dir, cur + 1)
-    _write_baseline(new_gen, toks, pref)
+    _write_baseline(new_gen, {"toks": toks, "pref": pref,
+                              "freq": _token_freq(toks)})
     fsio.create_marker(spark, os.path.join(new_gen, "_COMMITTED"))
 
     for name in ("toks", "pref"):
         for e in fold_ids:
             fsio.delete(spark, os.path.join(
                 state_dir, name, f"__epoch={e}"))
+    for name in fsio.list_names(spark, state_dir):
+        if name.startswith("gen=") and name[4:].isdigit() \
+                and int(name[4:]) <= cur:
+            fsio.delete(spark, os.path.join(state_dir, name))
+
+
+def evolving_embed_gate(corpus_vecs: DataFrame, state_dir: str):
+    """Embedding-modality twin of :func:`evolving_neardup_gate` --
+    completes the {text, embedding} x {static, evolving} gate matrix:
+    state GROWS with admissions, so a batch vector whose same-label
+    near-dup (cos >= 0.35) was ADMITTED in an earlier micro-batch is
+    rejected even though neither is in the seed corpus.  The static
+    :func:`embed_gate_scorer`, by contract, admits it (contrast-pinned,
+    the text pair's precedent).
+
+    State layout is the text gate's generation protocol with ONE data
+    table: ``gen=<G>/vecs`` (baseline: corpus + folded admissions, L2
+    norms precomputed, committed by atomic ``_COMMITTED`` create) plus
+    ``vecs/__epoch=<k>`` per-batch admission appends via dynamic
+    partition overwrite -- state and output replay idempotently,
+    exactly-once together.  All maintenance through :mod:`..fsio`.
+    Within a batch, vectors are NOT gated against each other (corpus +
+    prior admissions only); order across batches is the operator's
+    point.  At 100 TB the per-batch read is index-sized (baseline +
+    admitted vectors, never raw corpus text), the block key ``label``
+    is the shuffle key, and the batch side is ingest-sized -- the
+    :func:`embed_gate_scorer` shape with growing state.  For blocks
+    too hot to brute-force the ANN path is the IVF probe
+    (:func:`embed_gate_scorer_ivf`); evolving its inverted file is the
+    same epoch-append step applied to cells.
+
+    Returns ``score(batch_df, epoch_id) -> admitted (vec_id, label)``;
+    drive it with :func:`run_evolving_gate`.
+    """
+    from .. import fsio
+    from ..operators import dedup
+
+    spark = corpus_vecs.sparkSession
+
+    normed = corpus_vecs.select(
+        "vec_id", "label", "embedding",
+        dedup.norm_fold(F.col("embedding")).alias("nrm"))
+    ident = corpus_vecs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("ids"),
+        F.expr("bit_xor(xxhash64(embedding))").alias("xh")).first()
+    fingerprint = f"n={ident.n} ids={ident.ids} xh={ident.xh}"
+    marker = os.path.join(state_dir, "_CORPUS")
+    if fsio.exists(spark, marker):
+        prev = fsio.read_text(spark, marker).strip()
+        if prev != fingerprint:
+            raise ValueError(
+                "evolving_embed_gate: state_dir holds state seeded from a "
+                f"DIFFERENT corpus ({prev!r} != {fingerprint!r}); its epoch "
+                "partitions would silently gate this stream against another "
+                "stream's admissions. Use a fresh state_dir (or delete this "
+                "one) per (corpus, stream).")
+    else:
+        gen0 = _gen_path(state_dir, 0)
+        _write_baseline(gen0, {"vecs": normed})
+        fsio.create_marker(spark, os.path.join(gen0, "_COMMITTED"))
+        fsio.write_text(spark, marker, fingerprint + "\n")
+
+    def score(batch: DataFrame, epoch_id: int) -> DataFrame:
+        gen = _current_gen(spark, state_dir)
+        state = spark.read.parquet(
+            os.path.join(_gen_path(state_dir, gen), "vecs"))
+        appends = os.path.join(state_dir, "vecs")
+        if any(n.startswith("__epoch=")
+               for n in fsio.list_names(spark, appends)):
+            # a replayed epoch must not gate the batch against its own
+            # earlier attempt's admissions
+            app = (spark.read.parquet(appends)
+                   .filter(F.col("__epoch") < int(epoch_id)).drop("__epoch"))
+            state = state.unionByName(app)
+
+        bt = batch.select(
+            "vec_id", "label", "embedding",
+            dedup.norm_fold(F.col("embedding")).alias("nrm"))
+        a, b = state.alias("a"), bt.alias("b")
+        cos = dedup.dot_fold(F.col("a.embedding"), F.col("b.embedding")) \
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        rejected = (
+            a.join(b, F.col("a.label") == F.col("b.label"))
+            .filter(rnd(cos, 6) >= dedup.EMBED_NEARDUP_THRESHOLD)
+            .select(F.col("b.vec_id").alias("vec_id")).distinct()
+        )
+        admitted = bt.join(rejected, "vec_id", "left_anti")
+        # materialize the verdict ONCE (the state read above must not
+        # race the state write below)
+        admitted = dedup._scoped_build(admitted)
+        (admitted.withColumn("__epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__epoch").parquet(appends))
+        return admitted.select("vec_id", "label")
+
+    return score
+
+
+def compact_embed_gate_state(spark: SparkSession, state_dir: str) -> None:
+    """Offline compaction for :func:`evolving_embed_gate` state: fold
+    the current baseline generation plus every epoch partition into a
+    NEW committed generation (the small-files maintenance step), with
+    the same crash-safety protocol as :func:`compact_gate_state` --
+    write gen=<G+1> fully, commit via atomic ``_COMMITTED`` create,
+    clean up only after; a vec_id dedupe heals
+    crash-between-commit-and-cleanup redundancy.  Verdicts are
+    invariant across a compaction (no re-ranking exists here -- vectors
+    are their own index entries).  Single-table state means a torn
+    epoch cannot be DETECTED the way the text gate's toks-without-pref
+    can; the same operating contract applies: run between drains, not
+    concurrently with a live score() write."""
+    from .. import fsio
+
+    cur = _current_gen(spark, state_dir)
+    if cur is None:
+        raise ValueError(
+            "compact_embed_gate_state: no committed baseline generation "
+            f"under {state_dir!r} -- construct evolving_embed_gate first.")
+
+    appends = os.path.join(state_dir, "vecs")
+    fold_ids = sorted(
+        int(n.split("=", 1)[1])
+        for n in fsio.list_names(spark, appends) if n.startswith("__epoch="))
+    vecs = spark.read.parquet(
+        os.path.join(_gen_path(state_dir, cur), "vecs"))
+    if fold_ids:
+        app = (spark.read.parquet(appends)
+               .filter(F.col("__epoch").isin(fold_ids)).drop("__epoch"))
+        vecs = vecs.unionByName(app)
+    from ..operators import dedup
+    vecs = dedup._scoped_build(vecs.dropDuplicates(["vec_id"]))
+
+    new_gen = _gen_path(state_dir, cur + 1)
+    _write_baseline(new_gen, {"vecs": vecs})
+    fsio.create_marker(spark, os.path.join(new_gen, "_COMMITTED"))
+
+    for e in fold_ids:
+        fsio.delete(spark, os.path.join(appends, f"__epoch={e}"))
     for name in fsio.list_names(spark, state_dir):
         if name.startswith("gen=") and name[4:].isdigit() \
                 and int(name[4:]) <= cur:

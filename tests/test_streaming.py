@@ -1311,6 +1311,166 @@ def test_embed_gate_ivf_probe_broadcast_guard_trips(spark, monkeypatch):
     assert {r.vec_id for r in scorer(batch).collect()} == {101}
 
 
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, l, [float(x) for x in v]) for i, l, v in rows],
+        "vec_id long, label string, embedding array<double>")
+
+
+def _py_seq_embed_admit(corpus, batches, thr=0.35):
+    """Pure-Python sequential reference for the evolving embed gate:
+    batch k gated against corpus + admissions from batches < k (never
+    itself); same left-fold dot order and floor-round as the Spark
+    form, so equality is exact."""
+    import math
+
+    state = [(l, v) for _, l, v in corpus]
+    out = []
+    for b in batches:
+        adm = set()
+        for vid, l, v in b:
+            rej = False
+            for sl, sv in state:
+                if sl != l:
+                    continue
+                dot = sum(float(x) * float(y) for x, y in zip(sv, v))
+                c = dot / (math.sqrt(sum(float(x) ** 2 for x in sv))
+                           * math.sqrt(sum(float(x) ** 2 for x in v)))
+                if math.floor(c * 1e6 + 0.5) / 1e6 >= thr:
+                    rej = True
+                    break
+            if not rej:
+                adm.add(vid)
+        state += [(l, v) for vid, l, v in b if vid in adm]
+        out.append(adm)
+    return out
+
+
+def test_evolving_embed_gate_catches_cross_batch_dups(spark):
+    """The embedding-modality evolving gate's whole point vs the static
+    embed_gate_scorer: a same-label near-dup (cos >= 0.35) of a vector
+    ADMITTED in an earlier micro-batch must be rejected -- neither is
+    in the seed corpus, so the static gate, by contract, admits it."""
+    corpus = [(1, "X", [1.0, 0.0])]
+    b1 = [(100, "X", [0.0, 1.0])]            # orthogonal to corpus: admit
+    b2 = [(200, "X", [0.1, 1.0]),            # near-dup of 100: cos .995
+          (201, "Y", [0.1, 1.0]),            # other label: admit
+          (202, "X", [1.0, 0.05])]           # near-dup of CORPUS: reject
+
+    tmp = tempfile.mkdtemp(prefix="evoembed_")
+    try:
+        gate = pipeline.evolving_embed_gate(
+            _vec_df(spark, corpus), f"{tmp}/state")
+        adm1 = {r.vec_id for r in gate(_vec_df(spark, b1), 0).collect()}
+        assert adm1 == {100}
+        adm2 = {r.vec_id for r in gate(_vec_df(spark, b2), 1).collect()}
+        assert adm2 == {201}, adm2
+        # contrast: the static gate admits the cross-batch dup
+        static = pipeline.embed_gate_scorer(_vec_df(spark, corpus))
+        got = {r.vec_id for r in static(_vec_df(spark, b2)).collect()}
+        assert 200 in got
+        # reference agrees end-to-end
+        assert _py_seq_embed_admit(corpus, [b1, b2]) == [adm1, adm2]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_evolving_embed_gate_matches_sequential_reference_randomized(spark):
+    """Seeded randomized batches over a near-dup-dense 4-d vector pool:
+    per-batch admissions must equal the pure-Python sequential
+    reference exactly (the text gate's corpus-luck lesson applied to
+    vectors: mutations are PLANTED, not hoped for)."""
+    import random
+
+    rng = random.Random(13)
+    pool = []
+
+    def vec(i):
+        if pool and rng.random() < 0.5:
+            # perturb an earlier vector: same label, cos ~0.999
+            _, l, v = rng.choice(pool)
+            d = (i, l, [x + rng.uniform(-0.02, 0.02) for x in v])
+        else:
+            d = (i, rng.choice(["X", "Y"]),
+                 [rng.uniform(-1, 1) for _ in range(4)])
+        pool.append(d)
+        return d
+
+    corpus = [vec(i) for i in range(10)]
+    batches = [[vec(100 * (k + 1) + i) for i in range(6)] for k in range(3)]
+
+    tmp = tempfile.mkdtemp(prefix="evoembed_rand_")
+    try:
+        gate = pipeline.evolving_embed_gate(
+            _vec_df(spark, corpus), f"{tmp}/state")
+        got = [{r.vec_id for r in gate(_vec_df(spark, b), k).collect()}
+               for k, b in enumerate(batches)]
+        assert got == _py_seq_embed_admit(corpus, batches)
+        n_adm = sum(len(s) for s in got)
+        assert 0 < n_adm < sum(len(b) for b in batches)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_evolving_embed_gate_epoch_replay_and_compaction(spark):
+    """Replayed epochs are idempotent (the state read filters
+    __epoch < epoch_id), and compaction preserves verdicts: after
+    folding every epoch into a new committed generation, a near-dup of
+    a pre-compaction admission is still rejected, the state holds only
+    the new generation, and epoch numbering continues."""
+    import os
+
+    corpus = [(1, "X", [1.0, 0.0])]
+    b1 = [(100, "X", [0.0, 1.0])]
+    b2 = [(200, "X", [0.1, 1.0]), (201, "X", [-1.0, -0.05])]
+
+    tmp = tempfile.mkdtemp(prefix="evoembed_compact_")
+    try:
+        state = f"{tmp}/state"
+        gate = pipeline.evolving_embed_gate(_vec_df(spark, corpus), state)
+        first = {r.vec_id for r in gate(_vec_df(spark, b1), 0).collect()}
+        replay = {r.vec_id for r in gate(_vec_df(spark, b1), 0).collect()}
+        assert first == replay == {100}
+        n_e0 = (spark.read.parquet(f"{state}/vecs")
+                .filter(F.col("__epoch") == 0).count())
+        assert n_e0 == 1  # no double-append on replay
+
+        want = _py_seq_embed_admit(corpus, [b1, b2])[1]
+        pipeline.compact_embed_gate_state(spark, state)
+        assert pipeline._current_gen(spark, state) == 1
+        assert not os.path.exists(f"{state}/gen=0")
+        assert {d for d in os.listdir(f"{state}/vecs")
+                if d.startswith("__epoch=")} == set()
+        got = {r.vec_id for r in gate(_vec_df(spark, b2), 1).collect()}
+        assert got == want == {201}, got  # 200 gated by folded admission
+        # the folded baseline holds corpus + epoch-0 admission, deduped
+        assert spark.read.parquet(f"{state}/gen=1/vecs").count() == 2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_evolving_embed_gate_rejects_other_corpus_and_resumes(spark):
+    """Same-corpus reconstruction resumes (prior admissions still
+    gate); a different corpus -- including one with identical ids but
+    DIFFERENT vectors, which only the content hash can tell apart --
+    fails loudly at construction."""
+    corpus_a = [(1, "X", [1.0, 0.0])]
+    corpus_b = [(1, "X", [0.0, 1.0])]  # same id, different content
+    b1 = [(100, "X", [0.0, 1.0])]
+
+    tmp = tempfile.mkdtemp(prefix="evoembed_ident_")
+    try:
+        state = f"{tmp}/state"
+        gate = pipeline.evolving_embed_gate(_vec_df(spark, corpus_a), state)
+        assert gate(_vec_df(spark, b1), 0).count() == 1
+        gate2 = pipeline.evolving_embed_gate(_vec_df(spark, corpus_a), state)
+        assert gate2(_vec_df(spark, b1), 1).count() == 0  # dup of e0
+        with pytest.raises(ValueError, match="DIFFERENT corpus"):
+            pipeline.evolving_embed_gate(_vec_df(spark, corpus_b), state)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_evolving_gate_rejects_state_dir_from_other_corpus(spark):
     """Reconstruction over an existing state_dir is legal only for the
     SAME seed corpus (a stream restart); a different corpus would
