@@ -1449,6 +1449,42 @@ def test_evolving_embed_gate_epoch_replay_and_compaction(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_evolving_embed_gate_streaming_drain(spark, tmp_path):
+    """run_evolving_gate drives the embedding gate unchanged (the gate
+    contract is modality-independent): a two-file drain where file 2
+    holds a near-dup of file 1's admission must land epoch-partitioned
+    output equal to the sequential reference."""
+    import os
+
+    corpus = [(1, "X", [1.0, 0.0])]
+    b1 = [(100, "X", [0.0, 1.0])]
+    b2 = [(200, "X", [0.1, 1.0]),      # near-dup of file 1's admission
+          (201, "X", [-1.0, -0.05])]   # cos vs corpus -0.999, vs 100 -0.05
+
+    tmp = str(tmp_path)
+    stage = f"{tmp}/in"
+    os.makedirs(stage)
+    for i, rows in enumerate((b1, b2)):
+        df = _vec_df(spark, rows).coalesce(1)
+        df.write.parquet(f"{tmp}/half{i}")
+        part = next(f for f in os.listdir(f"{tmp}/half{i}")
+                    if f.endswith(".parquet"))
+        os.rename(f"{tmp}/half{i}/{part}", f"{stage}/batch{i}.parquet")
+
+    gate = pipeline.evolving_embed_gate(_vec_df(spark, corpus),
+                                        f"{tmp}/state")
+    src = (spark.readStream
+           .schema(_vec_df(spark, corpus).schema)
+           .option("maxFilesPerTrigger", "1").parquet(stage))
+    pipeline.run_evolving_gate(src, gate, f"{tmp}/out", f"{tmp}/ckpt"
+                               ).awaitTermination()
+    assert len(os.listdir(f"{tmp}/ckpt/commits")) >= 2
+    got = {r.vec_id for r in
+           pipeline.read_scores(spark, f"{tmp}/out").collect()}
+    want = set().union(*_py_seq_embed_admit(corpus, [b1, b2]))
+    assert got == want == {100, 201}
+
+
 def test_evolving_embed_gate_rejects_other_corpus_and_resumes(spark):
     """Same-corpus reconstruction resumes (prior admissions still
     gate); a different corpus -- including one with identical ids but
