@@ -537,45 +537,71 @@ def embed_gate_scorer_ivf(corpus_cells: DataFrame, centers: DataFrame,
         "nrm", dedup.norm_fold(F.col("embedding")))
 
     def score(batch: DataFrame) -> DataFrame:
-        n_batch = batch.count()
-        if n_batch * nprobe > EMBED_GATE_IVF_MAX_PROBE_ROWS:
-            raise ValueError(
-                f"embed_gate_scorer_ivf: micro-batch of {n_batch:,} "
-                f"vectors x nprobe={nprobe} expands to more probe rows "
-                f"than EMBED_GATE_IVF_MAX_PROBE_ROWS="
-                f"{EMBED_GATE_IVF_MAX_PROBE_ROWS:,}, so the forced "
-                "probes-side broadcast is no longer safe. Bound the "
-                "micro-batch at the source (maxFilesPerTrigger / "
-                "maxOffsetsPerTrigger), score with the exact block gate "
-                "embed_gate_scorer, or raise the cap deliberately.")
-        bt = batch.withColumn("nrm", dedup.norm_fold(F.col("embedding")))
-        d2 = F.aggregate(
-            F.zip_with(F.col("embedding").cast("array<double>"),
-                       F.col("center"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0), lambda acc, v: acc + v)
-        wq = Window.partitionBy("vec_id").orderBy(
-            F.col("d2").asc(), F.col("cell").asc())
-        probes = (
-            bt.crossJoin(F.broadcast(centers))
-            .select("vec_id", "label", "embedding", "nrm", "cell",
-                    d2.alias("d2"))
-            .withColumn("pr", F.row_number().over(wq))
-            .filter(F.col("pr") <= nprobe)
-            .select("vec_id", "label", "embedding", "nrm", "cell")
-        )
-        a, b = corpus.alias("a"), probes.alias("b")
-        cos = dedup.dot_fold(F.col("a.embedding"), F.col("b.embedding")) \
-            / (F.col("a.nrm") * F.col("b.nrm"))
-        rejected = (
-            a.join(F.broadcast(b), (F.col("a.cell") == F.col("b.cell"))
-                   & (F.col("a.label") == F.col("b.label")))
-            .filter(rnd(cos, 6) >= dedup.EMBED_NEARDUP_THRESHOLD)
-            .select(F.col("b.vec_id").alias("vec_id")).distinct()
-        )
+        rejected = _ivf_probe_rejects(corpus, batch, centers, nprobe,
+                                      "embed_gate_scorer_ivf")
         return (batch.join(rejected, "vec_id", "left_anti")
                 .select("vec_id", "label"))
 
     return score
+
+
+def _ivf_cell_rank(centers: DataFrame, batch_normed: DataFrame,
+                   nprobe: int) -> DataFrame:
+    """Each batch vector's ``nprobe`` nearest IVF cells under
+    ``centers``: (vec_id, label, embedding, nrm, cell) -- one row per
+    probe.  Shared by the static and evolving IVF gates and by the
+    evolving gate's admission-assignment step (nprobe=1), so cell
+    RANKING can never drift between probing and assignment (an
+    assignment that ranked differently from the probe would break the
+    exact-duplicate-always-caught guarantee)."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"),
+                   F.col("center"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v)
+    wq = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("cell").asc())
+    return (
+        batch_normed.crossJoin(F.broadcast(centers))
+        .select("vec_id", "label", "embedding", "nrm", "cell",
+                d2.alias("d2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("vec_id", "label", "embedding", "nrm", "cell")
+    )
+
+
+def _ivf_probe_rejects(corpus_normed: DataFrame, batch: DataFrame,
+                       centers: DataFrame, nprobe: int,
+                       who: str) -> DataFrame:
+    """Rejected batch vec_ids under the IVF probe discipline: rank the
+    batch's nprobe nearest cells, broadcast-join the (cell, label)
+    candidates, EXACT cosine filter.  The probe guard and the
+    broadcast rationale live in :func:`embed_gate_scorer_ivf`'s
+    docstring; both IVF gates route here."""
+    from ..operators import dedup
+
+    n_batch = batch.count()
+    if n_batch * nprobe > EMBED_GATE_IVF_MAX_PROBE_ROWS:
+        raise ValueError(
+            f"{who}: micro-batch of {n_batch:,} "
+            f"vectors x nprobe={nprobe} expands to more probe rows "
+            f"than EMBED_GATE_IVF_MAX_PROBE_ROWS="
+            f"{EMBED_GATE_IVF_MAX_PROBE_ROWS:,}, so the forced "
+            "probes-side broadcast is no longer safe. Bound the "
+            "micro-batch at the source (maxFilesPerTrigger / "
+            "maxOffsetsPerTrigger), score with the exact block gate "
+            "embed_gate_scorer, or raise the cap deliberately.")
+    bt = batch.withColumn("nrm", dedup.norm_fold(F.col("embedding")))
+    probes = _ivf_cell_rank(centers, bt, nprobe)
+    a, b = corpus_normed.alias("a"), probes.alias("b")
+    cos = dedup.dot_fold(F.col("a.embedding"), F.col("b.embedding")) \
+        / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(F.broadcast(b), (F.col("a.cell") == F.col("b.cell"))
+               & (F.col("a.label") == F.col("b.label")))
+        .filter(rnd(cos, 6) >= dedup.EMBED_NEARDUP_THRESHOLD)
+        .select(F.col("b.vec_id").alias("vec_id")).distinct()
+    )
 
 
 def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
@@ -986,6 +1012,171 @@ def compact_embed_gate_state(spark: SparkSession, state_dir: str) -> None:
 
     new_gen = _gen_path(state_dir, cur + 1)
     _write_baseline(new_gen, {"vecs": vecs})
+    fsio.create_marker(spark, os.path.join(new_gen, "_COMMITTED"))
+
+    for e in fold_ids:
+        fsio.delete(spark, os.path.join(appends, f"__epoch={e}"))
+    for name in fsio.list_names(spark, state_dir):
+        if name.startswith("gen=") and name[4:].isdigit() \
+                and int(name[4:]) <= cur:
+            fsio.delete(spark, os.path.join(state_dir, name))
+
+
+def evolving_embed_gate_ivf(corpus_cells: DataFrame, centers: DataFrame,
+                            state_dir: str, nprobe: int | None = None):
+    """ANN form of :func:`evolving_embed_gate` -- the scale path when
+    label blocks are too hot to brute-force per batch: candidates come
+    from the batch vector's ``nprobe`` nearest IVF cells, and ADMITTED
+    vectors join the inverted file under their top cell, so a near-dup
+    arriving micro-batches after its original is rejected through the
+    same probe that guards the seed corpus.
+
+    The frozen-frequency principle of :func:`evolving_neardup_gate`,
+    applied to centroids: between compactions the CENTERS are frozen
+    (persisted at seed into the baseline generation), so a vector's
+    cell assignment is immutable once written and probe-vs-assignment
+    consistency is structural -- both rank the same frozen centers
+    through :func:`_ivf_cell_rank`.  The exact-duplicate guarantee
+    therefore holds CROSS-BATCH at any nprobe >= 1: an admitted
+    vector's cell is its own top-ranked cell, which is exactly the top
+    probe of any identical later vector.  Near-dup recall trades to
+    probe width, as in the static gate; precision stays 1.0 (exact
+    cosine on probed candidates).
+
+    State: ``gen=<G>/{cells, centers}`` committed baselines (the
+    generation protocol) + ``cells/__epoch=<k>`` admission appends.
+    :func:`compact_embed_gate_ivf_state` RE-TRAINS the quantizer from
+    the full admitted state and reassigns every vector -- allowed
+    precisely because the whole index is rewritten as one committed
+    snapshot (the per-batch path must NOT re-rank; its entries are
+    immutable).  Verdicts are NOT invariant across an IVF compaction
+    (re-trained centroids move the recall envelope -- that is the
+    point: admissions drag the quantizer toward the data actually
+    ingested); the exact-duplicate guarantee IS invariant and is what
+    the compaction test pins.
+
+    Returns ``score(batch_df, epoch_id)``; drive with
+    :func:`run_evolving_gate`.
+    """
+    from .. import fsio
+    from ..operators import dedup, similarity
+
+    if nprobe is None:
+        nprobe = similarity.IVF_NPROBE
+    spark = corpus_cells.sparkSession
+
+    normed = corpus_cells.select(
+        "vec_id", "label", "embedding",
+        dedup.norm_fold(F.col("embedding")).alias("nrm"), "cell")
+    ident = corpus_cells.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vec_id").alias("ids"),
+        F.expr("bit_xor(xxhash64(embedding))").alias("xh")).first()
+    fingerprint = f"n={ident.n} ids={ident.ids} xh={ident.xh}"
+    marker = os.path.join(state_dir, "_CORPUS")
+    if fsio.exists(spark, marker):
+        prev = fsio.read_text(spark, marker).strip()
+        if prev != fingerprint:
+            raise ValueError(
+                "evolving_embed_gate_ivf: state_dir holds state seeded "
+                f"from a DIFFERENT corpus ({prev!r} != {fingerprint!r}). "
+                "Use a fresh state_dir (or delete this one) per "
+                "(corpus, stream).")
+    else:
+        gen0 = _gen_path(state_dir, 0)
+        _write_baseline(gen0, {"cells": normed, "centers": centers})
+        fsio.create_marker(spark, os.path.join(gen0, "_COMMITTED"))
+        fsio.write_text(spark, marker, fingerprint + "\n")
+
+    def score(batch: DataFrame, epoch_id: int) -> DataFrame:
+        gen = _current_gen(spark, state_dir)
+        gen_dir = _gen_path(state_dir, gen)
+        frozen_centers = spark.read.parquet(
+            os.path.join(gen_dir, "centers"))
+        state = spark.read.parquet(os.path.join(gen_dir, "cells"))
+        appends = os.path.join(state_dir, "cells")
+        if any(n.startswith("__epoch=")
+               for n in fsio.list_names(spark, appends)):
+            app = (spark.read.parquet(appends)
+                   .filter(F.col("__epoch") < int(epoch_id)).drop("__epoch"))
+            state = state.unionByName(app)
+
+        rejected = _ivf_probe_rejects(state, batch, frozen_centers, nprobe,
+                                      "evolving_embed_gate_ivf")
+        admitted = dedup._scoped_build(
+            batch.join(rejected, "vec_id", "left_anti"))
+        adm_cells = _ivf_cell_rank(
+            frozen_centers,
+            admitted.withColumn("nrm",
+                                dedup.norm_fold(F.col("embedding"))),
+            nprobe=1)
+        (adm_cells.withColumn("__epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__epoch").parquet(appends))
+        return admitted.select("vec_id", "label")
+
+    return score
+
+
+def compact_embed_gate_ivf_state(spark: SparkSession, state_dir: str,
+                                 nlist: int | None = None) -> None:
+    """Offline compaction for :func:`evolving_embed_gate_ivf`: fold
+    baseline + epoch appends, RE-TRAIN the KMeans quantizer on the full
+    admitted state (capped deterministic sample, the
+    ``build_ivf_index`` params), reassign every vector to the new
+    centers, and commit ``gen=<G+1>/{cells, centers}`` atomically --
+    the same write-commit-cleanup protocol as the exact gates.
+    Re-training is the step the frozen-centers per-batch path forbids;
+    it is legal here because the whole inverted file and its quantizer
+    are replaced as ONE committed snapshot, so probe and assignment
+    stay consistent on either side of the switch."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from .. import fsio
+    from ..operators import dedup, similarity
+
+    if nlist is None:
+        nlist = similarity.IVF_NLIST
+    cur = _current_gen(spark, state_dir)
+    if cur is None:
+        raise ValueError(
+            "compact_embed_gate_ivf_state: no committed baseline "
+            f"generation under {state_dir!r} -- construct "
+            "evolving_embed_gate_ivf first.")
+
+    appends = os.path.join(state_dir, "cells")
+    fold_ids = sorted(
+        int(n.split("=", 1)[1])
+        for n in fsio.list_names(spark, appends) if n.startswith("__epoch="))
+    vecs = spark.read.parquet(
+        os.path.join(_gen_path(state_dir, cur), "cells")).drop("cell")
+    if fold_ids:
+        app = (spark.read.parquet(appends)
+               .filter(F.col("__epoch").isin(fold_ids))
+               .drop("__epoch", "cell"))
+        vecs = vecs.unionByName(app)
+    vecs = dedup._scoped_build(vecs.dropDuplicates(["vec_id"]))
+
+    n = vecs.count()
+    sample = vecs if n <= similarity.IVF_SAMPLE_CAP else vecs.sample(
+        fraction=similarity.IVF_SAMPLE_CAP / n,
+        seed=similarity.IVF_KMEANS_SEED)
+    feat = array_to_vector(F.col("embedding").cast("array<double>"))
+    model = KMeans(k=nlist, seed=similarity.IVF_KMEANS_SEED,
+                   maxIter=similarity.IVF_KMEANS_MAX_ITER).fit(
+        sample.withColumn("features", feat))
+    new_cells = model.transform(vecs.withColumn("features", feat)).select(
+        "vec_id", "label", "embedding", "nrm",
+        F.col("prediction").alias("cell"))
+    new_centers = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        "cell int, center array<double>").coalesce(1)
+
+    new_gen = _gen_path(state_dir, cur + 1)
+    _write_baseline(new_gen, {"cells": new_cells, "centers": new_centers})
     fsio.create_marker(spark, os.path.join(new_gen, "_COMMITTED"))
 
     for e in fold_ids:

@@ -1507,6 +1507,91 @@ def test_evolving_embed_gate_rejects_other_corpus_and_resumes(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _cells_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, l, [float(x) for x in v], c) for i, l, v, c in rows],
+        "vec_id long, label string, embedding array<double>, cell int")
+
+
+def test_evolving_embed_gate_ivf_cross_batch_and_probe_semantics(spark):
+    """The evolving IVF gate's two guarantees, planted: an EXACT
+    duplicate of a vector admitted in an EARLIER batch is caught at
+    nprobe=1 (frozen centers make the admission's cell exactly the
+    later probe's top cell -- the static gate, by contract, admits
+    it), while a cross-batch NEAR-dup living in a non-probed cell is
+    missed at nprobe=1 and caught at nprobe=2 -- recall trades to
+    probe width, cross-batch precision never does."""
+    centers = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, center array<double>")
+    corpus = [(1, "X", [0.9, 0.1], 0)]
+    b1 = [(100, "L", [0.45, 0.55])]          # admitted -> cell 1
+    b2 = [(200, "L", [0.45, 0.55]),          # exact dup of 100
+          (201, "X", [0.9, 0.1]),            # exact dup of corpus
+          (202, "L", [0.55, 0.5])]           # near-dup of 100, top cell 0
+
+    for nprobe, want in ((1, {202}), (2, set())):
+        tmp = tempfile.mkdtemp(prefix="evoivf_")
+        try:
+            gate = pipeline.evolving_embed_gate_ivf(
+                _cells_df(spark, corpus), centers, f"{tmp}/state",
+                nprobe=nprobe)
+            adm1 = {r.vec_id for r in
+                    gate(_vec_df(spark, b1), 0).collect()}
+            assert adm1 == {100}
+            adm2 = {r.vec_id for r in
+                    gate(_vec_df(spark, b2), 1).collect()}
+            assert adm2 == want, (nprobe, adm2)
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    # contrast: the STATIC IVF gate admits the cross-batch exact dup
+    static = pipeline.embed_gate_scorer_ivf(
+        _cells_df(spark, corpus), centers, nprobe=2)
+    got = {r.vec_id for r in static(_vec_df(spark, b2)).collect()}
+    assert 200 in got
+
+
+def test_evolving_embed_gate_ivf_replay_and_compaction(spark):
+    """Replay idempotence (state filter __epoch < epoch_id) and the
+    compaction contract: after the quantizer RE-TRAINS on the full
+    admitted state and gen=<G+1> commits, the exact-duplicate
+    guarantee still holds for both seed-corpus and pre-compaction
+    admissions (cells move, but a duplicate moves WITH its original),
+    epochs are folded, and old generations are gone."""
+    import os
+
+    centers = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "cell int, center array<double>")
+    corpus = [(1, "X", [0.9, 0.1], 0), (2, "Y", [0.1, 0.9], 1)]
+    b1 = [(100, "L", [0.45, 0.55])]
+
+    tmp = tempfile.mkdtemp(prefix="evoivf_compact_")
+    try:
+        state = f"{tmp}/state"
+        gate = pipeline.evolving_embed_gate_ivf(
+            _cells_df(spark, corpus), centers, state, nprobe=1)
+        first = {r.vec_id for r in gate(_vec_df(spark, b1), 0).collect()}
+        replay = {r.vec_id for r in gate(_vec_df(spark, b1), 0).collect()}
+        assert first == replay == {100}
+        n_e0 = (spark.read.parquet(f"{state}/cells")
+                .filter(F.col("__epoch") == 0).count())
+        assert n_e0 == 1
+
+        pipeline.compact_embed_gate_ivf_state(spark, state, nlist=2)
+        assert pipeline._current_gen(spark, state) == 1
+        assert not os.path.exists(f"{state}/gen=0")
+        assert {d for d in os.listdir(f"{state}/cells")
+                if d.startswith("__epoch=")} == set()
+        folded = spark.read.parquet(f"{state}/gen=1/cells")
+        assert folded.count() == 3  # corpus 2 + admission, deduped
+        # exact dups of the corpus AND the folded admission still caught
+        b2 = [(200, "L", [0.45, 0.55]), (201, "X", [0.9, 0.1]),
+              (202, "Z", [0.5, 0.5])]
+        got = {r.vec_id for r in gate(_vec_df(spark, b2), 1).collect()}
+        assert got == {202}, got
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_evolving_gate_rejects_state_dir_from_other_corpus(spark):
     """Reconstruction over an existing state_dir is legal only for the
     SAME seed corpus (a stream restart); a different corpus would
