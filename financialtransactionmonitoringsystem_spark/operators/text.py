@@ -90,18 +90,29 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _quality_metrics():
+    """The (n_tokens, ttr, keep) expression triple behind the quality
+    filter -- ONE copy shared by :func:`q_text_quality` and the composed
+    streaming ingest pipeline (``streaming.pipeline.ingest_pipeline``),
+    so the batch operator and the gate stage cannot drift (the
+    ``_gate_rejects`` one-copy convention).  Pure codegen projections
+    over the ``text`` column of any DataFrame."""
+    toks = _toks()
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    keep = (n_tokens >= QUALITY_MIN_TOKENS) & (ttr > QUALITY_MIN_TTR)
+    return n_tokens, ttr, keep
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, type-token ratio, mean token length,
     digit ratio, and a composite keep/drop flag (the pretraining-filter
     shape)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _toks()
-    n_tokens = F.size(toks)
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    n_tokens, ttr, keep = _quality_metrics()
     # single-spaced text: total token chars = length - (n_tokens - 1)
     avg_tok_len = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
     digit_ratio = F.regexp_count(F.col("text"), F.lit("[0-9]")).cast("double") / F.length("text")
-    keep = (n_tokens >= QUALITY_MIN_TOKENS) & (ttr > QUALITY_MIN_TTR)
     return docs.select(
         "doc_id",
         n_tokens.alias("n_tokens"),

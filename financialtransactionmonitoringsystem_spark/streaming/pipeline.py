@@ -604,6 +604,157 @@ def _ivf_probe_rejects(corpus_normed: DataFrame, batch: DataFrame,
     )
 
 
+# First-stage-wins rejection attribution order of the composed ingest
+# pipeline.  The order is a COST argument, not taste: quality is a pure
+# codegen projection over the batch alone (no index, no shuffle),
+# decontam is a map-side broadcast-semi against the driver-local
+# benchmark gram set, and the near-dup gate is the only stage that
+# joins a corpus-sized index -- so each document pays the expensive
+# probe only after the two cheap stages failed to reject it.  At 100 TB
+# the stages are also ordered by where their build cost lives: quality
+# has none, decontam's is benchmark-sized, the gate's is the persisted
+# corpus index.
+INGEST_STAGES = ("quality", "decontam", "neardup")
+
+
+def ingest_pipeline(corpus_docs: DataFrame, bench_docs: DataFrame):
+    """The COMPOSED streaming ingest pipeline: one build-once
+    ``score(batch)`` chaining the scorer family the way a production
+    training-data ingest runs it -- quality filter, then benchmark
+    decontamination, then corpus near-dup gate, then a novelty score
+    attached to the survivors (a signal, not a gate).  Returns one row
+    PER BATCH DOC with full first-stage-wins attribution:
+    ``(doc_id, lang, source, n_chars, reject_stage, n_grams, n_novel,
+    novelty)`` -- ``reject_stage`` NULL means admitted (and only
+    admitted rows carry novelty columns).  Every doc appears exactly
+    once; the stage partition is conserved (pinned by test), so
+    downstream mix/budget accounting can trust
+    ``admitted + sum(rejects by stage) == batch``.
+
+    Composition semantics: each stage sees only the previous stage's
+    survivors (short-circuit -- a quality-rejected doc never pays the
+    gram explode or the index probe), and attribution is
+    first-stage-wins in :data:`INGEST_STAGES` order.  Verdicts are
+    batch-size-invariant because every stage is corpus/benchmark-gated
+    only (never batch-vs-batch) -- the same associativity contract as
+    :func:`neardup_gate_scorer`, so the composed pipeline's admitted
+    set over any micro-batching of a doc set equals the single-batch
+    run (stream==batch pinned by test).
+
+    Build cost is paid ONCE, here, by construction delegation: the
+    decontam gram set collects driver-side (guarded), the near-dup
+    corpus index materializes through ``_scoped_build``, and the
+    novelty bloom packs once -- per batch, the corpus is never
+    re-read (each stage's own zero-corpus-work plan pin covers the
+    composition, which only adds joins among batch-sized frames).
+
+    Reject criteria are exactly the member scorers': quality =
+    ``NOT keep`` under ``text._quality_metrics`` (one shared
+    expression copy), decontam = >= 1 shared benchmark 5-gram
+    (any row from :func:`decontam_scorer`), near-dup = rejected by
+    :func:`neardup_gate_scorer`'s lossless prefix-probe gate.
+    """
+    from ..operators import text
+
+    dec = decontam_scorer(bench_docs)
+    gate = neardup_gate_scorer(corpus_docs)
+    nov = novelty_scorer(corpus_docs)
+    out_meta = ("doc_id", "lang", "source", "n_chars")
+
+    def _meta(df: DataFrame, stage: str | None) -> DataFrame:
+        tag = F.lit(stage).cast("string")
+        return df.select(*out_meta, tag.alias("reject_stage"))
+
+    def score(batch: DataFrame) -> DataFrame:
+        keep = text._quality_metrics()[2]
+        flagged = batch.withColumn("__keep", keep)
+        q_pass = flagged.filter(F.col("__keep")).drop("__keep")
+        q_fail = flagged.filter(~F.col("__keep")).drop("__keep")
+        contaminated = dec(q_pass).select("doc_id")
+        d_pass = q_pass.join(contaminated, "doc_id", "left_anti")
+        d_fail = q_pass.join(contaminated, "doc_id", "left_semi")
+        admitted_ids = gate(d_pass).select("doc_id")
+        n_pass = d_pass.join(admitted_ids, "doc_id", "left_semi")
+        n_fail = d_pass.join(admitted_ids, "doc_id", "left_anti")
+        admitted = _meta(n_pass, None).join(nov(n_pass), "doc_id", "left")
+        rejected = (_meta(q_fail, "quality")
+                    .unionByName(_meta(d_fail, "decontam"))
+                    .unionByName(_meta(n_fail, "neardup")))
+        return admitted.unionByName(rejected, allowMissingColumns=True)
+
+    return score
+
+
+def ingest_pipeline_sink(score, out_dir: str, metrics_dir: str):
+    """foreachBatch sink for :func:`ingest_pipeline`: land the scored
+    rows AND a per-stage metrics row set, both ``__epoch``-keyed with
+    dynamic partition overwrite (the :func:`scoring_sink` exactly-once
+    discipline, applied twice under one epoch key).
+
+    The metrics are aggregated FROM THE LANDED PARTITION, not from a
+    second evaluation of the score plan: after the data write commits,
+    the sink reads back only ``__epoch=<id>`` (partition-pruned, a
+    micro-batch-sized read) and writes
+    ``(verdict, n_docs, n_chars, __epoch)`` where ``verdict`` is the
+    reject stage or ``admitted``.  Deriving metrics from committed data
+    means the two tables can never disagree, and the score DAG (two
+    index joins + a verify) runs once per batch instead of twice.
+    Crash anywhere between the two writes: the epoch replays and
+    rewrites BOTH partitions -- idempotent together, exactly-once
+    end to end.
+
+    An EMPTY micro-batch (a source trigger can fire with no files)
+    lands zero rows, and a dynamic partition overwrite of an empty
+    frame writes no partition at all -- so the read-back goes through
+    :func:`_read_existing_partitions`, which distinguishes "no table
+    yet" from a real read error; no data landed means no metrics rows
+    for the epoch, which is itself the correct (conserved) funnel."""
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        (score(batch_df)
+         .withColumn("__epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__epoch")
+         .parquet(out_dir))
+        landed = _read_existing_partitions(spark, out_dir, "__epoch",
+                                           [int(epoch_id)])
+        if landed is None:
+            return
+        (landed.groupBy(F.coalesce("reject_stage", F.lit("admitted"))
+                        .alias("verdict"))
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n_chars").alias("n_chars"))
+         .withColumn("__epoch", F.lit(int(epoch_id)))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__epoch")
+         .parquet(metrics_dir))
+
+    return _sink
+
+
+def run_ingest_pipeline(docs_stream: DataFrame, score, out_dir: str,
+                        metrics_dir: str, ckpt_dir: str):
+    """Drive a composed :func:`ingest_pipeline` scorer over a docs
+    stream (availableNow catch-up mode, the :func:`run_scoring`
+    convention), landing attributed verdicts in ``out_dir`` and
+    per-epoch stage metrics in ``metrics_dir``.  Read back through
+    :func:`read_scores` / :func:`read_ingest_metrics`."""
+    return (docs_stream.writeStream
+            .foreachBatch(ingest_pipeline_sink(score, out_dir, metrics_dir))
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True).start())
+
+
+def read_ingest_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
+    """Per-epoch ingest funnel: (``__epoch``, verdict, n_docs, n_chars)
+    -- the observability feed an ingest operator watches (reject-rate
+    drift per stage is the canary for a poisoned crawl or a stale
+    corpus index)."""
+    return spark.read.parquet(metrics_dir)
+
+
 def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
     """Near-dup ingest gate whose state GROWS with admissions -- the
     sequential crawl-ingest shape :func:`neardup_gate_scorer` and the

@@ -1776,3 +1776,181 @@ def test_compact_skips_torn_epoch(spark):
         assert folded == {1, 100}  # 999 NOT folded
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Composed ingest pipeline (quality -> decontam -> near-dup gate -> novelty)
+
+
+def test_ingest_pipeline_attribution_and_priority_planted(spark):
+    """Synthetic corpus/bench/batch where every stage fires, pinning
+    (a) the batch partition: every doc exactly once, reject_stage in
+    {NULL, quality, decontam, neardup}; (b) FIRST-STAGE-WINS priority:
+    a doc that is both low-quality and a near-dup attributes to
+    quality, one that is both contaminated and a near-dup attributes
+    to decontam; (c) only admitted rows carry novelty columns, and a
+    fully-unseen doc scores novelty 1.0.  Stages are per-doc predicates
+    (corpus/benchmark-gated, never batch-vs-batch), so the expected
+    attribution is computable by hand."""
+    w = [f"w{i:02d}" for i in range(60)]
+    fresh = [f"z{i:02d}" for i in range(25)]
+    bench_gram = "b1 b2 b3 b4 b5"
+    c0 = " ".join(w[:30])                      # near-dup anchor
+    c1 = bench_gram + " " + " ".join(w[30:50])  # corpus doc carrying the bench gram
+    c2 = " ".join(w[40:50])                    # 10-token corpus doc (anchor for E)
+    corpus = _gate_df(spark, [(1000, "en", c0), (1001, "en", c1),
+                              (1002, "en", c2)])
+    bench = _gate_df(spark, [(5000, "en", bench_gram + " filler only")], "b")
+
+    batch = _gate_df(spark, [
+        (1, "en", "tiny doc"),                             # quality (too short)
+        (2, "en", bench_gram + " " + " ".join(w[50:60] + fresh[:10])),  # decontam
+        (3, "en", " ".join(w[1:30] + ["extra"])),          # neardup of c0 (j=29/31)
+        (4, "en", " ".join(fresh)),                        # admitted, novelty 1.0
+        (5, "en", c2),                                     # quality AND neardup -> quality
+        (6, "en", c1 + " " + " ".join(w[50:55])),          # decontam AND neardup -> decontam
+    ], "b")
+
+    score = pipeline.ingest_pipeline(corpus, bench)
+    rows = {r.doc_id: r for r in score(batch).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    got = {i: rows[i].reject_stage for i in rows}
+    assert got == {1: "quality", 2: "decontam", 3: "neardup",
+                   4: None, 5: "quality", 6: "decontam"}
+    # novelty columns: admitted-only, and doc 4's grams are all unseen
+    assert rows[4].novelty == 1.0 and rows[4].n_grams == 21
+    for i in (1, 2, 3, 5, 6):
+        assert rows[i].novelty is None and rows[i].n_grams is None
+    # metadata survives composition
+    assert rows[4].lang == "en" and rows[4].source == "b" \
+        and rows[4].n_chars == len(" ".join(fresh))
+
+
+def test_ingest_pipeline_matches_independent_stage_application(spark, sf_dir):
+    """On the standard corpus/delta split the composed short-circuit
+    pipeline must equal applying each member scorer INDEPENDENTLY to
+    the full batch and attributing by priority -- equivalent because
+    every stage is a per-doc predicate, which is exactly the
+    associativity the composition relies on."""
+    from financialtransactionmonitoringsystem_spark.operators import dedup, text
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % dedup.DELTA_MOD == dedup.DELTA_REM
+    corpus, batch = docs.filter(~is_delta), docs.filter(is_delta)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+
+    got = {r.doc_id: r.reject_stage
+           for r in pipeline.ingest_pipeline(corpus, bench)(batch).collect()}
+
+    keep = text._quality_metrics()[2]
+    q_fail = {r.doc_id for r in batch.filter(~keep).collect()}
+    contam = {r.doc_id
+              for r in pipeline.decontam_scorer(bench)(batch).collect()}
+    admitted = {r.doc_id for r in
+                pipeline.neardup_gate_scorer(corpus)(batch).collect()}
+    want = {}
+    for r in batch.select("doc_id").collect():
+        i = r.doc_id
+        want[i] = ("quality" if i in q_fail else
+                   "decontam" if i in contam else
+                   "neardup" if i not in admitted else None)
+    assert got == want and len(got) > 0
+    assert "quality" in got.values() and "neardup" in got.values()
+
+
+def test_ingest_pipeline_stream_metrics_and_replay(spark, sf_dir):
+    """Two-micro-batch drain of the composed pipeline: (a) landed
+    verdicts equal the single-batch run (batch-size invariance); (b)
+    the metrics table is the landed data's aggregate, per epoch, and
+    conserves the funnel (sum n_docs == batch size); (c) replaying an
+    epoch through the sink (the foreachBatch crash-replay) rewrites
+    both tables without duplication -- exactly-once together."""
+    import os
+
+    from financialtransactionmonitoringsystem_spark.operators import dedup
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % dedup.DELTA_MOD == dedup.DELTA_REM
+    corpus, cand = docs.filter(~is_delta), docs.filter(is_delta)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    score = pipeline.ingest_pipeline(corpus, bench)
+
+    tmp = tempfile.mkdtemp(prefix="ingest_pipe_")
+    try:
+        stage = f"{tmp}/in"
+        out, met, ckpt = f"{tmp}/out", f"{tmp}/metrics", f"{tmp}/ckpt"
+        os.makedirs(stage)
+        # delta doc_ids are all ~7 (mod 20); halve on doc_id // 20 so
+        # BOTH micro-batches are non-empty
+        for i in range(2):
+            half = cand.filter((F.col("doc_id") / 20).cast("long") % 2
+                               == i).coalesce(1)
+            assert half.count() > 0
+            half.write.parquet(f"{tmp}/half{i}")
+            part = next(f for f in os.listdir(f"{tmp}/half{i}")
+                        if f.endswith(".parquet"))
+            os.rename(f"{tmp}/half{i}/{part}", f"{stage}/batch{i}.parquet")
+        src = (spark.readStream.schema(cand.schema)
+               .option("maxFilesPerTrigger", "1").parquet(stage))
+        pipeline.run_ingest_pipeline(src, score, out, met,
+                                     ckpt).awaitTermination()
+        assert len(os.listdir(f"{ckpt}/commits")) >= 2
+
+        landed = pipeline.read_scores(spark, out)
+        got = {tuple(r) for r in landed.collect()}
+        want = {tuple(r) for r in score(cand).collect()}
+        assert got == want and len(got) == cand.count()
+
+        m = pipeline.read_ingest_metrics(spark, met)
+        # funnel conservation, summed across epochs
+        assert m.agg(F.sum("n_docs")).first()[0] == cand.count()
+        # metrics == landed-data aggregate, per epoch
+        agg = {(r["__epoch"], r.verdict): (r.n_docs, r.n_chars)
+               for r in spark.read.parquet(out)
+               .groupBy("__epoch",
+                        F.coalesce("reject_stage", F.lit("admitted"))
+                        .alias("verdict"))
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_chars").alias("n_chars")).collect()}
+        mrows = {(r["__epoch"], r.verdict): (r.n_docs, r.n_chars)
+                 for r in m.collect()}
+        assert mrows == agg
+
+        # crash-replay epoch 0: both tables rewritten, no duplication.
+        # Rebuild the epoch-0 input from its landed doc_ids (a replay
+        # re-presents the same micro-batch).
+        epoch0 = spark.read.parquet(out).filter(F.col("__epoch") == 0)
+        n_out, n_met = (spark.read.parquet(out).count(),
+                        spark.read.parquet(met).count())
+        b0 = cand.join(epoch0.select("doc_id"), "doc_id", "left_semi")
+        pipeline.ingest_pipeline_sink(score, out, met)(b0, 0)
+        assert spark.read.parquet(out).count() == n_out
+        assert spark.read.parquet(met).count() == n_met
+        assert {tuple(r) for r in
+                pipeline.read_scores(spark, out).collect()} == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ingest_pipeline_pays_zero_corpus_work_per_batch(spark, sf_dir):
+    """The composed per-batch plan must inherit every member's
+    zero-corpus-work property: corpus/benchmark/reference tables arrive
+    as construction-time blocks (``Scan ExistingRDD`` / driver-local
+    rows), and every FileScan reads the BATCH side only -- here corpus
+    and delta share one parquet file, so a corpus-side scan would carry
+    the negated pushed filter (the neardup-gate pin, composed)."""
+    from financialtransactionmonitoringsystem_spark.operators import dedup
+    from financialtransactionmonitoringsystem_spark.plans import inspect as P
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_delta = F.col("doc_id") % dedup.DELTA_MOD == dedup.DELTA_REM
+    score = pipeline.ingest_pipeline(docs.filter(~is_delta),
+                                     docs.filter(F.col("doc_id") % 50 == 0))
+    s = P.plan_str(score(docs.filter(is_delta).limit(10)), "simple")
+    scans = [ln for ln in s.splitlines() if "FileScan" in ln]
+    assert scans, s
+    assert all("NOT" not in ln for ln in scans), s
+    assert s.count("ExistingRDD") >= 2, s
