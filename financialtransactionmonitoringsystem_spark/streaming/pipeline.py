@@ -654,35 +654,107 @@ def ingest_pipeline(corpus_docs: DataFrame, bench_docs: DataFrame):
     (any row from :func:`decontam_scorer`), near-dup = rejected by
     :func:`neardup_gate_scorer`'s lossless prefix-probe gate.
     """
-    from ..operators import text
-
     dec = decontam_scorer(bench_docs)
     gate = neardup_gate_scorer(corpus_docs)
     nov = novelty_scorer(corpus_docs)
+
+    def score(batch: DataFrame) -> DataFrame:
+        return _composed_score(dec, nov, batch,
+                               lambda d_pass: gate(d_pass).select("doc_id"))
+
+    return score
+
+
+def _composed_score(dec, nov, batch: DataFrame, gate_admitted) -> DataFrame:
+    """The shared composition core behind :func:`ingest_pipeline` and
+    :func:`ingest_pipeline_evolving` (one copy -- the ``_gate_rejects``
+    convention): quality -> decontam -> ``gate_admitted(d_pass)`` ->
+    novelty attach, with first-stage-wins attribution.  The gate is
+    injected as "survivors in, admitted doc_ids out" so the static and
+    evolving near-dup stages compose identically -- and so only
+    SURVIVORS of the cheap stages ever reach the gate, which for the
+    evolving form also means only they can enter the growing state."""
+    from ..operators import text
+
     out_meta = ("doc_id", "lang", "source", "n_chars")
 
     def _meta(df: DataFrame, stage: str | None) -> DataFrame:
         tag = F.lit(stage).cast("string")
         return df.select(*out_meta, tag.alias("reject_stage"))
 
-    def score(batch: DataFrame) -> DataFrame:
-        keep = text._quality_metrics()[2]
-        flagged = batch.withColumn("__keep", keep)
-        q_pass = flagged.filter(F.col("__keep")).drop("__keep")
-        q_fail = flagged.filter(~F.col("__keep")).drop("__keep")
-        contaminated = dec(q_pass).select("doc_id")
-        d_pass = q_pass.join(contaminated, "doc_id", "left_anti")
-        d_fail = q_pass.join(contaminated, "doc_id", "left_semi")
-        admitted_ids = gate(d_pass).select("doc_id")
-        n_pass = d_pass.join(admitted_ids, "doc_id", "left_semi")
-        n_fail = d_pass.join(admitted_ids, "doc_id", "left_anti")
-        admitted = _meta(n_pass, None).join(nov(n_pass), "doc_id", "left")
-        rejected = (_meta(q_fail, "quality")
-                    .unionByName(_meta(d_fail, "decontam"))
-                    .unionByName(_meta(n_fail, "neardup")))
-        return admitted.unionByName(rejected, allowMissingColumns=True)
+    keep = text._quality_metrics()[2]
+    flagged = batch.withColumn("__keep", keep)
+    q_pass = flagged.filter(F.col("__keep")).drop("__keep")
+    q_fail = flagged.filter(~F.col("__keep")).drop("__keep")
+    contaminated = dec(q_pass).select("doc_id")
+    d_pass = q_pass.join(contaminated, "doc_id", "left_anti")
+    d_fail = q_pass.join(contaminated, "doc_id", "left_semi")
+    admitted_ids = gate_admitted(d_pass)
+    n_pass = d_pass.join(admitted_ids, "doc_id", "left_semi")
+    n_fail = d_pass.join(admitted_ids, "doc_id", "left_anti")
+    admitted = _meta(n_pass, None).join(nov(n_pass), "doc_id", "left")
+    rejected = (_meta(q_fail, "quality")
+                .unionByName(_meta(d_fail, "decontam"))
+                .unionByName(_meta(n_fail, "neardup")))
+    return admitted.unionByName(rejected, allowMissingColumns=True)
+
+
+def ingest_pipeline_evolving(corpus_docs: DataFrame, bench_docs: DataFrame,
+                             state_dir: str):
+    """The composed funnel with the EVOLVING near-dup stage -- the
+    sequential crawl-ingest form of :func:`ingest_pipeline`: batch k's
+    near-dup stage gates against corpus + every doc the FUNNEL admitted
+    in batches < k (:func:`evolving_neardup_gate` state), so a
+    near-duplicate of an earlier admission is rejected even though
+    neither doc is in the seed corpus.  Returns
+    ``score(batch_df, epoch_id)``; drive it with
+    :func:`run_ingest_pipeline_evolving`.
+
+    Only funnel SURVIVORS feed the gate, so only they can enter the
+    growing state: a quality-rejected or contaminated doc never becomes
+    a dedup anchor (its later near-dups are judged on their own merits
+    -- pinned by test).  That is the semantics a production ingest
+    wants: the evolving index is the index of ADMITTED data.
+
+    Quality and decontam are per-doc and stateless, so the evolving
+    form changes nothing about them; novelty stays scored against the
+    FROZEN seed corpus (the "have we trained on this" question is about
+    the trained-on snapshot, not about this stream's own admissions --
+    the frozen-freq convention applied to the signal).
+
+    Exactly-once composes across all three writes: gate state is
+    epoch-keyed by the gate itself, verdicts and metrics are
+    epoch-keyed by :func:`ingest_pipeline_sink`, and a replayed epoch
+    reads only state with ``__epoch < epoch_id`` -- so a crash-replay
+    rewrites its own state/output/metrics partitions without gating
+    the batch against its earlier attempt."""
+    dec = decontam_scorer(bench_docs)
+    gate = evolving_neardup_gate(corpus_docs, state_dir)
+    nov = novelty_scorer(corpus_docs)
+
+    def score(batch: DataFrame, epoch_id: int) -> DataFrame:
+        return _composed_score(
+            dec, nov, batch,
+            lambda d_pass: gate(d_pass, epoch_id).select("doc_id"))
 
     return score
+
+
+def run_ingest_pipeline_evolving(docs_stream: DataFrame, score,
+                                 out_dir: str, metrics_dir: str,
+                                 ckpt_dir: str):
+    """Drive an :func:`ingest_pipeline_evolving` scorer over a docs
+    stream: per micro-batch, curry the epoch into the evolving score
+    and reuse :func:`ingest_pipeline_sink` unchanged -- verdicts,
+    funnel metrics, and gate state all land under the same epoch
+    key."""
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_pipeline_sink(lambda b: score(b, epoch_id),
+                             out_dir, metrics_dir)(batch_df, epoch_id)
+
+    return (docs_stream.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True).start())
 
 
 def ingest_pipeline_sink(score, out_dir: str, metrics_dir: str):

@@ -1954,3 +1954,89 @@ def test_ingest_pipeline_pays_zero_corpus_work_per_batch(spark, sf_dir):
     assert scans, s
     assert all("NOT" not in ln for ln in scans), s
     assert s.count("ExistingRDD") >= 2, s
+
+
+def test_ingest_pipeline_evolving_cross_batch_and_reject_anchors(spark):
+    """The evolving funnel: (a) a near-dup of a doc ADMITTED in an
+    earlier batch is rejected at the neardup stage (the static funnel,
+    by contract, admits it -- contrast-pinned); (b) a doc rejected by
+    an earlier CHEAP stage never enters the growing state, so its later
+    near-dup is judged on its own merits and admitted -- the evolving
+    index is the index of admitted data only."""
+    w = [f"w{i:02d}" for i in range(40)]
+    fresh = [f"z{i:02d}" for i in range(25)]
+    seed = _gate_df(spark, [(1000, "en", " ".join(w[:30]))])
+    bench = _gate_df(spark, [(5000, "en", "b1 b2 b3 b4 b5 filler")], "b")
+
+    short = " ".join(f"q{i:02d}" for i in range(19))  # 19 toks: quality-fail
+    b0 = _gate_df(spark, [
+        (10, "en", " ".join(fresh)),   # admitted -> enters state
+        (11, "en", short),             # quality reject -> NOT in state
+    ], "b")
+    b1 = _gate_df(spark, [
+        (20, "en", " ".join(fresh[1:] + ["y00", "y01"])),  # near-dup of 10 (j=24/27)
+        (21, "en", short + " q99"),    # 20 toks, near-dup of 11 -> must ADMIT
+    ], "b")
+
+    tmp = tempfile.mkdtemp(prefix="ingest_evol_")
+    try:
+        ev = pipeline.ingest_pipeline_evolving(seed, bench, f"{tmp}/state")
+        got0 = {r.doc_id: r.reject_stage for r in ev(b0, 0).collect()}
+        got1 = {r.doc_id: r.reject_stage for r in ev(b1, 1).collect()}
+        assert got0 == {10: None, 11: "quality"}
+        assert got1 == {20: "neardup", 21: None}
+        # replaying epoch 1 must not gate the batch against its own
+        # earlier attempt's admissions (nor flip any verdict)
+        assert {r.doc_id: r.reject_stage
+                for r in ev(b1, 1).collect()} == got1
+        # contrast: the static funnel admits the cross-batch dup
+        st = pipeline.ingest_pipeline(seed, bench)
+        assert {r.doc_id: r.reject_stage
+                for r in st(b1).collect()}[20] is None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ingest_pipeline_evolving_stream_drain_metrics(spark):
+    """Two-file availableNow drain of the evolving funnel through
+    run_ingest_pipeline_evolving: verdicts land epoch-partitioned with
+    the cross-batch rejection visible, and the funnel metrics conserve
+    per epoch."""
+    import os
+
+    w = [f"w{i:02d}" for i in range(40)]
+    fresh = [f"z{i:02d}" for i in range(25)]
+    seed = _gate_df(spark, [(1000, "en", " ".join(w[:30]))])
+    bench = _gate_df(spark, [(5000, "en", "b1 b2 b3 b4 b5 filler")], "b")
+    b0 = _gate_df(spark, [(10, "en", " ".join(fresh))], "b")
+    b1 = _gate_df(spark, [(20, "en", " ".join(fresh[1:] + ["y00", "y01"]))],
+                  "b")
+
+    tmp = tempfile.mkdtemp(prefix="ingest_evol_stream_")
+    try:
+        stage = f"{tmp}/in"
+        out, met, ckpt = f"{tmp}/out", f"{tmp}/metrics", f"{tmp}/ckpt"
+        os.makedirs(stage)
+        for i, b in enumerate((b0, b1)):
+            b.coalesce(1).write.parquet(f"{tmp}/half{i}")
+            part = next(f for f in os.listdir(f"{tmp}/half{i}")
+                        if f.endswith(".parquet"))
+            os.rename(f"{tmp}/half{i}/{part}", f"{stage}/batch{i}.parquet")
+        ev = pipeline.ingest_pipeline_evolving(seed, bench, f"{tmp}/state")
+        src = (spark.readStream.schema(b0.schema)
+               .option("maxFilesPerTrigger", "1").parquet(stage))
+        pipeline.run_ingest_pipeline_evolving(src, ev, out, met,
+                                              ckpt).awaitTermination()
+        assert len(os.listdir(f"{ckpt}/commits")) >= 2
+
+        landed = {r.doc_id: r.reject_stage
+                  for r in pipeline.read_scores(spark, out).collect()}
+        assert landed == {10: None, 20: "neardup"}
+        m = pipeline.read_ingest_metrics(spark, met)
+        assert m.agg(F.sum("n_docs")).first()[0] == 2
+        per_epoch = {(r["__epoch"], r.verdict): r.n_docs
+                     for r in m.collect()}
+        assert sum(n for (e, v), n in per_epoch.items()) == 2
+        assert any(v == "neardup" for (e, v) in per_epoch)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
