@@ -2040,3 +2040,31 @@ def test_ingest_pipeline_evolving_stream_drain_metrics(spark):
         assert any(v == "neardup" for (e, v) in per_epoch)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ingest_pipeline_evolving_verdicts_survive_compaction(spark):
+    """compact_gate_state on the FUNNEL's state dir (the funnel reuses
+    the evolving gate's generation layout) must preserve verdicts: a
+    near-dup of a pre-compaction funnel admission is still rejected
+    after the epochs fold into a new committed baseline generation."""
+    fresh = [f"z{i:02d}" for i in range(25)]
+    seed = _gate_df(spark, [(1000, "en",
+                             " ".join(f"w{i:02d}" for i in range(30)))])
+    bench = _gate_df(spark, [(5000, "en", "b1 b2 b3 b4 b5 filler")], "b")
+    b0 = _gate_df(spark, [(10, "en", " ".join(fresh))], "b")
+    dup = _gate_df(spark, [(20, "en", " ".join(fresh[1:] + ["y00", "y01"]))],
+                   "b")
+
+    tmp = tempfile.mkdtemp(prefix="ingest_evol_compact_")
+    try:
+        state = f"{tmp}/state"
+        ev = pipeline.ingest_pipeline_evolving(seed, bench, state)
+        assert {r.doc_id: r.reject_stage
+                for r in ev(b0, 0).collect()} == {10: None}
+        pipeline.compact_gate_state(spark, state)
+        # reconstruction over the compacted state is the resume path
+        ev2 = pipeline.ingest_pipeline_evolving(seed, bench, state)
+        assert {r.doc_id: r.reject_stage
+                for r in ev2(dup, 1).collect()} == {20: "neardup"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
