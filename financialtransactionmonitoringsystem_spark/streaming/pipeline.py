@@ -673,8 +673,26 @@ def _composed_score(dec, nov, batch: DataFrame, gate_admitted) -> DataFrame:
     injected as "survivors in, admitted doc_ids out" so the static and
     evolving near-dup stages compose identically -- and so only
     SURVIVORS of the cheap stages ever reach the gate, which for the
-    evolving form also means only they can enter the growing state."""
-    from ..operators import text
+    evolving form also means only they can enter the growing state.
+
+    NULL handling (review finding): a NULL ``text`` makes the quality
+    ``keep`` expression NULL, and both ``filter(k)`` and
+    ``filter(~k)`` drop a NULL -- the doc would silently vanish from
+    verdicts AND metrics, breaking the conservation contract.  The
+    fail branch therefore coalesces NULL to "not kept": an unscorable
+    doc attributes to the quality stage (pinned by a planted NULL-text
+    test).  The corpus-contract pins cover the GENERATED corpora only;
+    a stream batch is arbitrary input.
+
+    The contaminated and admitted id sets each feed a semi/anti join
+    PAIR; left lazy, Catalyst re-derives the decontam gram join and
+    the (expensive) gate probe+verify once per consumer, so both are
+    materialized through ``_scoped_build`` -- the id tables are
+    batch-bounded and tiny, and the probe then runs once per batch
+    (the evolving gate already checkpoints its admitted set
+    internally for state-consistency reasons; this makes the static
+    form match)."""
+    from ..operators import dedup, text
 
     out_meta = ("doc_id", "lang", "source", "n_chars")
 
@@ -682,20 +700,22 @@ def _composed_score(dec, nov, batch: DataFrame, gate_admitted) -> DataFrame:
         tag = F.lit(stage).cast("string")
         return df.select(*out_meta, tag.alias("reject_stage"))
 
+    q_stage, d_stage, n_stage = INGEST_STAGES
     keep = text._quality_metrics()[2]
     flagged = batch.withColumn("__keep", keep)
     q_pass = flagged.filter(F.col("__keep")).drop("__keep")
-    q_fail = flagged.filter(~F.col("__keep")).drop("__keep")
-    contaminated = dec(q_pass).select("doc_id")
+    q_fail = (flagged.filter(~F.coalesce(F.col("__keep"), F.lit(False)))
+              .drop("__keep"))
+    contaminated = dedup._scoped_build(dec(q_pass).select("doc_id"))
     d_pass = q_pass.join(contaminated, "doc_id", "left_anti")
     d_fail = q_pass.join(contaminated, "doc_id", "left_semi")
-    admitted_ids = gate_admitted(d_pass)
+    admitted_ids = dedup._scoped_build(gate_admitted(d_pass))
     n_pass = d_pass.join(admitted_ids, "doc_id", "left_semi")
     n_fail = d_pass.join(admitted_ids, "doc_id", "left_anti")
     admitted = _meta(n_pass, None).join(nov(n_pass), "doc_id", "left")
-    rejected = (_meta(q_fail, "quality")
-                .unionByName(_meta(d_fail, "decontam"))
-                .unionByName(_meta(n_fail, "neardup")))
+    rejected = (_meta(q_fail, q_stage)
+                .unionByName(_meta(d_fail, d_stage))
+                .unionByName(_meta(n_fail, n_stage)))
     return admitted.unionByName(rejected, allowMissingColumns=True)
 
 

@@ -2068,3 +2068,23 @@ def test_ingest_pipeline_evolving_verdicts_survive_compaction(spark):
                 for r in ev2(dup, 1).collect()} == {20: "neardup"}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ingest_pipeline_null_text_attributes_to_quality(spark):
+    """A NULL ``text`` makes the quality keep expression NULL, and a
+    naive filter pair drops the doc from BOTH branches (review
+    finding): the funnel must instead attribute it to the quality
+    stage so the every-doc-exactly-once conservation contract holds on
+    arbitrary stream input (the corpus-contract no-nulls pin covers
+    generated corpora only)."""
+    seed = _gate_df(spark, [(1000, "en",
+                             " ".join(f"w{i:02d}" for i in range(30)))])
+    bench = _gate_df(spark, [(5000, "en", "b1 b2 b3 b4 b5 filler")], "b")
+    batch = spark.createDataFrame(
+        [(1, None, "en", "b", 0),
+         (2, " ".join(f"z{i:02d}" for i in range(25)), "en", "b", 99)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+
+    score = pipeline.ingest_pipeline(seed, bench)
+    rows = {r.doc_id: r.reject_stage for r in score(batch).collect()}
+    assert rows == {1: "quality", 2: None}
