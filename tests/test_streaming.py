@@ -2088,3 +2088,98 @@ def test_ingest_pipeline_null_text_attributes_to_quality(spark):
     score = pipeline.ingest_pipeline(seed, bench)
     rows = {r.doc_id: r.reject_stage for r in score(batch).collect()}
     assert rows == {1: "quality", 2: None}
+
+
+def test_ingest_pipeline_evolving_matches_python_reference_randomized(spark):
+    """Seeded randomized corpus/bench/batches with PLANTED mutation
+    classes (short docs, embedded bench 5-grams, corpus near-dups,
+    near-dups of EARLIER-batch docs -- whether those were admitted or
+    rejected; the corpus-luck lesson: plant, don't hope) against a
+    pure-Python sequential funnel reference implementing the same
+    quality/decontam/neardup priority and the admitted-only growing
+    state.  Per-batch attribution equality, exact."""
+    import math
+    import random
+
+    from financialtransactionmonitoringsystem_spark.operators import dedup, text
+
+    rng = random.Random(20260816)
+    vocab = [f"v{i:03d}" for i in range(300)]
+
+    def mk(n):
+        return " ".join(rng.sample(vocab, n))
+
+    corpus = [(1000 + i, "en", mk(rng.randint(22, 30))) for i in range(25)]
+    bench = [(5000 + i, "en", mk(24)) for i in range(3)]
+
+    batches, prior, nid = [], [], 0
+    for _ in range(3):
+        b = []
+        for _ in range(8):
+            nid += 1
+            r = rng.random()
+            if r < 0.15:
+                b.append((nid, "en", mk(rng.randint(5, 19))))
+            elif r < 0.3:
+                bt = rng.choice(bench)[2].split(" ")
+                s = rng.randrange(len(bt) - 4)
+                b.append((nid, "en",
+                          " ".join(bt[s:s + 5]) + " " + mk(20)))
+            elif r < 0.5:
+                ct = rng.choice(corpus)[2].split(" ")
+                ct[rng.randrange(len(ct))] = f"m{nid}"
+                b.append((nid, "en", " ".join(ct)))
+            elif r < 0.65 and prior:
+                pt = rng.choice(prior).split(" ")
+                pt[rng.randrange(len(pt))] = f"x{nid}"
+                b.append((nid, "en", " ".join(pt)))
+            else:
+                b.append((nid, "en", mk(rng.randint(21, 28))))
+        prior += [t for _, _, t in b]
+        batches.append(b)
+
+    def grams5(t):
+        ws = t.split(" ")
+        return {tuple(ws[i:i + 5]) for i in range(len(ws) - 4)}
+
+    def j6(a, b):
+        A, B = set(a.split(" ")), set(b.split(" "))
+        inter = len(A & B)
+        j = inter / (len(A) + len(B) - inter)
+        return math.floor(j * 1e6 + 0.5) / 1e6
+
+    bench_grams = set().union(*(grams5(t) for _, _, t in bench))
+    ref = [(l, t) for _, l, t in corpus]
+    want = []
+    for batch in batches:
+        verd, adm = {}, []
+        for i, l, t in batch:
+            ws = t.split(" ")
+            if not (len(ws) >= text.QUALITY_MIN_TOKENS
+                    and len(set(ws)) / len(ws) > text.QUALITY_MIN_TTR):
+                verd[i] = "quality"
+            elif grams5(t) & bench_grams:
+                verd[i] = "decontam"
+            elif any(cl == l and j6(ct, t) >= dedup.JACCARD_THRESHOLD
+                     for cl, ct in ref):
+                verd[i] = "neardup"
+            else:
+                verd[i] = None
+                adm.append((l, t))
+        ref += adm  # within-batch never gated, admissions append after
+        want.append(verd)
+
+    tmp = tempfile.mkdtemp(prefix="ingest_evol_rand_")
+    try:
+        ev = pipeline.ingest_pipeline_evolving(
+            _gate_df(spark, corpus), _gate_df(spark, bench, "b"),
+            f"{tmp}/state")
+        for k, batch in enumerate(batches):
+            got = {r.doc_id: r.reject_stage
+                   for r in ev(_gate_df(spark, batch, "b"), k).collect()}
+            assert got == want[k], f"batch {k}: {got} != {want[k]}"
+        # the planted classes actually fired across the run
+        flat = [v for w in want for v in w.values()]
+        assert {"quality", "decontam", "neardup", None} <= set(flat)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
