@@ -847,6 +847,52 @@ def read_ingest_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
     return spark.read.parquet(metrics_dir)
 
 
+# Absolute per-stage rate deviation from the trailing mean above which
+# ingest_drift_report flags an epoch.  0.2 = a stage's share of the
+# batch moved twenty points -- far past micro-batch sampling noise at
+# designed batch sizes, small enough to catch a crawl-source flip
+# (e.g. near-dup rate doubling when a crawler re-enters a seen site).
+INGEST_DRIFT_THRESHOLD = 0.2
+
+
+def ingest_drift_report(spark: SparkSession, metrics_dir: str,
+                        trailing: int = 5) -> DataFrame:
+    """The canary :func:`read_ingest_metrics` promises, as a query:
+    per (epoch, verdict), the stage's share of its epoch's docs, the
+    trailing-``trailing``-epoch mean share (current epoch EXCLUDED --
+    a drifted epoch must not mask itself), the deviation, and a
+    ``drifted`` flag at |deviation| > :data:`INGEST_DRIFT_THRESHOLD`.
+    Epochs with no trailing history (the first) report deviation 0.
+
+    Scale: the metrics table is O(epochs x stages) rows -- tiny by
+    construction (the funnel already aggregated each epoch to <= 4
+    rows), so the window sort here is over bookkeeping data, never
+    corpus data; missing (epoch, verdict) combinations are dense-filled
+    with rate 0 so a stage VANISHING (e.g. decontam going silent when
+    a benchmark set is accidentally emptied) drifts just as loudly as
+    one spiking."""
+    m = spark.read.parquet(metrics_dir)
+    totals = m.groupBy("__epoch").agg(F.sum("n_docs").alias("n_total"))
+    # dense (epoch x verdict) grid so absent stages read as rate 0
+    grid = totals.select("__epoch", "n_total").crossJoin(
+        m.select("verdict").distinct())
+    rates = (grid.join(m, ["__epoch", "verdict"], "left")
+             .select("__epoch", "verdict", "n_total",
+                     (F.coalesce("n_docs", F.lit(0)) / F.col("n_total"))
+                     .alias("rate")))
+    w = (Window.partitionBy("verdict").orderBy("__epoch")
+         .rowsBetween(-trailing, -1))
+    trail = F.avg("rate").over(w)
+    dev = F.col("rate") - F.coalesce(trail, F.col("rate"))
+    return (rates
+            .withColumn("trailing_rate", rnd(F.coalesce(trail, F.col("rate")), 6))
+            .withColumn("deviation", rnd(dev, 6))
+            .withColumn("drifted",
+                        F.abs(dev) > F.lit(INGEST_DRIFT_THRESHOLD))
+            .select("__epoch", "verdict", "rate", "trailing_rate",
+                    "deviation", "drifted"))
+
+
 def evolving_neardup_gate(corpus_docs: DataFrame, state_dir: str):
     """Near-dup ingest gate whose state GROWS with admissions -- the
     sequential crawl-ingest shape :func:`neardup_gate_scorer` and the

