@@ -203,6 +203,54 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def cte_recursive_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r14 swap candidate for :func:`q_cte_recursive` (r11 cohort =
+    legally changeable in r14 under the free-swap rule; the
+    `embed_pairs_vectorized` precedent): the SAME month spine through a
+    RECURSIVE-DOUBLING offset generator, cutting recursion depth from
+    O(months) to O(log2 months).
+
+    Spark executes one job per recursion step, so the linear form pays
+    ~one scheduler round-trip per month of history -- the reason
+    q_cte_recursive is the registry's one perf-weak key.  The doubling
+    form keeps the WITH RECURSIVE surface attestation (anchor +
+    recursive member + work-table semantics) but each step emits
+    offsets ``2j`` and ``2j+1`` from every work-table row ``j >= 1``
+    (anchor {0, 1}), so every integer in [0, n] is produced exactly
+    once -- n >= 2 from floor(n/2) >= 1 -- in ceil(log2 n) steps: ~7
+    scheduler round-trips for 80 months instead of ~80.  ``sequence()``
+    (q_ts_resample) remains the non-recursive scale path for spines.
+    Output byte-identical to q_cte_recursive (same oracle; equality
+    test at suite SF, swap insurance at sf0.01 + sf0.1 in PLANS)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        WITH RECURSIVE offs(off) AS (
+          SELECT off FROM VALUES (0), (1) AS t(off)
+          WHERE off <= (SELECT CAST(months_between(
+                  date_trunc('month', max(o_orderdate)),
+                  date_trunc('month', min(o_orderdate))) AS INT)
+                FROM orders)
+          UNION ALL
+          SELECT off * 2 + d
+          FROM offs LATERAL VIEW explode(array(0, 1)) e AS d
+          WHERE off >= 1
+            AND off * 2 + d <= (SELECT CAST(months_between(
+                  date_trunc('month', max(o_orderdate)),
+                  date_trunc('month', min(o_orderdate))) AS INT)
+                FROM orders)
+        )
+        SELECT date_format(date_trunc('month',
+                 (SELECT min(o_orderdate) FROM orders))
+                 + make_interval(0, off), 'yyyy-MM') AS month,
+               COALESCE(o.n, 0) AS n_orders
+        FROM offs LEFT JOIN (
+          SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n
+          FROM orders GROUP BY 1) o
+          ON date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+             + make_interval(0, off) = o.mo
+    """)
+
+
 def q_win_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame on a numeric ordering: count of orders within 5000 of
     each order's price (value-based frame, not row-based).

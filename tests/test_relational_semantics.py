@@ -296,3 +296,45 @@ def test_win_range_bucketed_property_vs_brute_force(spark):
                 assert got[k] == want, (m, k, s, p, got[k], want)
 
     check()
+
+
+def test_cte_recursive_doubling_equals_linear_form(spark, sf_dir):
+    """The r14 swap candidate: the recursive-DOUBLING month spine
+    (O(log months) recursion steps -- each work-table row j >= 1 emits
+    offsets 2j and 2j+1, anchor {0, 1}, so every offset is produced
+    exactly once) must be row-identical to the registered linear
+    WITH RECURSIVE form, including on a SINGLE-month frame where the
+    doubling anchor must not overrun (off=1 excluded by the bound)."""
+    from financialtransactionmonitoringsystem_spark.operators import extras
+
+    want = sorted(map(tuple, extras.q_cte_recursive(spark, sf_dir).collect()))
+    got = sorted(map(tuple,
+                     extras.cte_recursive_doubling(spark, sf_dir).collect()))
+    assert got == want and len(got) > 1
+
+    # single-month edge: one order month -> exactly one spine row
+    one = spark.createDataFrame(
+        [(1, "1995-03-15", 10.0), (2, "1995-03-28", 20.0)],
+        "o_orderkey long, o_orderdate string, o_totalprice double"
+    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
+    one.createOrReplaceTempView("orders")
+    # the module function's register_views reads parquet, so the
+    # single-month spine check drives the same doubling SQL directly
+    # against the temp view
+    df = spark.sql("""
+        WITH RECURSIVE offs(off) AS (
+          SELECT off FROM VALUES (0), (1) AS t(off)
+          WHERE off <= (SELECT CAST(months_between(
+                  date_trunc('month', max(o_orderdate)),
+                  date_trunc('month', min(o_orderdate))) AS INT)
+                FROM orders)
+          UNION ALL
+          SELECT off * 2 + d
+          FROM offs LATERAL VIEW explode(array(0, 1)) e AS d
+          WHERE off >= 1
+            AND off * 2 + d <= (SELECT CAST(months_between(
+                  date_trunc('month', max(o_orderdate)),
+                  date_trunc('month', min(o_orderdate))) AS INT)
+                FROM orders)
+        ) SELECT off FROM offs""")
+    assert [r.off for r in df.collect()] == [0]
