@@ -221,12 +221,17 @@ def cte_recursive_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheduler round-trips for 80 months instead of ~80.  ``sequence()``
     (q_ts_resample) remains the non-recursive scale path for spines.
     Output byte-identical to q_cte_recursive (same oracle; equality
-    test at suite SF, swap insurance at sf0.01 + sf0.1 in PLANS)."""
+    test at suite SF, swap insurance at sf0.01 + sf0.1 in PLANS),
+    INCLUDING on an empty orders table (review finding): the linear
+    form's anchor always emits one NULL-month row, so off=0 must pass
+    the anchor unconditionally -- ``off = 0 OR off <= bound`` keeps the
+    one-row output when the bound is NULL, while off=1 still needs a
+    real bound >= 1."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql("""
         WITH RECURSIVE offs(off) AS (
           SELECT off FROM VALUES (0), (1) AS t(off)
-          WHERE off <= (SELECT CAST(months_between(
+          WHERE off = 0 OR off <= (SELECT CAST(months_between(
                   date_trunc('month', max(o_orderdate)),
                   date_trunc('month', min(o_orderdate))) AS INT)
                 FROM orders)

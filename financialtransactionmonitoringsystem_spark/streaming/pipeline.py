@@ -847,8 +847,8 @@ def read_ingest_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
     return spark.read.parquet(metrics_dir)
 
 
-# Absolute per-stage rate deviation from the trailing mean above which
-# ingest_drift_report flags an epoch.  0.2 = a stage's share of the
+# Absolute per-stage rate deviation from the trailing mean at or above
+# which ingest_drift_report flags an epoch.  0.2 = a stage's share of the
 # batch moved twenty points -- far past micro-batch sampling noise at
 # designed batch sizes, small enough to catch a crawl-source flip
 # (e.g. near-dup rate doubling when a crawler re-enters a seen site).
@@ -861,17 +861,26 @@ def ingest_drift_report(spark: SparkSession, metrics_dir: str,
     per (epoch, verdict), the stage's share of its epoch's docs, the
     trailing-``trailing``-epoch mean share (current epoch EXCLUDED --
     a drifted epoch must not mask itself), the deviation, and a
-    ``drifted`` flag at |deviation| > :data:`INGEST_DRIFT_THRESHOLD`.
-    Epochs with no trailing history (the first) report deviation 0.
+    ``drifted`` flag.  Epochs with no trailing history (the first)
+    report deviation 0.
+
+    ``drifted`` fires on |deviation| >= :data:`INGEST_DRIFT_THRESHOLD`
+    OR on a stage VANISHING (rate 0 against a nonzero trailing mean) --
+    the second clause is load-bearing, not redundant (review finding):
+    a stage whose steady share is at or below the threshold (decontam
+    at 20%, say) vanishes with |deviation| <= threshold, so a
+    threshold-only flag would miss exactly the
+    accidentally-emptied-benchmark failure this canary exists to
+    catch.  Both the flag and the reported ``deviation`` column are
+    computed from the SAME 6-dp-rounded value, so re-deriving the flag
+    from the returned frame always agrees with it.
 
     Scale: the metrics table is O(epochs x stages) rows -- tiny by
     construction (the funnel already aggregated each epoch to <= 4
     rows), so the window sort here is over bookkeeping data, never
     corpus data; missing (epoch, verdict) combinations are dense-filled
-    with rate 0 so a stage VANISHING (e.g. decontam going silent when
-    a benchmark set is accidentally emptied) drifts just as loudly as
-    one spiking."""
-    m = spark.read.parquet(metrics_dir)
+    with rate 0 so a vanished stage appears in the report at all."""
+    m = read_ingest_metrics(spark, metrics_dir)
     totals = m.groupBy("__epoch").agg(F.sum("n_docs").alias("n_total"))
     # dense (epoch x verdict) grid so absent stages read as rate 0
     grid = totals.select("__epoch", "n_total").crossJoin(
@@ -882,13 +891,15 @@ def ingest_drift_report(spark: SparkSession, metrics_dir: str,
                      .alias("rate")))
     w = (Window.partitionBy("verdict").orderBy("__epoch")
          .rowsBetween(-trailing, -1))
-    trail = F.avg("rate").over(w)
-    dev = F.col("rate") - F.coalesce(trail, F.col("rate"))
+    trail = F.coalesce(F.avg("rate").over(w), F.col("rate"))
+    dev6 = rnd(F.col("rate") - trail, 6)
+    vanished = (F.col("rate") == 0) & (trail > 0)
     return (rates
-            .withColumn("trailing_rate", rnd(F.coalesce(trail, F.col("rate")), 6))
-            .withColumn("deviation", rnd(dev, 6))
+            .withColumn("trailing_rate", rnd(trail, 6))
+            .withColumn("deviation", dev6)
             .withColumn("drifted",
-                        F.abs(dev) > F.lit(INGEST_DRIFT_THRESHOLD))
+                        (F.abs(F.col("deviation"))
+                         >= F.lit(INGEST_DRIFT_THRESHOLD)) | vanished)
             .select("__epoch", "verdict", "rate", "trailing_rate",
                     "deviation", "drifted"))
 

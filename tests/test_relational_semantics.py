@@ -307,34 +307,43 @@ def test_cte_recursive_doubling_equals_linear_form(spark, sf_dir):
     doubling anchor must not overrun (off=1 excluded by the bound)."""
     from financialtransactionmonitoringsystem_spark.operators import extras
 
+    import shutil
+    import tempfile
+
     want = sorted(map(tuple, extras.q_cte_recursive(spark, sf_dir).collect()))
     got = sorted(map(tuple,
                      extras.cte_recursive_doubling(spark, sf_dir).collect()))
     assert got == want and len(got) > 1
 
-    # single-month edge: one order month -> exactly one spine row
-    one = spark.createDataFrame(
-        [(1, "1995-03-15", 10.0), (2, "1995-03-28", 20.0)],
-        "o_orderkey long, o_orderdate string, o_totalprice double"
-    ).withColumn("o_orderdate", F.to_date("o_orderdate"))
-    one.createOrReplaceTempView("orders")
-    # the module function's register_views reads parquet, so the
-    # single-month spine check drives the same doubling SQL directly
-    # against the temp view
-    df = spark.sql("""
-        WITH RECURSIVE offs(off) AS (
-          SELECT off FROM VALUES (0), (1) AS t(off)
-          WHERE off <= (SELECT CAST(months_between(
-                  date_trunc('month', max(o_orderdate)),
-                  date_trunc('month', min(o_orderdate))) AS INT)
-                FROM orders)
-          UNION ALL
-          SELECT off * 2 + d
-          FROM offs LATERAL VIEW explode(array(0, 1)) e AS d
-          WHERE off >= 1
-            AND off * 2 + d <= (SELECT CAST(months_between(
-                  date_trunc('month', max(o_orderdate)),
-                  date_trunc('month', min(o_orderdate))) AS INT)
-                FROM orders)
-        ) SELECT off FROM offs""")
-    assert [r.off for r in df.collect()] == [0]
+    # edge frames drive the MODULE FUNCTION (not a pasted SQL copy that
+    # could drift -- review finding) via temp parquet corpora; both
+    # forms re-register the 'orders' view themselves on the next call,
+    # but re-register the real one afterwards anyway so this test
+    # cannot leak a tiny view into the session (review finding)
+    schema = "o_orderkey long, o_orderdate date, o_totalprice double"
+    cases = [
+        # single month: anchor off=1 excluded by the bound -> one row
+        ([(1, "1995-03-15", 10.0), (2, "1995-03-28", 20.0)],
+         [("1995-03", 2)]),
+        # EMPTY orders: linear anchor emits one NULL-month row; the
+        # doubling anchor's unconditional off=0 must match it
+        ([], [(None, 0)]),
+    ]
+    tmp = tempfile.mkdtemp(prefix="cte_dbl_")
+    try:
+        for i, (rows, expect) in enumerate(cases):
+            d = f"{tmp}/case{i}"
+            (spark.createDataFrame(rows,
+                                   schema.replace(" date,", " string,"))
+             .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
+             .write.parquet(f"{d}/orders.parquet"))
+            lin = sorted(map(tuple,
+                             extras.q_cte_recursive(spark, d).collect()))
+            dbl = sorted(map(tuple,
+                extras.cte_recursive_doubling(spark, d).collect()))
+            assert dbl == lin == expect, (i, dbl, lin, expect)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        from financialtransactionmonitoringsystem_spark.tables import (
+            register_views)
+        register_views(spark, sf_dir, ("orders",))

@@ -905,24 +905,15 @@ def test_neardup_gate_adversarial_and_randomized(spark):
     different lang (lang-blocked), unseen-vocabulary docs, repeated
     tokens -- and (b) a seeded randomized corpus/batch over a small
     alphabet dense in near-dups."""
-    import math
     import random
 
     from financialtransactionmonitoringsystem_spark.operators import dedup
 
     def py_admitted(corpus, batch):
-        def toks(t):
-            return set(t.split(" "))
-
-        def j6(a, b):
-            inter = len(toks(a) & toks(b))
-            j = inter / (len(toks(a)) + len(toks(b)) - inter)
-            return math.floor(j * 1e6 + 0.5) / 1e6  # util.rnd's formula
-
         out = set()
         for bid, blang, btext in batch:
             if not any(clang == blang
-                       and j6(ctext, btext) >= dedup.JACCARD_THRESHOLD
+                       and _j6(ctext, btext) >= dedup.JACCARD_THRESHOLD
                        for _, clang, ctext in corpus):
                 out.add(bid)
         return out
@@ -988,26 +979,31 @@ def _gate_df(spark, rows, src="c"):
         .select("doc_id", "text", "lang", "source", "n_chars"))
 
 
+def _tset(t):
+    return set(t.split(" "))
+
+
+def _j6(a, b):
+    """Rounded token-set Jaccard, ONE copy of util.rnd's floor formula
+    for every pure-Python gate/funnel reference in this module (review
+    finding: three drifting copies)."""
+    import math
+
+    inter = len(_tset(a) & _tset(b))
+    j = inter / (len(_tset(a)) + len(_tset(b)) - inter)
+    return math.floor(j * 1e6 + 0.5) / 1e6
+
+
 def _py_sequential_admit(corpus, batches):
     """Pure-Python sequential reference: batch k gated against corpus +
     admissions from batches < k (never against itself)."""
-    import math
-
     from financialtransactionmonitoringsystem_spark.operators import dedup
-
-    def toks(t):
-        return set(t.split(" "))
-
-    def j6(a, b):
-        inter = len(toks(a) & toks(b))
-        j = inter / (len(toks(a)) + len(toks(b)) - inter)
-        return math.floor(j * 1e6 + 0.5) / 1e6
 
     ref = list(corpus)
     out = []
     for batch in batches:
         adm = [(i, l, t) for i, l, t in batch
-               if not any(cl == l and j6(ct, t) >= dedup.JACCARD_THRESHOLD
+               if not any(cl == l and _j6(ct, t) >= dedup.JACCARD_THRESHOLD
                           for _, cl, ct in ref)]
         out.append({i for i, _, _ in adm})
         ref += adm
@@ -2098,7 +2094,6 @@ def test_ingest_pipeline_evolving_matches_python_reference_randomized(spark):
     pure-Python sequential funnel reference implementing the same
     quality/decontam/neardup priority and the admitted-only growing
     state.  Per-batch attribution equality, exact."""
-    import math
     import random
 
     from financialtransactionmonitoringsystem_spark.operators import dedup, text
@@ -2142,12 +2137,6 @@ def test_ingest_pipeline_evolving_matches_python_reference_randomized(spark):
         ws = t.split(" ")
         return {tuple(ws[i:i + 5]) for i in range(len(ws) - 4)}
 
-    def j6(a, b):
-        A, B = set(a.split(" ")), set(b.split(" "))
-        inter = len(A & B)
-        j = inter / (len(A) + len(B) - inter)
-        return math.floor(j * 1e6 + 0.5) / 1e6
-
     bench_grams = set().union(*(grams5(t) for _, _, t in bench))
     ref = [(l, t) for _, l, t in corpus]
     want = []
@@ -2160,7 +2149,7 @@ def test_ingest_pipeline_evolving_matches_python_reference_randomized(spark):
                 verd[i] = "quality"
             elif grams5(t) & bench_grams:
                 verd[i] = "decontam"
-            elif any(cl == l and j6(ct, t) >= dedup.JACCARD_THRESHOLD
+            elif any(cl == l and _j6(ct, t) >= dedup.JACCARD_THRESHOLD
                      for cl, ct in ref):
                 verd[i] = "neardup"
             else:
@@ -2191,10 +2180,10 @@ def test_ingest_drift_report_flags_planted_regime_change(spark):
     decontam stage VANISHES from the metrics entirely).  The drift
     report must flag the flipped epoch's moved stages, keep the stable
     epochs unflagged, report the first epoch as deviation 0, and
-    dense-fill the vanished stage (absence reads as rate 0 and drifts
-    loudly rather than dropping out of the report)."""
-    import os
-
+    dense-fill the vanished stage: a stage whose steady share is AT
+    the threshold (decontam at 20%) vanishes with |deviation| == 0.2,
+    which a strict-> flag would miss (review finding) -- the vanish
+    clause must flag it regardless of the threshold comparison."""
     tmp = tempfile.mkdtemp(prefix="ingest_drift_")
     try:
         met = f"{tmp}/metrics"
@@ -2214,14 +2203,12 @@ def test_ingest_drift_report_flags_planted_regime_change(spark):
         # stable epochs unflagged
         assert not any(rep[(e, v)][2] for e in range(4)
                        for v in ("admitted", "neardup", "decontam"))
-        # the flip: all three stages moved past the threshold,
-        # including the VANISHED decontam stage (rate 0 vs trailing 0.2)
+        # the flip: all three stages flagged, including the VANISHED
+        # decontam stage at the exact threshold boundary (rate 0,
+        # trailing 0.2, deviation -0.2): >= catches the boundary and
+        # the vanish clause would catch it even below the threshold
         assert rep[(4, "neardup")] == (0.8, 0.6, True)
         assert rep[(4, "admitted")] == (0.2, -0.4, True)
-        assert rep[(4, "decontam")] == (0.0, -0.2, False) or \
-            rep[(4, "decontam")][2] is False
-        # decontam moved exactly -0.2 = the threshold boundary (not >)
-        assert rep[(4, "decontam")][0] == 0.0
-        assert rep[(4, "decontam")][1] == -0.2
+        assert rep[(4, "decontam")] == (0.0, -0.2, True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
