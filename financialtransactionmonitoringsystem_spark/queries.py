@@ -43,16 +43,14 @@ for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
 # authoritative full-registry gate regardless of window position, and
 # test_window_rotation pins that every stale key actually fits the window.
 LAST_ATTESTED: dict[str, int] = {
-    # round 10 window (CORRECTNESS_r10.json: 49 hash-green + 1 no_oracle
+    # round 13 window (CORRECTNESS_r13.json: 49 hash-green + 1 no_oracle
     # rows-only verdict (q_agg_approx), all 50 attested, zero errors --
-    # the 48 r7-stale keys + q_stream_dedup (new) + q_text_decontam
-    # (TOUCHED); the former r7 cohort is fully absorbed here, so no r7
-    # block remains.  q_dedup_ngram was attested here too but RETIRED in
-    # round 12 (the judge-approved two-step swap; the all-pairs ground
-    # truth lives on module-private as dedup._dedup_ngram for the
-    # recall tests, byte-identical to q_dedup_prefix under the same
-    # oracle), so this cohort holds 49 registered keys)
-    **{k: 10 for k in (
+    # the former r10 cohort re-attested on schedule plus the round-13
+    # registration q_shard_balance, step two of the judge-approved
+    # q_dedup_ngram swap; the retired key's all-pairs ground truth lives
+    # on module-private as dedup._dedup_ngram for the recall tests)
+    **{k: 13 for k in (
+        'q_shard_balance',
         'q_agg_approx', 'q_agg_group', 'q_agg_rollup', 'q_agg_salted',
         'q_agg_stats', 'q_cte', 'q_curate_epochs', 'q_dedup',
         'q_dedup_exact', 'q_filter_range',
@@ -120,12 +118,12 @@ LAST_ATTESTED: dict[str, int] = {
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  Round-13 touches: NONE -- the one registry change is the NEW
-# key q_shard_balance (step two of the judge-approved swap; absent from
-# LAST_ATTESTED so it sorts most-stale automatically), which joins the
-# 49-key r10 cohort to fill the round-13 window exactly (simulated OK by
-# tools/simulate_rotation.py; the 50 r11 keys overflow legally as
-# less-stale, the 50 r12 keys as least-stale).
+# history.  Round-14 touches: NONE needed -- the two implementation swaps
+# (q_cte_recursive -> extras.cte_recursive_doubling, q_dedup_embed ->
+# dedup.embed_pairs_vectorized) are both r11-cohort keys changing INSIDE
+# their own re-attestation window (the free-swap rule), so they sort into
+# the round-14 window naturally; marking them TOUCHED would strand two
+# other r11 keys behind the r12 cohort and simulate ILLEGAL.
 TOUCHED: tuple[str, ...] = ()
 
 # Among equally-stale keys, spread families across the window edge instead of
