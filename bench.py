@@ -138,11 +138,13 @@ HEADLINE = [
     # rows + a broadcast totals row; included so its single-pass claim
     # stays measured)
     "q_shard_balance",
-    # q_cte_recursive is deliberately NOT benched: Spark executes one
-    # job per recursion step, so an 80-month spine costs ~80 scheduler
-    # round-trips (~11s) regardless of data size.  The key exists to
-    # attest the SQL surface; the engine's scale path for date spines is
-    # sequence() (q_ts_resample, ~0.4s for the same shape).
+    # round-14 addition: q_cte_recursive joins the HEADLINE now that its
+    # registered form is the recursive-DOUBLING spine (O(log2 months)
+    # scheduler round-trips; the r13-and-earlier linear form paid one
+    # job per month, ~11s for 80 months at any data size, and was the
+    # reason this key was excluded).  sequence() (q_ts_resample) remains
+    # the non-recursive scale path for date spines.
+    "q_cte_recursive",
 ]
 
 

@@ -1037,14 +1037,23 @@ SQL_COSINE = """
 """
 
 
-def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within a label block
-    (IVF-style coarse blocking at scale).
+def embed_pairs_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JVM zip_with/aggregate pair-fold form of the blocked
+    embedding near-dup -- q_dedup_embed's registered implementation
+    through round 13, kept module-level as the equality reference for
+    the vectorized form that replaced it (swap executed in round 14,
+    the r11 cohort's free-swap window).
 
     The blocked self-join shuffles both sides on ``label`` -- no forced
     broadcast of the embeddings table (round-2 VERDICT "What's wrong"
     #2): at 10^9 vectors the block key is the shuffle key and each
-    block's pair space stays partition-local.
+    block's pair space stays partition-local.  Why it was swapped: the
+    r13 embedding-replica sweep measured the per-pair sequential fold
+    at ~12 us/pair -- 121.7 s at 50x (10M in-block pairs), LINEAR but
+    constant-heavy vs 0.65 s for the BLAS matmul form.  The join shape
+    (and its hint-free plan) is still what the no-broadcast plan test
+    pins, and the sequential fold is the bit-exact ground truth the
+    vectorized equality test compares against.
     """
     emb = load_table(spark, sf_dir, "embeddings") \
         .withColumn("nrm", norm_fold(F.col("embedding")))
@@ -1061,20 +1070,21 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def embed_pairs_vectorized(spark: SparkSession, sf_dir: str,
-                           chunk_doubles: int = 1 << 22) -> DataFrame:
-    """Arrow-vectorized form of :func:`q_dedup_embed` -- the r14 swap
-    candidate, shipped and A/B'd in round 13 but NOT yet the registered
-    implementation (q_dedup_embed sits in the r11 cohort; the free-swap
-    rule makes it legally changeable in round 14, the q_text_decontam
-    -> decontam_prefiltered precedent).
+def q_dedup_embed(spark: SparkSession, sf_dir: str,
+                  chunk_doubles: int = 1 << 22) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within a label block
+    (IVF-style coarse blocking at scale).
 
-    Why: the r13 embedding-replica sweep measured the JVM
-    zip_with/aggregate pair fold at ~12 us/pair -- q_dedup_embed runs
-    121.7 s at 50x (10M in-block pairs), LINEAR but constant-heavy.
-    Here each label block becomes one ``applyInPandas`` group and the
-    pair space is one BLAS matmul (``X @ X.T``), turning the per-pair
-    fold into a vectorized multiply-accumulate.
+    Registered implementation since round 14: the Arrow-vectorized
+    form (swap executed in the r11 cohort's free-swap window; the
+    sequential-fold join form it replaced stays module-level as
+    :func:`embed_pairs_fold`, the equality reference).  Why: the r13
+    embedding-replica sweep measured the JVM zip_with/aggregate pair
+    fold at ~12 us/pair -- 121.7 s at 50x (10M in-block pairs), LINEAR
+    but constant-heavy vs 0.65 s here.  Each label block becomes one
+    ``applyInPandas`` group and the pair space is one BLAS matmul
+    (``X @ X.T``), turning the per-pair fold into a vectorized
+    multiply-accumulate.
 
     Same output contract: pairs (vec_a < vec_b) within a label block
     with floor-rounded cosine >= the threshold.  The rounding replays

@@ -174,19 +174,18 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL-standard WITH RECURSIVE (Spark 4 support): a month spine from
-    the first to the last order month, gap-filled with monthly order
-    counts -- the recursive-CTE form of the dense-grid resample
-    (``q_ts_resample`` builds the same shape with ``sequence()``).
+def cte_recursive_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LINEAR month-spine WITH RECURSIVE form -- q_cte_recursive's
+    registered implementation through round 13, kept module-level as
+    the equality reference for the doubling form that replaced it
+    (swap executed in round 14, the r11 cohort's free-swap window).
 
-    Scale note: the recursion generates O(months of history) rows --
-    metadata-sized -- but Spark executes ONE JOB PER RECURSION STEP, so
-    the spine costs ~one scheduler round-trip per month (~11s for 80
-    months at any data size).  This key attests the SQL surface; the
-    engine's scale path for date spines is ``sequence()``
-    (``q_ts_resample``, same shape in one job), which is why this key
-    is excluded from the benchmark HEADLINE."""
+    Spark executes ONE JOB PER RECURSION STEP, so this form costs ~one
+    scheduler round-trip per month of history (~11s for 80 months at
+    any data size) -- the reason it was the registry's last perf-weak
+    key.  It remains the most literal rendering of the SQL-standard
+    work-table semantics, which is exactly what makes it the right
+    ground truth for the equality test."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql("""
         WITH RECURSIVE m(mon) AS (
@@ -203,30 +202,32 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-def cte_recursive_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The r14 swap candidate for :func:`q_cte_recursive` (r11 cohort =
-    legally changeable in r14 under the free-swap rule; the
-    `embed_pairs_vectorized` precedent): the SAME month spine through a
-    RECURSIVE-DOUBLING offset generator, cutting recursion depth from
-    O(months) to O(log2 months).
+def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard WITH RECURSIVE (Spark 4 support): a month spine from
+    the first to the last order month, gap-filled with monthly order
+    counts -- the recursive-CTE form of the dense-grid resample
+    (``q_ts_resample`` builds the same shape with ``sequence()``).
 
-    Spark executes one job per recursion step, so the linear form pays
-    ~one scheduler round-trip per month of history -- the reason
-    q_cte_recursive is the registry's one perf-weak key.  The doubling
-    form keeps the WITH RECURSIVE surface attestation (anchor +
-    recursive member + work-table semantics) but each step emits
-    offsets ``2j`` and ``2j+1`` from every work-table row ``j >= 1``
-    (anchor {0, 1}), so every integer in [0, n] is produced exactly
-    once -- n >= 2 from floor(n/2) >= 1 -- in ceil(log2 n) steps: ~7
-    scheduler round-trips for 80 months instead of ~80.  ``sequence()``
-    (q_ts_resample) remains the non-recursive scale path for spines.
-    Output byte-identical to q_cte_recursive (same oracle; equality
-    test at suite SF, swap insurance at sf0.01 + sf0.1 in PLANS),
-    INCLUDING on an empty orders table (review finding): the linear
-    form's anchor always emits one NULL-month row, so off=0 must pass
-    the anchor unconditionally -- ``off = 0 OR off <= bound`` keeps the
-    one-row output when the bound is NULL, while off=1 still needs a
-    real bound >= 1."""
+    Registered implementation since round 14: a RECURSIVE-DOUBLING
+    offset generator.  Spark executes one job per recursion step, so
+    the literal linear spine (:func:`cte_recursive_linear`, the
+    registered form through r13, kept as the equality reference) pays
+    ~one scheduler round-trip per month of history.  The doubling form
+    keeps the WITH RECURSIVE surface attestation (anchor + recursive
+    member + work-table semantics) but each step emits offsets ``2j``
+    and ``2j+1`` from every work-table row ``j >= 1`` (anchor {0, 1}),
+    so every integer in [0, n] is produced exactly once -- n >= 2 from
+    floor(n/2) >= 1 -- in ceil(log2 n) steps: ~7 scheduler round-trips
+    for 80 months instead of ~80 (warm A/B at sf0.1: 1.79 s vs 11.68 s;
+    the gap is pure scheduler latency, so it is data-size-independent).
+    ``sequence()`` (q_ts_resample) remains the non-recursive scale path
+    for spines.  Output byte-identical to the linear form (same DuckDB
+    oracle; equality test at suite SF, swap insurance at sf0.01 +
+    sf0.1 in PLANS), INCLUDING on an empty orders table (review
+    finding): the linear form's anchor always emits one NULL-month
+    row, so off=0 must pass the anchor unconditionally -- ``off = 0 OR
+    off <= bound`` keeps the one-row output when the bound is NULL,
+    while off=1 still needs a real bound >= 1."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql("""
         WITH RECURSIVE offs(off) AS (

@@ -1742,18 +1742,19 @@ def test_embed_gate_twin_oracle_parity(spark, duck, sf_dir):
 
 def test_embed_pairs_vectorized_matches_fold_form_and_oracle(spark, duck,
                                                              sf_dir):
-    """The r14 swap candidate: embed_pairs_vectorized (Arrow grouped-map
-    + BLAS matmul per label block) must produce EXACTLY the registered
-    q_dedup_embed's rows -- and match the same DuckDB oracle -- at the
-    suite SF.  Also exercises the chunked-matmul path with a scratch
+    """The registered q_dedup_embed (Arrow grouped-map + BLAS matmul
+    per label block since the r14 swap) must produce EXACTLY the
+    sequential-fold join form's rows (embed_pairs_fold, the pre-r14
+    implementation kept as the equality reference) -- and match the
+    same DuckDB oracle -- at the suite SF.  Also exercises the chunked-matmul path with a scratch
     budget small enough to force multiple chunks per block, which must
     not change a single pair (the chunk boundary is the bug surface:
     an off-by-one drops or duplicates the pairs whose vec_a sits at a
     chunk edge)."""
     from tests.compare import assert_frames_match
 
-    fold = dedup.q_dedup_embed(spark, sf_dir).toPandas()
-    vec = dedup.embed_pairs_vectorized(spark, sf_dir).toPandas()
+    fold = dedup.embed_pairs_fold(spark, sf_dir).toPandas()
+    vec = dedup.q_dedup_embed(spark, sf_dir).toPandas()
     assert_frames_match(vec, fold, "embed_pairs_vectorized vs fold")
     assert_frames_match(vec, duck.execute(dedup.ORACLES["q_dedup_embed"]).df(),
                         "embed_pairs_vectorized vs oracle")
@@ -1763,7 +1764,7 @@ def test_embed_pairs_vectorized_matches_fold_form_and_oracle(spark, duck,
     from financialtransactionmonitoringsystem_spark.tables import load_table
     max_block = (load_table(spark, sf_dir, "embeddings")
                  .groupBy("label").count().agg(F.max("count")).first()[0])
-    chunked = dedup.embed_pairs_vectorized(
+    chunked = dedup.q_dedup_embed(
         spark, sf_dir, chunk_doubles=max(1, max_block // 2) * max_block
     ).toPandas()
     assert_frames_match(chunked, fold, "embed_pairs_vectorized chunked")

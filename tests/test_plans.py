@@ -99,7 +99,11 @@ def test_dedup_verify_joins_never_force_broadcast(spark, sf_dir):
         # registry in r12, kept module-private): its self-join dropped
         # the forced corpus broadcast (VERDICT r6 #1) and must stay
         # hint-free like the verify joins.
-        for q in (dedup.q_dedup_minhash, dedup.q_dedup_embed,
+        # embed_pairs_fold is q_dedup_embed's pre-r14 join form, kept
+        # module-level precisely so this blocked-self-join plan shape
+        # stays pinned (the registered form is now an applyInPandas
+        # grouped-map with no join to hint).
+        for q in (dedup.q_dedup_minhash, dedup.embed_pairs_fold,
                   dedup._dedup_ngram):
             plan = P.plan_str(q(spark, sf_dir), "simple")
             assert "BroadcastExchange" not in plan, plan

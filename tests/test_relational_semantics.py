@@ -299,20 +299,21 @@ def test_win_range_bucketed_property_vs_brute_force(spark):
 
 
 def test_cte_recursive_doubling_equals_linear_form(spark, sf_dir):
-    """The r14 swap candidate: the recursive-DOUBLING month spine
-    (O(log months) recursion steps -- each work-table row j >= 1 emits
-    offsets 2j and 2j+1, anchor {0, 1}, so every offset is produced
-    exactly once) must be row-identical to the registered linear
-    WITH RECURSIVE form, including on a SINGLE-month frame where the
+    """The registered q_cte_recursive (the recursive-DOUBLING month
+    spine since the r14 swap: O(log months) recursion steps -- each
+    work-table row j >= 1 emits offsets 2j and 2j+1, anchor {0, 1}, so
+    every offset is produced exactly once) must be row-identical to the
+    linear WITH RECURSIVE form it replaced (kept module-level as
+    cte_recursive_linear), including on a SINGLE-month frame where the
     doubling anchor must not overrun (off=1 excluded by the bound)."""
     from financialtransactionmonitoringsystem_spark.operators import extras
 
     import shutil
     import tempfile
 
-    want = sorted(map(tuple, extras.q_cte_recursive(spark, sf_dir).collect()))
-    got = sorted(map(tuple,
-                     extras.cte_recursive_doubling(spark, sf_dir).collect()))
+    want = sorted(map(tuple,
+                      extras.cte_recursive_linear(spark, sf_dir).collect()))
+    got = sorted(map(tuple, extras.q_cte_recursive(spark, sf_dir).collect()))
     assert got == want and len(got) > 1
 
     # edge frames drive the MODULE FUNCTION (not a pasted SQL copy that
@@ -338,9 +339,9 @@ def test_cte_recursive_doubling_equals_linear_form(spark, sf_dir):
              .withColumn("o_orderdate", F.col("o_orderdate").cast("date"))
              .write.parquet(f"{d}/orders.parquet"))
             lin = sorted(map(tuple,
-                             extras.q_cte_recursive(spark, d).collect()))
+                             extras.cte_recursive_linear(spark, d).collect()))
             dbl = sorted(map(tuple,
-                extras.cte_recursive_doubling(spark, d).collect()))
+                extras.q_cte_recursive(spark, d).collect()))
             assert dbl == lin == expect, (i, dbl, lin, expect)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
