@@ -701,11 +701,14 @@ def _composed_score(dec, nov, batch: DataFrame, gate_admitted) -> DataFrame:
         return df.select(*out_meta, tag.alias("reject_stage"))
 
     q_stage, d_stage, n_stage = INGEST_STAGES
+    # Filter on the quality expression directly rather than staging it
+    # through a temp column: a withColumn("__keep", ...) would CORRUPT a
+    # caller batch that already carries a __keep column (replaced, then
+    # dropped -- ADVICE r13), and the two filter branches fork the plan
+    # anyway, so staging bought no sharing.
     keep = text._quality_metrics()[2]
-    flagged = batch.withColumn("__keep", keep)
-    q_pass = flagged.filter(F.col("__keep")).drop("__keep")
-    q_fail = (flagged.filter(~F.coalesce(F.col("__keep"), F.lit(False)))
-              .drop("__keep"))
+    q_pass = batch.filter(keep)
+    q_fail = batch.filter(~F.coalesce(keep, F.lit(False)))
     contaminated = dedup._scoped_build(dec(q_pass).select("doc_id"))
     d_pass = q_pass.join(contaminated, "doc_id", "left_anti")
     d_fail = q_pass.join(contaminated, "doc_id", "left_semi")
@@ -879,7 +882,18 @@ def ingest_drift_report(spark: SparkSession, metrics_dir: str,
     construction (the funnel already aggregated each epoch to <= 4
     rows), so the window sort here is over bookkeeping data, never
     corpus data; missing (epoch, verdict) combinations are dense-filled
-    with rate 0 so a vanished stage appears in the report at all."""
+    with rate 0 so a vanished stage appears in the report at all.
+
+    Epoch gaps collapse (ADVICE r13): the trailing window is
+    row-offset based over epochs PRESENT in the metrics table, and an
+    epoch that landed zero metrics rows (an empty micro-batch writes
+    nothing) is absent from it entirely -- so "trailing 5 epochs" means
+    the 5 most recent epochs THAT PROCESSED DOCS, which can span a
+    wider epoch-id range than 5.  That is the intended semantics: an
+    empty batch carries no share signal to average (densifying it in
+    would inject fabricated 0-rates and false vanish flags), but an
+    operator reading the report should know gaps are skipped, not
+    zero-filled."""
     m = read_ingest_metrics(spark, metrics_dir)
     totals = m.groupBy("__epoch").agg(F.sum("n_docs").alias("n_total"))
     # dense (epoch x verdict) grid so absent stages read as rate 0
