@@ -2212,3 +2212,89 @@ def test_ingest_drift_report_flags_planted_regime_change(spark):
         assert rep[(4, "decontam")] == (0.0, -0.2, True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_ingest_drift_report_over_real_evolving_funnel_run(spark):
+    """The composed loop the canary exists for, end to end: drive
+    run_ingest_pipeline_evolving over five staged micro-batches --
+    four with a stable 60/20/20 admitted/neardup/decontam shape, then
+    a planted regime flip whose near-dups are copies of EARLIER
+    EPOCHS' ADMISSIONS (one per prior epoch, so the flip also proves
+    the evolving state accumulated across the whole run) and whose
+    decontam stage vanishes -- then run ingest_drift_report over the
+    REAL landed metrics table, not planted rows.  The stable epochs
+    must read unflagged, the flip epoch's three stages must all flag
+    (including the vanished decontam at the exact threshold
+    boundary), and the funnel metrics must conserve per epoch."""
+    import os
+
+    corpus_toks = [f"w{i:02d}" for i in range(30)]
+    seed = _gate_df(spark, [(1000, "en", " ".join(corpus_toks))])
+    bench = _gate_df(spark, [(5000, "en", "b1 b2 b3 b4 b5 filler")], "b")
+
+    def adm_toks(e, j):
+        return [f"e{e}a{j}t{i:02d}" for i in range(25)]
+
+    batches = []
+    for e in range(4):  # stable regime: 3 admitted / 1 neardup / 1 decontam
+        rows = [(e * 100 + j, "en", " ".join(adm_toks(e, j)))
+                for j in range(3)]
+        if e == 0:  # near-dup of the SEED corpus doc: J = 25/30
+            dup = " ".join(corpus_toks[:25])
+        else:       # near-dup of the PREVIOUS epoch's admission: J = 24/26
+            dup = " ".join(adm_toks(e - 1, 0)[:-1] + [f"x{e}"])
+        rows.append((e * 100 + 3, "en", dup))
+        rows.append((e * 100 + 4, "en",
+                     " ".join(["b1 b2 b3 b4 b5"]
+                              + [f"e{e}c{i:02d}" for i in range(20)])))
+        batches.append(rows)
+    # the flip: 1 admitted / 4 near-dups (one per prior epoch's
+    # admission -- state from every earlier batch) / 0 decontam
+    flip = [(400, "en", " ".join(adm_toks(4, 0)))]
+    flip += [(401 + k, "en", " ".join(adm_toks(k, 0)[:-1] + [f"x4{k}"]))
+             for k in range(4)]
+    batches.append(flip)
+
+    tmp = tempfile.mkdtemp(prefix="ingest_drift_e2e_")
+    try:
+        stage = f"{tmp}/in"
+        out, met, ckpt = f"{tmp}/out", f"{tmp}/metrics", f"{tmp}/ckpt"
+        os.makedirs(stage)
+        for i, rows in enumerate(batches):
+            _gate_df(spark, rows, "b").coalesce(1) \
+                .write.parquet(f"{tmp}/half{i}")
+            part = next(f for f in os.listdir(f"{tmp}/half{i}")
+                        if f.endswith(".parquet"))
+            dst = f"{stage}/batch{i}.parquet"
+            os.rename(f"{tmp}/half{i}/{part}", dst)
+            os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+
+        ev = pipeline.ingest_pipeline_evolving(seed, bench, f"{tmp}/state")
+        src = (spark.readStream.schema(_gate_df(spark, flip, "b").schema)
+               .option("maxFilesPerTrigger", "1").parquet(stage))
+        pipeline.run_ingest_pipeline_evolving(src, ev, out, met,
+                                              ckpt).awaitTermination()
+        assert len(os.listdir(f"{ckpt}/commits")) >= 5
+
+        # real metrics conserve per epoch before the canary reads them
+        per_epoch = {(r["__epoch"], r.verdict): r.n_docs
+                     for r in pipeline.read_ingest_metrics(spark,
+                                                           met).collect()}
+        for e in range(4):
+            assert per_epoch[(e, "admitted")] == 3
+            assert per_epoch[(e, "neardup")] == 1
+            assert per_epoch[(e, "decontam")] == 1
+        assert per_epoch[(4, "admitted")] == 1
+        assert per_epoch[(4, "neardup")] == 4
+        assert (4, "decontam") not in per_epoch
+
+        rep = {(r["__epoch"], r.verdict): (r.rate, r.deviation, r.drifted)
+               for r in pipeline.ingest_drift_report(spark, met).collect()}
+        assert not any(rep[(e, v)][2] for e in range(4)
+                       for v in ("admitted", "neardup", "decontam"))
+        assert rep[(0, "admitted")][1] == 0.0
+        assert rep[(4, "neardup")] == (0.8, 0.6, True)
+        assert rep[(4, "admitted")] == (0.2, -0.4, True)
+        assert rep[(4, "decontam")] == (0.0, -0.2, True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
