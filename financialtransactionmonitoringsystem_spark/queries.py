@@ -119,8 +119,8 @@ LAST_ATTESTED: dict[str, int] = {
 
 # Implementations materially changed this round -> re-attest regardless of
 # history.  Round-14 touches: NONE needed -- the two implementation swaps
-# (q_cte_recursive -> the doubling spine, q_dedup_embed ->
-# dedup.embed_pairs_vectorized) are both r11-cohort keys changing INSIDE
+# (q_cte_recursive -> the doubling spine, q_dedup_embed -> the
+# chunked-BLAS vectorized form) are both r11-cohort keys changing INSIDE
 # their own re-attestation window (the free-swap rule), so they sort into
 # the round-14 window naturally; marking them TOUCHED would strand two
 # other r11 keys behind the r12 cohort and simulate ILLEGAL.

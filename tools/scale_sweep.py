@@ -45,7 +45,9 @@ qs["perplexity_bigram_twin"] = _txt.perplexity_bigram_twin
 qs["mixture_cap_epochs_twin"] = _cur.mixture_cap_epochs_twin
 from financialtransactionmonitoringsystem_spark.operators import dedup as _ddp
 qs["embed_gate_twin"] = _ddp.embed_gate_twin
-qs["embed_pairs_vectorized"] = _ddp.embed_pairs_vectorized
+# the vectorized form IS q_dedup_embed since the r14 swap; the pre-swap
+# sequential-fold join form is the unregistered twin now
+qs["embed_pairs_fold"] = _ddp.embed_pairs_fold
 
 jvm_gc = spark.sparkContext._jvm.System.gc
 for key in KEYS:
