@@ -143,7 +143,10 @@ HEADLINE = [
     # scheduler round-trips; the r13-and-earlier linear form paid one
     # job per month, ~11s for 80 months at any data size, and was the
     # reason this key was excluded).  sequence() (q_ts_resample) remains
-    # the non-recursive scale path for date spines.
+    # the non-recursive scale path for date spines.  COMPARABILITY: the
+    # total is a 79-key sum from r14 on vs 78 keys in BENCH_quiet_r13 --
+    # cross-round comparisons must be per-key (or drop this key from
+    # the total), never total-vs-total.
     "q_cte_recursive",
 ]
 

@@ -1128,7 +1128,15 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str,
             C = (X[lo:hi] @ X.T) / np.outer(nrm[lo:hi], nrm)
             C = np.floor(C * 1e6 + 0.5) / 1e6  # util.rnd, replayed
             ii, jj = np.nonzero(C >= EMBED_NEARDUP_THRESHOLD)
-            keep = jj > (ii + lo)  # vec_a < vec_b, ids sorted
+            # ID-based predicate, not index-based (review finding): the
+            # fold form's join condition is a.vec_id < b.vec_id, so two
+            # rows SHARING a vec_id must never pair.  On the sorted ids
+            # jj > ii+lo and ids[jj] > ids[ii+lo] agree wherever ids are
+            # unique (the corpus contract), but only the id comparison
+            # reproduces the join's duplicate-id exclusion on arbitrary
+            # input; each cross-id row pair still lands exactly once
+            # (the column id must exceed the row id).
+            keep = ids[jj] > ids[ii + lo]
             ii, jj = ii[keep], jj[keep]
             out_a.append(ids[ii + lo])
             out_b.append(ids[jj])

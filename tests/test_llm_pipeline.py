@@ -1755,9 +1755,9 @@ def test_embed_pairs_vectorized_matches_fold_form_and_oracle(spark, duck,
 
     fold = dedup.embed_pairs_fold(spark, sf_dir).toPandas()
     vec = dedup.q_dedup_embed(spark, sf_dir).toPandas()
-    assert_frames_match(vec, fold, "embed_pairs_vectorized vs fold")
+    assert_frames_match(vec, fold, "q_dedup_embed(vectorized) vs fold")
     assert_frames_match(vec, duck.execute(dedup.ORACLES["q_dedup_embed"]).df(),
-                        "embed_pairs_vectorized vs oracle")
+                        "q_dedup_embed(vectorized) vs oracle")
     assert len(vec) > 0  # the corpus has in-block near-dups to find
     # chunked path: budget of N doubles over blocks of ~N/4 rows forces
     # ceil((n-1)/chunk) >= 2 chunks in every populated block
@@ -1767,7 +1767,42 @@ def test_embed_pairs_vectorized_matches_fold_form_and_oracle(spark, duck,
     chunked = dedup.q_dedup_embed(
         spark, sf_dir, chunk_doubles=max(1, max_block // 2) * max_block
     ).toPandas()
-    assert_frames_match(chunked, fold, "embed_pairs_vectorized chunked")
+    assert_frames_match(chunked, fold, "q_dedup_embed(vectorized) chunked")
+
+
+def test_embed_pairs_duplicate_vec_id_matches_fold_form(spark):
+    """The fold form's join predicate is a.vec_id < b.vec_id, so two
+    rows SHARING a vec_id never pair -- and the vectorized form's
+    numpy predicate must be ID-based, not row-index-based, to agree on
+    such input (review finding: jj > ii+lo would emit a vec_a == vec_b
+    self-pair for duplicate ids).  Planted block: two rows with vec_id
+    10 (near-dups of each other -- excluded by BOTH forms) and one
+    vec_id 20 near-dup of both 10-rows, which must pair with EACH of
+    them (two (10, 20) output rows, one per underlying row)."""
+    import shutil
+    import tempfile
+
+    from tests.compare import assert_frames_match
+
+    rows = [(10, [1.0, 0.0, 0.0, 0.0], 1),
+            (10, [0.98, 0.2, 0.0, 0.0], 1),
+            (20, [0.99, 0.1, 0.0, 0.0], 1),
+            (30, [0.0, 0.0, 1.0, 0.0], 1)]   # orthogonal: pairs with none
+    tmp = tempfile.mkdtemp(prefix="embed_dupid_")
+    try:
+        (spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int")
+         .write.parquet(f"{tmp}/embeddings.parquet"))
+        fold = dedup.embed_pairs_fold(spark, tmp).toPandas()
+        vec = dedup.q_dedup_embed(spark, tmp).toPandas()
+        assert_frames_match(vec, fold, "dup-vec_id vectorized vs fold")
+        assert sorted(zip(vec.vec_a, vec.vec_b)) == [(10, 20), (10, 20)]
+        # forced multi-chunk path over the 3-row id-sorted block
+        chunked = dedup.q_dedup_embed(spark, tmp,
+                                      chunk_doubles=4).toPandas()
+        assert_frames_match(chunked, fold, "dup-vec_id chunked")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_corpus_contract_embeddings_finite_nonzero_norm(spark, sf_dir):

@@ -51,7 +51,14 @@ qs["embed_pairs_fold"] = _ddp.embed_pairs_fold
 
 jvm_gc = spark.sparkContext._jvm.System.gc
 for key in KEYS:
-    fn = qs[key]
+    fn = qs.get(key)
+    if fn is None:
+        # e.g. a PLANS row recorded under a pre-swap twin name
+        # (embed_pairs_vectorized became q_dedup_embed in r14) -- report
+        # and keep sweeping the remaining keys instead of dying here
+        print(f"SWEEP {key} ERR=unknown key (renamed or unregistered?)",
+              file=sys.stderr, flush=True)
+        continue
     row = [key]
     for label, d in DIRS:
         jvm_gc()
