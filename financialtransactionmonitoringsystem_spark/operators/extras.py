@@ -227,33 +227,38 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     finding): the linear form's anchor always emits one NULL-month
     row, so off=0 must pass the anchor unconditionally -- ``off = 0 OR
     off <= bound`` keeps the one-row output when the bound is NULL,
-    while off=1 still needs a real bound >= 1."""
+    while off=1 still needs a real bound >= 1.
+
+    The recursion bound and anchor month are computed ONCE in the
+    anchor's cross join and CARRIED as work-table columns: a scalar
+    subquery in the recursive member (or the outer query) re-executes
+    its orders aggregation on every recursion step / consumer, so the
+    subquery form pays ~log2(months) + 2 full orders scans where this
+    form pays exactly one -- irrelevant at bench SF (~0.7 s warm), the
+    difference between O(1) and O(log n) table scans at 100 TB.  The
+    carried columns cost 2 values on O(months) metadata rows."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql("""
-        WITH RECURSIVE offs(off) AS (
-          SELECT off FROM VALUES (0), (1) AS t(off)
-          WHERE off = 0 OR off <= (SELECT CAST(months_between(
+        WITH RECURSIVE offs(off, bound, m0) AS (
+          SELECT t.off, b.bound, b.m0
+          FROM VALUES (0), (1) AS t(off)
+          CROSS JOIN (SELECT CAST(months_between(
                   date_trunc('month', max(o_orderdate)),
-                  date_trunc('month', min(o_orderdate))) AS INT)
-                FROM orders)
+                  date_trunc('month', min(o_orderdate))) AS INT) AS bound,
+                date_trunc('month', min(o_orderdate)) AS m0
+              FROM orders) b
+          WHERE t.off = 0 OR t.off <= b.bound
           UNION ALL
-          SELECT off * 2 + d
+          SELECT off * 2 + d, bound, m0
           FROM offs LATERAL VIEW explode(array(0, 1)) e AS d
-          WHERE off >= 1
-            AND off * 2 + d <= (SELECT CAST(months_between(
-                  date_trunc('month', max(o_orderdate)),
-                  date_trunc('month', min(o_orderdate))) AS INT)
-                FROM orders)
+          WHERE off >= 1 AND off * 2 + d <= bound
         )
-        SELECT date_format(date_trunc('month',
-                 (SELECT min(o_orderdate) FROM orders))
-                 + make_interval(0, off), 'yyyy-MM') AS month,
+        SELECT date_format(m0 + make_interval(0, off), 'yyyy-MM') AS month,
                COALESCE(o.n, 0) AS n_orders
         FROM offs LEFT JOIN (
           SELECT date_trunc('month', o_orderdate) AS mo, COUNT(*) AS n
           FROM orders GROUP BY 1) o
-          ON date_trunc('month', (SELECT min(o_orderdate) FROM orders))
-             + make_interval(0, off) = o.mo
+          ON m0 + make_interval(0, off) = o.mo
     """)
 
 
