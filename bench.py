@@ -234,9 +234,15 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
-        times[key] = round(best, 3)
+        # 2dp per key: the driver's capture window for this line is
+        # ~2000 chars, and 79 keys at 3dp + spaced separators was 2035
+        # -- every BENCH_r13/r14.json landed "parsed": null over 35
+        # chars.  10 ms per-key resolution is ample for the raw driver
+        # record; the quiet-bench protocol (BENCH_quiet_r{N}.json)
+        # remains the 3dp number of record.
+        times[key] = round(best, 2)
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(times.values()), 2)
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -247,7 +253,9 @@ def main() -> None:
     }
     if build_errors:
         out["build_errors"] = build_errors
-    print(json.dumps(out))
+    # Compact separators for the same reason as the 2dp rounding: keep
+    # the one-line record inside the driver's capture window.
+    print(json.dumps(out, separators=(",", ":")))
     spark.stop()
 
 

@@ -92,12 +92,13 @@ LAST_ATTESTED: dict[str, int] = {
         "q_text_linededup", "q_text_pii", "q_text_tfidf", "q_topk",
         "q_ts_resample", "q_win_lag", "q_win_ntile",
     )},
-    # round 11 window (CORRECTNESS_r11.json: 48 hash-green + 2 no_oracle
-    # rows-only verdicts (q_agg_approx_quantile, q_sim_ivf), all 50
-    # attested, zero errors -- the 48 r8-stale keys plus the 2 round-11
-    # registrations q_text_decontam_bylang + q_text_novelty, which took
-    # the registry to its 150-key rotation capacity)
-    **{k: 11 for k in (
+    # round 14 window (CORRECTNESS_r14.json: 48 hash-green + 2 no_oracle
+    # rows-only verdicts (q_agg_approx_quantile, q_sim_ivf — by-nature
+    # approximate keys), all 50 attested, zero errors -- the r11 cohort
+    # re-attested on schedule, including both round-14 in-window free
+    # swaps (q_cte_recursive doubling+carried-bound spine, q_dedup_embed
+    # chunked-BLAS vectorized form))
+    **{k: 14 for k in (
         "q_text_decontam_bylang", "q_text_novelty",
         "q_agg_approx_quantile", "q_agg_argmax", "q_agg_bitmap",
         "q_agg_corr", "q_agg_ddsketch", "q_agg_histogram", "q_agg_mode",
@@ -118,12 +119,11 @@ LAST_ATTESTED: dict[str, int] = {
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  Round-14 touches: NONE needed -- the two implementation swaps
-# (q_cte_recursive -> the doubling spine, q_dedup_embed -> the
-# chunked-BLAS vectorized form) are both r11-cohort keys changing INSIDE
-# their own re-attestation window (the free-swap rule), so they sort into
-# the round-14 window naturally; marking them TOUCHED would strand two
-# other r11 keys behind the r12 cohort and simulate ILLEGAL.
+# history.  Round-15 touches: NONE -- the round-15 window is exactly the
+# 50-key r12 cohort re-attesting on schedule (steady state); any change to
+# an r12-cohort key this round is an in-window free swap needing no
+# TOUCHED slot, and out-of-window changes are deferred to their cohort's
+# window (r13 cohort -> r16, r14/r11 cohort -> r17).
 TOUCHED: tuple[str, ...] = ()
 
 # Among equally-stale keys, spread families across the window edge instead of
