@@ -35,6 +35,7 @@ Scale notes (the testdata corpus is 500 docs; design is for 10^9):
 
 from __future__ import annotations
 
+import operator
 import os
 from functools import reduce
 
@@ -725,22 +726,80 @@ def lsh_candidates(sig: DataFrame, n_bands: int = N_BANDS,
 
 def _band_table(sig: DataFrame, n_bands: int = N_BANDS,
                 k: int = N_MINHASH) -> DataFrame:
+    """Exploded LSH band table (doc_id, lang, n_toks, band, bh, bhs).
+
+    ``bhs`` carries the doc's FULL band-hash vector (n_bands longs) on
+    every exploded row: it is what lets :func:`_band_join` emit each
+    candidate pair exactly once -- from its smallest shared band -- as a
+    pure join residual instead of a pair-table DISTINCT.  +8 longs per
+    row of a docs*n_bands table vs. removing a candidate-pair-sized
+    exchange (the r15 profile: the distinct was ~2/3 of the whole
+    q_dedup_minhash runtime at 10x, and the pre-distinct pair table it
+    shuffles is ~2x the distinct output)."""
     rows_per_band = k // n_bands
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(*[F.col(f"min_{b * rows_per_band + r}")
-                         for r in range(rows_per_band)]).alias("bh"),
-        )
+    bhs = F.array(*[
+        F.xxhash64(*[F.col(f"min_{b * rows_per_band + r}")
+                     for r in range(rows_per_band)])
         for b in range(n_bands)
     ])
-    return sig.select("doc_id", "lang", "n_toks", F.explode(bands).alias("b")) \
-        .select("doc_id", "lang", "n_toks",
-                F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.col("bhs").getItem(b).alias("bh"))
+        for b in range(n_bands)
+    ])
+    return (sig.select("doc_id", "lang", "n_toks", bhs.alias("bhs"))
+            .select("doc_id", "lang", "n_toks", "bhs",
+                    F.explode(bands).alias("b"))
+            .select("doc_id", "lang", "n_toks",
+                    F.col("b.band").alias("band"),
+                    F.col("b.bh").alias("bh"), "bhs"))
 
 
-def _band_join(exploded: DataFrame) -> DataFrame:
-    a = exploded.alias("a")
+def _band_join(exploded: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+    """Band-bucket candidate join, each pair emitted EXACTLY ONCE.
+
+    A pair sharing several bands matches the equi-join once per shared
+    band; the classic fix -- ``.distinct()`` on the pair table -- is a
+    full exchange + aggregate of every (pair, shared band) match, and
+    the r15 profile measured it as ~2/3 of q_dedup_minhash's runtime
+    (10x replica: 17.0 s of 19.7 s total; the exchange is
+    corpus-PAIR-sized, the one thing a 100 TB dedup must never shuffle
+    twice).  Instead the join keeps a match only when the joined band
+    is the SMALLEST index on which the pair collides: both sides carry
+    their full band-hash vector (``bhs``), and a static
+    OR-over-(n_bands-1) residual rejects any match with an earlier
+    shared band.  Exactly one band survives per candidate pair (the
+    minimum always exists and is unique), so the output is
+    duplicate-free BY CONSTRUCTION -- set-identical to the distinct
+    form (:func:`_band_join_distinct`, retained as the equality
+    reference) with zero post-join exchange on the PAIR table.
+
+    The probe side is explicitly hash-repartitioned on the join keys:
+    the distinct this form removes was accidentally the plan's ONLY
+    exchange, so without it the fused band-join + verify pipeline ran
+    at the parallelism of the band-table FILE SCAN -- one task for a
+    <=128 MB parquet artifact (measured 2.6x SLOWER end-to-end at 1x
+    despite the join itself being 2.3x faster).  Exchanging the
+    O(docs x n_bands) band table restores width for pennies (it is
+    three orders of magnitude smaller than the pair table the distinct
+    used to shuffle), and at cluster scale a sort-merge join requires
+    exactly this hash partitioning anyway, so the exchange is absorbed
+    into ENSURE_REQUIREMENTS instead of doubling up.
+
+    The width is pinned to spark.sql.shuffle.partitions EXPLICITLY:
+    a bare repartition(cols) is AQE-coalescable, and AQE sizes
+    partitions by the MAP OUTPUT of the exchange -- the few-MB band
+    table -- not by the million-pair join fan-out downstream of it, so
+    it coalesced the exchange straight back to ONE partition (measured:
+    the materialized candidate output came back single-partition and
+    the verify ran 5x slower than on the old form's pair-exchange
+    layout).  Fan-out joins are exactly where AQE's size heuristic is
+    blind; an explicit count is the supported way to opt this one
+    exchange out of coalescing without touching session confs."""
+    n_shuffle = int(exploded.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions"))
+    a = exploded.repartition(
+        n_shuffle, F.col("band"), F.col("bh"), F.col("lang")).alias("a")
     b = exploded.alias("b")
     # Length filter as a join residual (same exact bound as the prefix
     # join, integer rational): J >= t forces t*|B| <= |A| <= |B|/t, and
@@ -749,6 +808,32 @@ def _band_join(exploded: DataFrame) -> DataFrame:
     # widening for the same rounded-acceptance-region / int32-wrap
     # reasons as _prefix_probe.
     p, q = PRUNE_NUM, PRUNE_DEN
+    na, nb = F.col("a.n_toks").cast("long"), F.col("b.n_toks").cast("long")
+    # Min-band residual: the joined rows agree on `band` (equi-key), so
+    # "no earlier shared band" over a.band alone is the pair property.
+    shared_earlier = reduce(operator.or_, [
+        (F.col("a.band") > j)
+        & (F.col("a.bhs").getItem(j) == F.col("b.bhs").getItem(j))
+        for j in range(n_bands - 1)
+    ])
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (q * na >= p * nb) & (q * nb >= p * na)
+               & ~shared_earlier)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+def _band_join_distinct(exploded: DataFrame) -> DataFrame:
+    """The pre-r15 once-per-shared-band + DISTINCT band join, retained
+    module-level as the equality reference for the min-band-residual
+    swap (the q_dedup_embed fold-form precedent): both forms must
+    produce the same candidate-pair SET on any input."""
+    p, q = PRUNE_NUM, PRUNE_DEN
+    a = exploded.alias("a")
+    b = exploded.alias("b")
     na, nb = F.col("a.n_toks").cast("long"), F.col("b.n_toks").cast("long")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
@@ -761,8 +846,12 @@ def _band_join(exploded: DataFrame) -> DataFrame:
 
 
 def _band_fingerprint(sf_dir: str) -> str:
+    # "layout" joined the params in r15: the band table now carries the
+    # full band-hash vector (bhs) per row for the min-band residual, so
+    # pre-r15 persisted band tables must read as stale and rebuild.
     return _doc_fingerprint(
-        sf_dir, {"algo": "minhash-band", "k": N_MINHASH, "bands": N_BANDS})
+        sf_dir, {"algo": "minhash-band", "k": N_MINHASH, "bands": N_BANDS,
+                 "layout": "minband-bhs"})
 
 
 def _band_base(sf_dir: str) -> str:

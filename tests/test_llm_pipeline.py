@@ -33,6 +33,81 @@ def test_minhash_candidates_subset_of_exact(spark, sf_dir):
     assert recall >= 0.8, f"LSH recall {recall:.2f} too low for j>=0.8 pairs"
 
 
+def test_band_join_minband_equals_distinct_form(spark, sf_dir):
+    """r15 swap insurance: the min-band-residual band join must produce
+    the same candidate-pair SET as the retained once-per-shared-band +
+    DISTINCT reference form, and be duplicate-free as a LIST (each pair
+    emitted exactly once, from its smallest shared band)."""
+    tbl = dedup._band_table(dedup.minhash_signatures(
+        dedup.corpus_tok_sets(spark, sf_dir)))
+    new_rows = [(r.doc_a, r.doc_b) for r in dedup._band_join(tbl).collect()]
+    old = {(r.doc_a, r.doc_b)
+           for r in dedup._band_join_distinct(tbl).collect()}
+    assert set(new_rows) == old
+    assert len(new_rows) == len(set(new_rows)), "pair emitted twice"
+    assert old, "corpus should produce banded candidates"
+
+
+def test_band_join_minband_planted_band_patterns(spark):
+    """The min-band residual on hand-built band tables covering every
+    collision pattern: all bands shared (exact dups -- the pair must
+    surface ONCE, not n_bands times), only a later band shared (band 0
+    differs -- the residual must not drop it), several-but-not-all bands
+    shared, and no band shared (must be absent).  Doc pairs get equal
+    n_toks so the length residual never interferes with what this test
+    pins."""
+    n_bands = dedup.N_BANDS
+    rows = []
+
+    def doc(doc_id, bhs):
+        for band in range(n_bands):
+            rows.append((doc_id, "en", 100, band, bhs[band], bhs))
+
+    base = [1000 + b for b in range(n_bands)]
+    doc(1, base)                                  # 1-2: all bands shared
+    doc(2, base)
+    only_later = [2000 + b for b in range(n_bands)]
+    only_later[n_bands - 1] = 9999
+    partner = [3000 + b for b in range(n_bands)]
+    partner[n_bands - 1] = 9999                   # 3-4: ONLY last band
+    doc(3, only_later)
+    doc(4, partner)
+    multi = [4000 + b for b in range(n_bands)]
+    multi2 = [5000 + b for b in range(n_bands)]
+    multi2[1] = multi[1]
+    if n_bands > 3:
+        multi2[3] = multi[3]                      # 5-6: bands 1 and 3
+    doc(5, multi)
+    doc(6, multi2)
+    doc(7, [6000 + b for b in range(n_bands)])    # 7-8: nothing shared
+    doc(8, [7000 + b for b in range(n_bands)])
+    tbl = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_toks int, band int, "
+              "bh long, bhs array<long>")
+    got = [(r.doc_a, r.doc_b) for r in dedup._band_join(tbl).collect()]
+    assert sorted(got) == [(1, 2), (3, 4), (5, 6)]
+    ref = {(r.doc_a, r.doc_b)
+           for r in dedup._band_join_distinct(tbl).collect()}
+    assert set(got) == ref
+
+
+def test_minhash_candidate_stage_has_no_pair_distinct(spark, sf_dir):
+    """The r15 swap's plan property: candidate generation contains NO
+    aggregate (the old pair-table DISTINCT compiled to two
+    HashAggregates around a pair-sized exchange) -- dedup now rides the
+    min-band join residual -- while the explicit band-table exchange
+    that keeps the fused fan-out pipeline wide IS present."""
+    from financialtransactionmonitoringsystem_spark.plans import inspect as P
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup.lsh_candidates(
+        dedup.minhash_signatures(dedup._tok_sets(docs)))
+    plan = P.plan_str(cands, "simple")
+    assert "HashAggregate" not in plan, plan
+    assert "Exchange hashpartitioning(band" in plan, plan
+
+
 def test_simhash_finds_near_dups(spark, sf_dir):
     pairs = dedup.q_dedup_simhash(spark, sf_dir)
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
