@@ -501,7 +501,19 @@ def _prefix_probe(index: DataFrame, probe: DataFrame,
     lossless length + positional residuals (bounds derivation at
     :func:`prefix_candidates`).  ``pair_cond`` carves the pair space:
     ``a.doc_id < b.doc_id`` for the self-join, always-true for a
-    disjoint delta/corpus split (:func:`q_dedup_incremental`)."""
+    disjoint delta/corpus split (:func:`q_dedup_incremental`).
+
+    Kept as once-per-shared-token emission + pair-table ``.distinct()``
+    DELIBERATELY (r15 free-swap decision, measured): the min-token
+    exactly-once residual that won 6.2x for :func:`_band_join` LOSES
+    here at every scale (0.68x/0.42x/0.72x at 1x/10x/50x, interleaved
+    A/B) -- prefix-pair duplication is only ~2.06x and the pair rows
+    are 16 bytes, so the distinct is cheap, while the residual's
+    array_intersect over both docs' ordered prefix arrays (parr) had
+    to run on every one of the ~2x-more matched rows.  Opposite
+    economics from the band join, where duplication spans bands that
+    hash to different partitions and the residual is three fixed long
+    comparisons.  Full measurements in PLANS.md (round 15)."""
     p, q = PRUNE_NUM, PRUNE_DEN
     a = index.alias("a")
     b = probe.alias("b")

@@ -981,9 +981,12 @@ def test_artifact_fingerprint_detects_stale_corpus(spark, sf_dir, tmp_path,
         with pytest.raises(AssertionError, match="unchanged corpus"):
             dedup.build_band_table(spark, sf)
     dedup.build_band_table(spark, sf)                 # real rebuild succeeds
-    # artifact-backed and inline band tables agree exactly
-    b_art = {tuple(r) for r in dedup.corpus_band_table(spark, sf).collect()}
-    b_inline = {tuple(r) for r in dedup._band_table(dedup.minhash_signatures(
+    # artifact-backed and inline band tables agree exactly (bhs is an
+    # array column -> tuple-ized for set hashing)
+    def _brow(r):
+        return (r.doc_id, r.lang, r.n_toks, r.band, r.bh, tuple(r.bhs))
+    b_art = {_brow(r) for r in dedup.corpus_band_table(spark, sf).collect()}
+    b_inline = {_brow(r) for r in dedup._band_table(dedup.minhash_signatures(
         dedup._tok_sets(
             spark.read.parquet(f"{sf}/documents.parquet")))).collect()}
     assert b_art == b_inline
