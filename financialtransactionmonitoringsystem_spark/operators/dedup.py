@@ -978,13 +978,27 @@ def _simhash_width(n_docs: int) -> tuple[int, int]:
     return SIMHASH_BITS, SIMHASH_CHUNKS
 
 
-def _chunk_table(sig: DataFrame, bits: int, n_chunks: int) -> DataFrame:
-    """(doc_id, lang, simhash, chunk, cv): one row per signature chunk.
-    Chunk widths differ by at most one bit when ``n_chunks`` does not
-    divide ``bits`` (64/6 -> 11,11,11,11,10,10)."""
+def _chunk_layout(bits: int, n_chunks: int) -> tuple[list[int], list[int]]:
+    """(widths, offsets) of the signature chunks, LSB-first.  Chunk
+    widths differ by at most one bit when ``n_chunks`` does not divide
+    ``bits`` (64/6 -> 11,11,11,11,10,10).  ONE definition shared by the
+    chunk table and the min-chunk residual -- the two must never
+    disagree on where a chunk's bits live."""
     base, extra = divmod(bits, n_chunks)
     widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
     offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    return widths, offsets
+
+
+def _chunk_table(sig: DataFrame, bits: int, n_chunks: int) -> DataFrame:
+    """(doc_id, lang, simhash, chunk, cv): one row per signature chunk.
+
+    The ``chunk`` column carries {bits, n_chunks} as COLUMN METADATA
+    (preserved through parquet round-trips and localCheckpoint), so
+    :func:`_chunk_join` can rebuild the chunk layout for its min-chunk
+    residual without the caller re-counting the corpus to re-derive
+    the width -- the artifact stays self-describing."""
+    widths, offsets = _chunk_layout(bits, n_chunks)
     chunks = F.array(*[
         F.struct(
             F.lit(c).alias("chunk"),
@@ -995,19 +1009,79 @@ def _chunk_table(sig: DataFrame, bits: int, n_chunks: int) -> DataFrame:
     ])
     return sig.select("doc_id", "lang", "simhash", F.explode(chunks).alias("c")) \
         .select("doc_id", "lang", "simhash",
-                F.col("c.chunk").alias("chunk"), F.col("c.cv").alias("cv"))
+                F.col("c.chunk").alias(
+                    "chunk", metadata={"bits": bits, "n_chunks": n_chunks}),
+                F.col("c.cv").alias("cv"))
 
 
 def _chunk_join(ex: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Chunk-bucket candidate join, each pair emitted EXACTLY ONCE.
+
+    Same r15 finding and fix as :func:`_band_join`: a Hamming<=3 pair
+    shares most of its chunks (>= n_chunks - 3 by pigeonhole), so the
+    once-per-shared-chunk emission duplicated every OUTPUT row ~3-6x
+    and paid a pair-table DISTINCT exchange to clean up.  The join now
+    keeps a match only at the pair's SMALLEST shared chunk: sharedness
+    of every earlier chunk is pure bit arithmetic on the signatures the
+    rows already carry (chunk j shared <=> the xor's bits [off_j,
+    off_j+w_j) are all zero), so unlike the band join this needs no
+    extra column -- the chunk layout comes from the {bits, n_chunks}
+    column metadata :func:`_chunk_table` stamps on ``chunk``.  Output
+    rows are identical to the distinct form (:func:`_chunk_join_distinct`,
+    retained as the equality reference): hamming is a function of the
+    pair, and exactly one chunk is the pair's minimum.
+
+    The probe side gets the same explicit-width hash repartition as
+    :func:`_band_join`, for the same two measured reasons (the removed
+    distinct was the only exchange; AQE coalesces a bare keyed
+    repartition of the few-MB chunk table to one partition because the
+    pair fan-out is invisible to its map-output heuristic)."""
+    meta = ex.schema["chunk"].metadata
+    if "bits" not in meta or "n_chunks" not in meta:
+        raise ValueError(
+            "_chunk_join: the chunk table carries no {bits, n_chunks} "
+            "column metadata -- rebuilt from a pre-r15 artifact? "
+            "build_simhash_table re-creates it (the artifact "
+            "fingerprint's layout param forces this).")
+    bits, n_chunks = int(meta["bits"]), int(meta["n_chunks"])
+    widths, offsets = _chunk_layout(bits, n_chunks)
+    n_shuffle = int(ex.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = ex.repartition(
+        n_shuffle, F.col("chunk"), F.col("cv"), F.col("lang")).alias("a")
+    b = ex.alias("b")
+    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ham = F.bit_count(xor)
+    # Min-chunk residual: joined rows agree on `chunk` (equi-key), so
+    # "no earlier shared chunk" over a.chunk alone is the pair property.
+    shared_earlier = reduce(operator.or_, [
+        (F.col("a.chunk") > j)
+        & (F.shiftrightunsigned(xor, offsets[j])
+           .bitwiseAND(F.lit((1 << widths[j]) - 1)) == 0)
+        for j in range(n_chunks - 1)
+    ])
+    # The hamming test runs as a JOIN RESIDUAL, not after the join:
+    # chunk-collision pairs that fail it (the vast majority once chunk
+    # buckets fill up) drop inside the join task instead of surviving
+    # to the output.  Same final set -- hamming is a function of the
+    # pair.
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.lang") == F.col("b.lang"))
+               & (F.col("a.doc_id") < F.col("b.doc_id"))
+               & (ham <= max_hamming)
+               & ~shared_earlier)
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                ham.alias("hamming"))
+    )
+
+
+def _chunk_join_distinct(ex: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """The pre-r15 once-per-shared-chunk + DISTINCT chunk join, retained
+    module-level as the equality reference for the min-chunk-residual
+    swap (the _band_join_distinct pattern)."""
     a = ex.alias("a")
     b = ex.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    # The hamming test runs as a JOIN RESIDUAL, not after the distinct:
-    # chunk-collision pairs that fail it (the vast majority once chunk
-    # buckets fill up) drop inside the join task instead of being
-    # shuffled through the distinct first.  Same final set -- hamming is
-    # a function of the pair, so filter-then-distinct == distinct-then-
-    # filter here.
     return (
         a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv"))
                & (F.col("a.lang") == F.col("b.lang"))
@@ -1042,11 +1116,15 @@ def _simhash_fingerprint(sf_dir: str) -> str:
     # (bits, chunks) pairs and the threshold -- is code, and changing it
     # must invalidate the artifact (review finding: the sibling
     # fingerprints pin their shape params; this one initially didn't).
+    # "layout" joined the params in r15: the chunk column now carries
+    # {bits, n_chunks} metadata for the min-chunk residual, so pre-r15
+    # persisted chunk tables must read as stale and rebuild.
     return _doc_fingerprint(
         sf_dir, {"algo": "simhash-chunks",
                  "wide_threshold": SIMHASH_WIDE_THRESHOLD,
                  "narrow": _simhash_width(0),
-                 "wide": _simhash_width(SIMHASH_WIDE_THRESHOLD)})
+                 "wide": _simhash_width(SIMHASH_WIDE_THRESHOLD),
+                 "layout": "chunk-meta"})
 
 
 def _simhash_base(sf_dir: str) -> str:

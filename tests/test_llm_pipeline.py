@@ -108,6 +108,37 @@ def test_minhash_candidate_stage_has_no_pair_distinct(spark, sf_dir):
     assert "Exchange hashpartitioning(band" in plan, plan
 
 
+def test_chunk_join_minchunk_equals_distinct_form(spark, sf_dir):
+    """r15 swap insurance (simhash): the min-chunk-residual join must
+    produce the same (doc_a, doc_b, hamming) SET as the retained
+    once-per-shared-chunk + DISTINCT reference form at BOTH signature
+    widths, and be duplicate-free as a LIST (a Hamming<=3 pair shares
+    >= n_chunks-3 chunks, so the old form emitted it up to n_chunks
+    times before the distinct)."""
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for bits, n_chunks in ((48, 4), (64, 6)):
+        tbl = dedup._scoped_build(dedup._chunk_table(
+            dedup.simhash_signatures(docs, bits), bits, n_chunks))
+        new_rows = [tuple(r) for r in dedup._chunk_join(tbl).collect()]
+        old = {tuple(r) for r in dedup._chunk_join_distinct(tbl).collect()}
+        assert set(new_rows) == old and old, (bits, n_chunks)
+        assert len(new_rows) == len(set(new_rows)), \
+            f"pair emitted twice at width {bits}/{n_chunks}"
+
+
+def test_chunk_join_rejects_metadata_free_table(spark):
+    """A chunk table without the {bits, n_chunks} column metadata (a
+    pre-r15 artifact shape) must fail LOUDLY, not silently mis-derive
+    the chunk layout."""
+    tbl = spark.createDataFrame(
+        [(1, "en", 7, 0, 7)],
+        "doc_id long, lang string, simhash long, chunk int, cv long")
+    with pytest.raises(ValueError, match="column metadata"):
+        dedup._chunk_join(tbl)
+
+
 def test_simhash_finds_near_dups(spark, sf_dir):
     pairs = dedup.q_dedup_simhash(spark, sf_dir)
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
