@@ -218,6 +218,7 @@ def main() -> None:
     # between runs; the min is the reproducible cost of the plan, which
     # is what the benchmark exists to track.
     times: dict[str, float] = {}
+    times_full: dict[str, float] = {}
     jvm_gc = spark.sparkContext._jvm.System.gc
     for key in HEADLINE:
         fn = qs.get(key)
@@ -241,6 +242,7 @@ def main() -> None:
         # record; the quiet-bench protocol (BENCH_quiet_r{N}.json)
         # remains the 3dp number of record.
         times[key] = round(best, 2)
+        times_full[key] = round(best, 3)
 
     total = round(sum(times.values()), 2)
     out = {
@@ -253,6 +255,17 @@ def main() -> None:
     }
     if build_errors:
         out["build_errors"] = build_errors
+    # Sidecar with full 3dp values, overwritten per run: the stdout
+    # line must survive a ~2000-char capture pipe (headroom ~190 chars
+    # at 79 keys -- ~8-10 more HEADLINE keys would cross it again), so
+    # the durable full record lives in a file the capture path cannot
+    # truncate.
+    sidecar = dict(out, queries=times_full,
+                   value=round(sum(times_full.values()), 3))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_latest_full.json"), "w") as fh:
+        json.dump(sidecar, fh, indent=1)
+        fh.write("\n")
     # Compact separators for the same reason as the 2dp rounding: keep
     # the one-line record inside the driver's capture window.
     print(json.dumps(out, separators=(",", ":")))

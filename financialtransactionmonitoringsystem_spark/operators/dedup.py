@@ -747,7 +747,15 @@ def _band_table(sig: DataFrame, n_bands: int = N_BANDS,
     row of a docs*n_bands table vs. removing a candidate-pair-sized
     exchange (the r15 profile: the distinct was ~2/3 of the whole
     q_dedup_minhash runtime at 10x, and the pre-distinct pair table it
-    shuffles is ~2x the distinct output)."""
+    shuffles is ~2x the distinct output).
+
+    ``band`` carries {n_bands} as COLUMN METADATA (the
+    :func:`_chunk_table` pattern; survives parquet round-trips and
+    localCheckpoint) so :func:`_band_join` sizes its min-band residual
+    from the table itself -- a review-confirmed bug had
+    ``lsh_candidates(sig, n_bands=8)`` build an 8-band table whose
+    join residual was still hard-coded to the default width, silently
+    re-emitting pairs whose only shared bands were >= N_BANDS."""
     rows_per_band = k // n_bands
     bhs = F.array(*[
         F.xxhash64(*[F.col(f"min_{b * rows_per_band + r}")
@@ -763,11 +771,43 @@ def _band_table(sig: DataFrame, n_bands: int = N_BANDS,
             .select("doc_id", "lang", "n_toks", "bhs",
                     F.explode(bands).alias("b"))
             .select("doc_id", "lang", "n_toks",
-                    F.col("b.band").alias("band"),
+                    F.col("b.band").alias(
+                        "band", metadata={"n_bands": n_bands}),
                     F.col("b.bh").alias("bh"), "bhs"))
 
 
-def _band_join(exploded: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
+def _pinned_repartition(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``keys`` at an EXPLICIT width -- the
+    one shared copy of the exactly-once candidate joins' exchange
+    mechanism (review finding: it was duplicated between the band and
+    chunk joins, and the non-obvious rationale must not drift).
+
+    Why explicit and why at all (both measured, r15): removing the
+    pair-table distinct removed those plans' ONLY exchange, so the
+    fused candidate-join + verify pipeline ran at the parallelism of a
+    few-MB artifact FILE SCAN (one task; 2.6x slower end-to-end); and
+    a bare repartition(cols) is AQE-coalescable, where AQE sizes by
+    the exchange's MAP OUTPUT -- the small build table -- blind to the
+    million-pair join fan-out downstream, so it coalesced straight
+    back to ONE partition.  Fan-out joins are exactly where AQE's size
+    heuristics are blind; an exchange whose width must survive a
+    fan-out needs an explicit count.  At cluster scale an SMJ requires
+    this same hash partitioning, so the exchange is absorbed into
+    ENSURE_REQUIREMENTS instead of doubling up.
+
+    The width comes from spark.sql.shuffle.partitions when numeric;
+    platforms that set it non-numerically (e.g. "auto") fall back to
+    the scheduler's default parallelism instead of crashing at
+    plan-construction time (review finding)."""
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
+def _band_join(exploded: DataFrame) -> DataFrame:
     """Band-bucket candidate join, each pair emitted EXACTLY ONCE.
 
     A pair sharing several bands matches the equi-join once per shared
@@ -786,32 +826,22 @@ def _band_join(exploded: DataFrame, n_bands: int = N_BANDS) -> DataFrame:
     form (:func:`_band_join_distinct`, retained as the equality
     reference) with zero post-join exchange on the PAIR table.
 
-    The probe side is explicitly hash-repartitioned on the join keys:
-    the distinct this form removes was accidentally the plan's ONLY
-    exchange, so without it the fused band-join + verify pipeline ran
-    at the parallelism of the band-table FILE SCAN -- one task for a
-    <=128 MB parquet artifact (measured 2.6x SLOWER end-to-end at 1x
-    despite the join itself being 2.3x faster).  Exchanging the
-    O(docs x n_bands) band table restores width for pennies (it is
-    three orders of magnitude smaller than the pair table the distinct
-    used to shuffle), and at cluster scale a sort-merge join requires
-    exactly this hash partitioning anyway, so the exchange is absorbed
-    into ENSURE_REQUIREMENTS instead of doubling up.
-
-    The width is pinned to spark.sql.shuffle.partitions EXPLICITLY:
-    a bare repartition(cols) is AQE-coalescable, and AQE sizes
-    partitions by the MAP OUTPUT of the exchange -- the few-MB band
-    table -- not by the million-pair join fan-out downstream of it, so
-    it coalesced the exchange straight back to ONE partition (measured:
-    the materialized candidate output came back single-partition and
-    the verify ran 5x slower than on the old form's pair-exchange
-    layout).  Fan-out joins are exactly where AQE's size heuristic is
-    blind; an explicit count is the supported way to opt this one
-    exchange out of coalescing without touching session confs."""
-    n_shuffle = int(exploded.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions"))
-    a = exploded.repartition(
-        n_shuffle, F.col("band"), F.col("bh"), F.col("lang")).alias("a")
+    The probe side rides :func:`_pinned_repartition` (rationale and
+    both measured hazards documented there); the residual width comes
+    from the {n_bands} column metadata :func:`_band_table` stamps on
+    ``band``, so a non-default-width table cannot silently run under
+    the default residual (review-confirmed bug: ``lsh_candidates(sig,
+    n_bands=8)`` used to re-emit pairs whose only shared bands were
+    >= N_BANDS)."""
+    meta = exploded.schema["band"].metadata
+    if "n_bands" not in meta:
+        raise ValueError(
+            "_band_join: the band table carries no {n_bands} column "
+            "metadata -- rebuilt from a pre-r15 artifact? "
+            "build_band_table re-creates it (the artifact fingerprint's "
+            "layout param forces this).")
+    n_bands = int(meta["n_bands"])
+    a = _pinned_repartition(exploded, "band", "bh", "lang").alias("a")
     b = exploded.alias("b")
     # Length filter as a join residual (same exact bound as the prefix
     # join, integer rational): J >= t forces t*|B| <= |A| <= |B|/t, and
@@ -863,7 +893,7 @@ def _band_fingerprint(sf_dir: str) -> str:
     # pre-r15 persisted band tables must read as stale and rebuild.
     return _doc_fingerprint(
         sf_dir, {"algo": "minhash-band", "k": N_MINHASH, "bands": N_BANDS,
-                 "layout": "minband-bhs"})
+                 "layout": "minband-bhs-meta"})
 
 
 def _band_base(sf_dir: str) -> str:
@@ -872,7 +902,10 @@ def _band_base(sf_dir: str) -> str:
 
 def build_band_table(spark: SparkSession, sf_dir: str) -> str:
     """Build and PERSIST the corpus MinHash band table (doc_id, lang,
-    n_toks, band, bh): in a production MinHash pipeline the signatures
+    n_toks, band, bh, bhs -- the full band-hash vector per row, which
+    :func:`_band_join`'s exactly-once min-band residual reads; {n_bands}
+    rides as column metadata on ``band``): in a production MinHash
+    pipeline the signatures
     ARE the persisted index -- computed once per corpus snapshot, probed
     by every dedup run and by delta admission -- so the band table gets
     the same fingerprinted-marker idempotence as the prefix index and
@@ -1031,11 +1064,8 @@ def _chunk_join(ex: DataFrame, max_hamming: int = 3) -> DataFrame:
     retained as the equality reference): hamming is a function of the
     pair, and exactly one chunk is the pair's minimum.
 
-    The probe side gets the same explicit-width hash repartition as
-    :func:`_band_join`, for the same two measured reasons (the removed
-    distinct was the only exchange; AQE coalesces a bare keyed
-    repartition of the few-MB chunk table to one partition because the
-    pair fan-out is invisible to its map-output heuristic)."""
+    The probe side rides :func:`_pinned_repartition` (rationale and
+    both measured hazards documented there)."""
     meta = ex.schema["chunk"].metadata
     if "bits" not in meta or "n_chunks" not in meta:
         raise ValueError(
@@ -1045,9 +1075,7 @@ def _chunk_join(ex: DataFrame, max_hamming: int = 3) -> DataFrame:
             "fingerprint's layout param forces this).")
     bits, n_chunks = int(meta["bits"]), int(meta["n_chunks"])
     widths, offsets = _chunk_layout(bits, n_chunks)
-    n_shuffle = int(ex.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    a = ex.repartition(
-        n_shuffle, F.col("chunk"), F.col("cv"), F.col("lang")).alias("a")
+    a = _pinned_repartition(ex, "chunk", "cv", "lang").alias("a")
     b = ex.alias("b")
     xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ham = F.bit_count(xor)

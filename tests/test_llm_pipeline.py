@@ -84,11 +84,39 @@ def test_band_join_minband_planted_band_patterns(spark):
     tbl = spark.createDataFrame(
         rows, "doc_id long, lang string, n_toks int, band int, "
               "bh long, bhs array<long>")
+    tbl = tbl.withColumn("band", F.col("band").alias(
+        "band", metadata={"n_bands": n_bands}))
     got = [(r.doc_a, r.doc_b) for r in dedup._band_join(tbl).collect()]
     assert sorted(got) == [(1, 2), (3, 4), (5, 6)]
     ref = {(r.doc_a, r.doc_b)
            for r in dedup._band_join_distinct(tbl).collect()}
     assert set(got) == ref
+
+
+def test_band_join_nondefault_width_exactly_once(spark):
+    """Review-confirmed r15 bug: lsh_candidates at a NON-default band
+    count built a wider band table whose min-band residual was still
+    sized for the default width, re-emitting pairs whose only shared
+    bands were >= N_BANDS.  Two docs differing in exactly 2 of 16
+    minhashes can share only late bands at n_bands=8; the pair must
+    come out exactly once, and metadata-free band tables must fail
+    loudly rather than mis-size the residual."""
+    rows = [(1, "en", "aa bb cc dd ee"), (2, "en", "aa bb cc dd ee"),
+            (3, "en", "zz yy xx ww vv")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, text string")
+    sig = dedup.minhash_signatures(dedup._tok_sets(docs))
+    for n_bands in (2, 8, 16):
+        got = [(r.doc_a, r.doc_b) for r in
+               dedup.lsh_candidates(sig, n_bands=n_bands).collect()]
+        assert got == [(1, 2)], f"n_bands={n_bands}: {got}"
+    # cast() strips column metadata (a bare col()/alias() re-attaches
+    # the attribute's existing metadata)
+    bare = dedup._band_table(sig, 8).withColumn(
+        "band", F.col("band").cast("int"))
+    assert "n_bands" not in bare.schema["band"].metadata
+    with pytest.raises(ValueError, match="column metadata"):
+        dedup._band_join(bare)
 
 
 def test_minhash_candidate_stage_has_no_pair_distinct(spark, sf_dir):
