@@ -179,6 +179,39 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def fn_try_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-identical r17 swap candidate for :func:`q_fn_try`
+    (r11-cohort key -- next legal change window is round 17; this twin
+    stays UNREGISTERED until then, the q_dedup_embed pre-verify
+    precedent).
+
+    The r15 full-registry scale audit measured q_fn_try at ~8.7 us/row
+    (1.72/13.61/65.08 s at 1x/10x/50x -- the heaviest per-row cost in
+    the registry) because ``try_cast(o_orderpriority AS INT)``
+    throws-and-catches a SparkNumberFormatException on EVERY row: the
+    column is "1-URGENT"-style non-numerics, so the ANSI cast's
+    exception path -- message + query-context construction included --
+    IS the steady-state path.  The guard makes NULL the computed
+    fast path: a numeric-shape rlike admits exactly the strings an
+    ANSI string->int cast can parse (optional surrounding whitespace,
+    optional sign, digits), and only those reach the inner try_cast,
+    which still handles the one failure the shape test cannot see
+    (int overflow) by returning NULL.  Rows that would have thrown now
+    take a regexp reject instead of a JVM exception.  Equality is
+    pinned row-for-row against q_fn_try on the corpus AND on a planted
+    edge-case table (whitespace, signs, overflow, decimals, empty,
+    NULL) by tests/test_llm_pipeline.py."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(r"""
+        SELECT o_orderkey,
+               try_divide(o_totalprice, o_custkey % 5) AS safe_div,
+               CASE WHEN o_orderpriority RLIKE '^\\s*[+-]?[0-9]+\\s*$'
+                    THEN try_cast(o_orderpriority AS INT) END AS pri_num,
+               try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit
+        FROM orders
+    """)
+
+
 ORACLES: dict[str, str] = {
     "q_fn_try": """
         SELECT o_orderkey,

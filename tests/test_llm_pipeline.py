@@ -2016,3 +2016,34 @@ def test_corpus_contract_doubles_all_finite(spark, sf_dir):
             bad = df.filter(F.isnan(F.col(c))
                             | (F.abs(F.col(c)) == float("inf"))).count()
             assert bad == 0, (t, c)
+
+
+def test_fn_try_guarded_twin_equals_registered_form(spark, sf_dir):
+    """r17 swap insurance, banked in r15: the regexp-guarded twin must
+    be row-identical to q_fn_try on the corpus, AND on a planted table
+    of every string shape where an ANSI string->int try_cast and a
+    numeric-shape rlike could plausibly disagree (whitespace, signs,
+    overflow past int range, decimals, empty, NULL, embedded text).
+    Any disagreement here means the guard is NOT a faithful fast path
+    and the r17 swap must not happen."""
+    from financialtransactionmonitoringsystem_spark.functions import scalar
+
+    reg = {tuple(r) for r in scalar.q_fn_try(spark, sf_dir).collect()}
+    twin = {tuple(r) for r in scalar.fn_try_guarded(spark, sf_dir).collect()}
+    assert reg == twin and reg
+
+    nasty = ["1-URGENT", "42", " 42 ", "+7", "-7", " -0 ", "2147483647",
+             "2147483648", "-2147483649", "99999999999999999999",
+             "1.5", "1.0", "", "  ", "+", "-", "abc", "4e2", "0x10",
+             "007", None]
+    df = spark.createDataFrame([(s,) for s in nasty], "s string")
+    df.createOrReplaceTempView("nasty_strings")
+    got = spark.sql(r"""
+        SELECT s, try_cast(s AS INT) AS plain,
+               CASE WHEN s RLIKE '^\\s*[+-]?[0-9]+\\s*$'
+                    THEN try_cast(s AS INT) END AS guarded
+        FROM nasty_strings
+    """).collect()
+    for r in got:
+        assert r.plain == r.guarded, f"guard diverges on {r.s!r}: " \
+            f"try_cast={r.plain} guarded={r.guarded}"
