@@ -68,14 +68,13 @@ LAST_ATTESTED: dict[str, int] = {
         'q_union', 'q_unpivot', 'q_win_frame', 'q_win_range',
         'q_win_rank',
     )},
-    # round 12 window (CORRECTNESS_r12.json: 46 hash-green + 4 no_oracle
+    # round 15 window (CORRECTNESS_r15.json: 46 hash-green + 4 no_oracle
     # rows-only verdicts (q_agg_hll, q_dedup_fuzzy, q_dedup_minhash,
-    # q_dedup_simhash), all 50 attested, zero errors -- set-equal to the
-    # round-9 cohort re-attested on schedule: with the registry at 149
-    # after the q_dedup_ngram retirement and zero TOUCHED, the window is
-    # exactly the whole 50-key r9 cohort, as the round-12 simulation
-    # predicted)
-    **{k: 12 for k in (
+    # q_dedup_simhash), all 50 attested, zero errors -- the r12 cohort
+    # re-attested on schedule, including both round-15 in-window free
+    # swaps (q_dedup_minhash min-band residual, q_dedup_simhash
+    # min-chunk residual))
+    **{k: 15 for k in (
         "q_agg_collect", "q_agg_cube", "q_agg_distinct", "q_agg_global",
         "q_agg_gsets", "q_agg_having", "q_agg_hll", "q_curate_budget",
         "q_dedup_cluster", "q_dedup_fuzzy", "q_dedup_incremental",
@@ -119,11 +118,11 @@ LAST_ATTESTED: dict[str, int] = {
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  Round-15 touches: NONE -- the round-15 window is exactly the
-# 50-key r12 cohort re-attesting on schedule (steady state); any change to
-# an r12-cohort key this round is an in-window free swap needing no
+# history.  Round-16 touches: NONE -- the round-16 window is exactly the
+# 50-key r13 cohort re-attesting on schedule (steady state); any change to
+# an r13-cohort key this round is an in-window free swap needing no
 # TOUCHED slot, and out-of-window changes are deferred to their cohort's
-# window (r13 cohort -> r16, r14/r11 cohort -> r17).
+# window (r14/r11 cohort -> r17, r15/r12 cohort -> r18).
 TOUCHED: tuple[str, ...] = ()
 
 # Among equally-stale keys, spread families across the window edge instead of
