@@ -244,7 +244,12 @@ def main() -> None:
         times[key] = round(best, 2)
         times_full[key] = round(best, 3)
 
-    total = round(sum(times.values()), 2)
+    # Total from the UNROUNDED (3dp) per-key values, rounded once for
+    # display: summing the already-2dp per-key values accumulates up to
+    # ~±0.4 s of rounding drift at 79 keys vs the 3dp sidecar's total,
+    # making two same-run records of the same metric disagree beyond
+    # presentation rounding (ADVICE r15).  Costs no line length.
+    total = round(sum(times_full.values()), 2)
     out = {
         "metric": "headline_queries_total",
         "value": total,

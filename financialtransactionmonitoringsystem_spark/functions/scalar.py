@@ -179,6 +179,14 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# The numeric-shape guard for fn_try_guarded, as a SQL-literal regex
+# ('\\xNN' reaches Java regex as \xNN).  Pad class = what the ANSI
+# cast's UTF8String.trimAll strips: ASCII controls + space + DEL.
+# Shared with tests/test_llm_pipeline.py so the planted equality test
+# always pins the exact pattern that ships.
+TRY_CAST_INT_SHAPE = r"^[\\x00-\\x20\\x7F]*[+-]?[0-9]+[\\x00-\\x20\\x7F]*$"
+
+
 def fn_try_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Output-identical r17 swap candidate for :func:`q_fn_try`
     (r11-cohort key -- next legal change window is round 17; this twin
@@ -193,19 +201,27 @@ def fn_try_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
     exception path -- message + query-context construction included --
     IS the steady-state path.  The guard makes NULL the computed
     fast path: a numeric-shape rlike admits exactly the strings an
-    ANSI string->int cast can parse (optional surrounding whitespace,
-    optional sign, digits), and only those reach the inner try_cast,
-    which still handles the one failure the shape test cannot see
-    (int overflow) by returning NULL.  Rows that would have thrown now
-    take a regexp reject instead of a JVM exception.  Equality is
-    pinned row-for-row against q_fn_try on the corpus AND on a planted
-    edge-case table (whitespace, signs, overflow, decimals, empty,
-    NULL) by tests/test_llm_pipeline.py."""
+    ANSI string->int cast can parse, and only those reach the inner
+    try_cast, which still handles the one failure the shape test
+    cannot see (int overflow) by returning NULL.  Rows that would have
+    thrown now take a regexp reject instead of a JVM exception.
+
+    Pad class (ADVICE r15): the ANSI cast trims via
+    ``UTF8String.trimAll``, which strips ASCII controls + space + DEL
+    (``[\\x00-\\x20\\x7F]``) -- WIDER than Java regex ``\\s``.  Probed
+    empirically this round: NUL/US/DEL-padded numerics parse (a
+    ``\\s``-based guard would wrongly reject them) while C1 controls
+    (0x85-0x9F) and Unicode spaces (NBSP, EN QUAD, IDEOGRAPHIC) do
+    NOT parse, so the class below is exact, not conservative.
+    Equality is pinned row-for-row against q_fn_try on the corpus AND
+    on a planted edge-case table (control-char pads, whitespace,
+    signs, overflow, decimals, empty, NULL) by
+    tests/test_llm_pipeline.py."""
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql(r"""
+    return spark.sql(f"""
         SELECT o_orderkey,
                try_divide(o_totalprice, o_custkey % 5) AS safe_div,
-               CASE WHEN o_orderpriority RLIKE '^\\s*[+-]?[0-9]+\\s*$'
+               CASE WHEN o_orderpriority RLIKE '{TRY_CAST_INT_SHAPE}'
                     THEN try_cast(o_orderpriority AS INT) END AS pri_num,
                try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit
         FROM orders

@@ -853,11 +853,16 @@ def _band_join(exploded: DataFrame) -> DataFrame:
     na, nb = F.col("a.n_toks").cast("long"), F.col("b.n_toks").cast("long")
     # Min-band residual: the joined rows agree on `band` (equi-key), so
     # "no earlier shared band" over a.band alone is the pair property.
+    # Seeded with lit(False) so n_bands=1 -- a legal width whose only
+    # band can never have an earlier twin -- degrades to no residual
+    # instead of a reduce-over-empty TypeError (ADVICE r16); Catalyst's
+    # BooleanSimplification folds the seed away, so multi-band plans
+    # are byte-identical.
     shared_earlier = reduce(operator.or_, [
         (F.col("a.band") > j)
         & (F.col("a.bhs").getItem(j) == F.col("b.bhs").getItem(j))
         for j in range(n_bands - 1)
-    ])
+    ], F.lit(False))
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.lang") == F.col("b.lang"))
@@ -1081,12 +1086,15 @@ def _chunk_join(ex: DataFrame, max_hamming: int = 3) -> DataFrame:
     ham = F.bit_count(xor)
     # Min-chunk residual: joined rows agree on `chunk` (equi-key), so
     # "no earlier shared chunk" over a.chunk alone is the pair property.
+    # lit(False) seed: n_chunks=1 degrades to no residual instead of a
+    # reduce-over-empty TypeError (ADVICE r16); BooleanSimplification
+    # folds the seed, so multi-chunk plans are byte-identical.
     shared_earlier = reduce(operator.or_, [
         (F.col("a.chunk") > j)
         & (F.shiftrightunsigned(xor, offsets[j])
            .bitwiseAND(F.lit((1 << widths[j]) - 1)) == 0)
         for j in range(n_chunks - 1)
-    ])
+    ], F.lit(False))
     # The hamming test runs as a JOIN RESIDUAL, not after the join:
     # chunk-collision pairs that fail it (the vast majority once chunk
     # buckets fill up) drop inside the join task instead of surviving

@@ -100,13 +100,16 @@ def test_band_join_nondefault_width_exactly_once(spark):
     bands were >= N_BANDS.  Two docs differing in exactly 2 of 16
     minhashes can share only late bands at n_bands=8; the pair must
     come out exactly once, and metadata-free band tables must fail
-    loudly rather than mis-size the residual."""
+    loudly rather than mis-size the residual.  n_bands=1 pins the
+    ADVICE-r16 degenerate width: a single band has no earlier twin, so
+    the residual must degrade to a no-op (the unseeded reduce raised
+    TypeError at plan construction)."""
     rows = [(1, "en", "aa bb cc dd ee"), (2, "en", "aa bb cc dd ee"),
             (3, "en", "zz yy xx ww vv")]
     docs = spark.createDataFrame(
         rows, "doc_id long, lang string, text string")
     sig = dedup.minhash_signatures(dedup._tok_sets(docs))
-    for n_bands in (2, 8, 16):
+    for n_bands in (1, 2, 8, 16):
         got = [(r.doc_a, r.doc_b) for r in
                dedup.lsh_candidates(sig, n_bands=n_bands).collect()]
         assert got == [(1, 2)], f"n_bands={n_bands}: {got}"
@@ -142,11 +145,15 @@ def test_chunk_join_minchunk_equals_distinct_form(spark, sf_dir):
     once-per-shared-chunk + DISTINCT reference form at BOTH signature
     widths, and be duplicate-free as a LIST (a Hamming<=3 pair shares
     >= n_chunks-3 chunks, so the old form emitted it up to n_chunks
-    times before the distinct)."""
+    times before the distinct).  (48, 1) pins the ADVICE-r16 degenerate
+    width: a single chunk means candidates are exact-simhash matches
+    and the residual must degrade to a no-op (the unseeded reduce
+    raised TypeError at plan construction); the corpus's exact text
+    duplicates keep the pair set non-empty there too."""
     from financialtransactionmonitoringsystem_spark.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    for bits, n_chunks in ((48, 4), (64, 6)):
+    for bits, n_chunks in ((48, 4), (64, 6), (48, 1)):
         tbl = dedup._scoped_build(dedup._chunk_table(
             dedup.simhash_signatures(docs, bits), bits, n_chunks))
         new_rows = [tuple(r) for r in dedup._chunk_join(tbl).collect()]
@@ -2022,10 +2029,16 @@ def test_fn_try_guarded_twin_equals_registered_form(spark, sf_dir):
     """r17 swap insurance, banked in r15: the regexp-guarded twin must
     be row-identical to q_fn_try on the corpus, AND on a planted table
     of every string shape where an ANSI string->int try_cast and a
-    numeric-shape rlike could plausibly disagree (whitespace, signs,
-    overflow past int range, decimals, empty, NULL, embedded text).
-    Any disagreement here means the guard is NOT a faithful fast path
-    and the r17 swap must not happen."""
+    numeric-shape rlike could plausibly disagree (control-char pads,
+    whitespace, signs, overflow past int range, decimals, empty, NULL,
+    embedded text).  Any disagreement here means the guard is NOT a
+    faithful fast path and the r17 swap must not happen.
+
+    The guard pattern is imported from the implementation
+    (scalar.TRY_CAST_INT_SHAPE) so this test pins what ships.  The
+    control-char rows pin the ADVICE-r15 trimAll contract: the ANSI
+    cast strips [\\x00-\\x20\\x7F] (NUL/US/DEL-padded numerics PARSE)
+    but not C1 controls or Unicode spaces (those are NULL both ways)."""
     from financialtransactionmonitoringsystem_spark.functions import scalar
 
     reg = {tuple(r) for r in scalar.q_fn_try(spark, sf_dir).collect()}
@@ -2035,15 +2048,28 @@ def test_fn_try_guarded_twin_equals_registered_form(spark, sf_dir):
     nasty = ["1-URGENT", "42", " 42 ", "+7", "-7", " -0 ", "2147483647",
              "2147483648", "-2147483649", "99999999999999999999",
              "1.5", "1.0", "", "  ", "+", "-", "abc", "4e2", "0x10",
-             "007", None]
+             "007", None,
+             # trimAll pad class: parse to 42 via plain try_cast, so a
+             # \s-based guard would diverge here (ADVICE r15)
+             "\x0042\x00", "\x1f42", "42\x7f", "\x00\x1f 42\x7f\t",
+             "\x00-42\x7f", "\x002147483648\x7f",
+             # NOT trimmed by the cast: NULL both ways
+             "\x8542", "\x9f42", "\xa042", " 42", "　42",
+             # pad chars inside the digits never parse
+             "4\x002", "\x00\x7f "]
     df = spark.createDataFrame([(s,) for s in nasty], "s string")
     df.createOrReplaceTempView("nasty_strings")
-    got = spark.sql(r"""
+    got = spark.sql(f"""
         SELECT s, try_cast(s AS INT) AS plain,
-               CASE WHEN s RLIKE '^\\s*[+-]?[0-9]+\\s*$'
+               CASE WHEN s RLIKE '{scalar.TRY_CAST_INT_SHAPE}'
                     THEN try_cast(s AS INT) END AS guarded
         FROM nasty_strings
     """).collect()
+    by_s = {r.s: r for r in got}
+    # pin the trimAll contract itself, so a Spark-side trim-semantics
+    # change fails here loudly instead of silently weakening the test
+    assert by_s["\x0042\x00"].plain == 42 and by_s["\x00\x1f 42\x7f\t"].plain == 42
+    assert by_s["\x8542"].plain is None and by_s["\xa042"].plain is None
     for r in got:
         assert r.plain == r.guarded, f"guard diverges on {r.s!r}: " \
             f"try_cast={r.plain} guarded={r.guarded}"
