@@ -75,7 +75,37 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4/O5 JSON extraction (``main.rs:49-52``): typed path extraction,
-    missing-path -> NULL, matching serde's unknown/missing tolerance."""
+    missing-path -> NULL, matching serde's unknown/missing tolerance.
+
+    r16 in-window swap: ``json_tuple`` extracts BOTH paths from ONE
+    Jackson streaming parse per row, where the previous form
+    (:func:`fn_json_multiprobe`, retained as the equality reference)
+    paid a full parse per distinct path -- codegen subexpression
+    elimination merges the two identical ``$.k`` probes, but
+    ``$.missing`` re-parsed the string.  Interleaved A/B on replicas:
+    1.57x / 1.76x / 1.79x at 1x/10x/50x; rows-equal at all three SFs.
+    The ``from_json`` single-parse struct form was also measured and
+    is WORSE than the multiprobe baseline (0.85-0.93x: it materializes
+    an InternalRow per row where both string paths stream) -- recorded
+    in PLANS so it is not re-litigated.  Oracle unchanged (outputs are
+    row-identical).  The string->long casts sit OUTSIDE the JSON
+    machinery, identical both forms, so ANSI edge behavior (a
+    non-integer k would throw) is unchanged by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    return (ev.select("event_id",
+                      F.json_tuple(F.col("props"), "k", "missing")
+                      .alias("k_raw", "missing_val"))
+            .select("event_id",
+                    F.col("k_raw").cast("long").alias("k"),
+                    "missing_val",
+                    (F.col("k_raw").cast("long") % 10).alias("k_bucket")))
+
+
+def fn_json_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r16 q_fn_json, retained module-level as the live equality
+    reference for the json_tuple swap (the q_dedup_embed/_band_join
+    precedent): one ``get_json_object`` per path -- the ``$.missing``
+    probe is a second full parse of the same string per row."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         "event_id",

@@ -161,14 +161,41 @@ def q_agg_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dispersion + exact interpolated percentiles.
+    """Dispersion + exact interpolated percentiles, in ONE grouped pass
+    (r16 in-window swap; the previous window-sort form is retained as
+    :func:`agg_stats_windowed`, the live equality reference).
 
     Engines disagree at rounding boundaries when each uses its own
-    quantile implementation (interpolated medians of 2-decimal money land
-    exactly on .xx5).  Both sides therefore compute the same explicit
-    formula -- rank via row_number, linear interpolation at
-    ``q*(n-1)+1`` -- so the doubles are bit-identical before rounding.
-    """
+    quantile implementation, so the family invariant is doubles that
+    are bit-identical BEFORE rounding.  Here that is achieved by
+    writing the ORACLE in Spark ``percentile()``'s exact op order (see
+    :func:`_pct_sql_spark_order`) rather than by avoiding the builtin:
+    the builtin is an ObjectHashAggregate whose partial buffers are
+    (value -> count) maps, so the shuffle carries
+    distinct-values-per-partition, map-side combine applies, and
+    parallelism follows the scan -- where the windowed form funneled
+    the whole fact table through #groups (THREE) sort partitions, plus
+    a second scan and a join.  Interleaved A/B on replicas: 0.50x at
+    1x (per-row map upkeep costs more than a 3-partition sort of small
+    data), 0.93x at 10x, 1.63x at 50x and diverging -- the windowed
+    form's parallelism ceiling is the structural bug this swap
+    removes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        rnd(F.stddev_samp("l_extendedprice")).alias("sd_price"),
+        rnd(F.var_samp("l_quantity")).alias("var_qty"),
+        rnd(F.percentile("l_extendedprice", F.lit(0.5))).alias("median_price"),
+        rnd(F.percentile("l_extendedprice", F.lit(0.9))).alias("p90_price"),
+    )
+
+
+def agg_stats_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r16 q_agg_stats, retained module-level as the live equality
+    reference for the one-pass percentile swap: explicit row_number
+    rank + 1-based lerp interpolation.  Its unrounded percentiles
+    differ from the builtin's by ~1 ulp (different but algebraically
+    equal op order); the 2dp floor-round makes the OUTPUTS equal, and
+    the equality test pins exactly that rounded contract."""
     li = load_table(spark, sf_dir, "lineitem")
     ranked = li.select("l_returnflag", F.col("l_extendedprice").alias("v")).withColumn(
         "rn", F.row_number().over(W.partitionBy("l_returnflag").orderBy("v"))
@@ -189,6 +216,44 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return disp.join(pcts, "l_returnflag").select(
         "l_returnflag", "sd_price", "var_qty", "median_price", "p90_price")
+
+
+def _pct_sql_spark_order(q: str, alias: str) -> str:
+    """Exact-percentile SQL in Spark's ``percentile()`` op order (probed
+    empirically against all three algebraically-equal forms): 0-based
+    ``pos = q*(n-1)``; exact row value when ``ceil(pos) == floor(pos)``;
+    else ``(ceil(pos) - pos)*v_lo + (pos - floor(pos))*v_hi``.  The
+    ~1 ulp difference vs the 1-based lerp form is real (q*(n-1) and
+    q*(n-1)+1 round differently as doubles) -- this keeps oracle doubles
+    bit-identical to the builtin before the 2dp floor-round."""
+    pos = f"{q}*(n-1)"
+    lo = f"CAST(floor({pos}) AS BIGINT) + 1"
+    hi = f"CAST(ceil({pos}) AS BIGINT) + 1"
+    v_lo = f"MAX(CASE WHEN rn = {lo} THEN v END)"
+    v_hi = f"MAX(CASE WHEN rn = {hi} THEN v END)"
+    raw = (f"CASE WHEN MAX({hi}) = MAX({lo}) THEN {v_lo} "
+           f"ELSE MAX(ceil({pos}) - ({pos})) * {v_lo} "
+           f"+ MAX({pos} - floor({pos})) * {v_hi} END")
+    return f"{R(raw)} AS {alias}"
+
+
+# The oracle that rides with the r16 one-pass percentile swap: one
+# grouped pass on the DuckDB side too (no disp/pcts join), percentiles
+# in the builtin's op order.  Referenced by ORACLES["q_agg_stats"].
+AGG_STATS_ONEPASS_ORACLE = f"""
+    WITH ranked AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           {R('stddev_samp(v)')} AS sd_price,
+           {R('var_samp(l_quantity)')} AS var_qty,
+           {_pct_sql_spark_order('5e-1', 'median_price')},
+           {_pct_sql_spark_order('9e-1', 'p90_price')}
+    FROM ranked GROUP BY l_returnflag
+"""
 
 
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -420,14 +485,6 @@ def q_agg_ddsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pct_sql(q: str, alias: str) -> str:
-    lo = f"CAST(floor({q}*(n-1)+1) AS BIGINT)"
-    frac = f"({q}*(n-1)+1 - floor({q}*(n-1)+1))"
-    v_lo = f"MAX(CASE WHEN rn = {lo} THEN v END)"
-    v_hi = f"MAX(CASE WHEN rn = LEAST({lo}+1, n) THEN v END)"
-    return f"{R(f'{v_lo} + MAX({frac}) * ({v_hi} - {v_lo})')} AS {alias}"
-
-
 ORACLES: dict[str, str] = {
     "q_profile": _profile_sql(),
     "q_agg_argmax": f"""
@@ -534,26 +591,7 @@ ORACLES: dict[str, str] = {
                {R('SUM(l_quantity)')} AS sum_qty, COUNT(*) AS n
         FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """,
-    "q_agg_stats": f"""
-        WITH ranked AS (
-          SELECT l_returnflag, l_extendedprice AS v,
-                 row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
-                 COUNT(*) OVER (PARTITION BY l_returnflag) AS n
-          FROM lineitem
-        ),
-        pcts AS (
-          SELECT l_returnflag, {_pct_sql('5e-1', 'median_price')}, {_pct_sql('9e-1', 'p90_price')}
-          FROM ranked GROUP BY l_returnflag
-        ),
-        disp AS (
-          SELECT l_returnflag,
-                 {R('stddev_samp(l_extendedprice)')} AS sd_price,
-                 {R('var_samp(l_quantity)')} AS var_qty
-          FROM lineitem GROUP BY l_returnflag
-        )
-        SELECT disp.l_returnflag, sd_price, var_qty, median_price, p90_price
-        FROM disp JOIN pcts ON disp.l_returnflag = pcts.l_returnflag
-    """,
+    "q_agg_stats": AGG_STATS_ONEPASS_ORACLE,
     "q_agg_collect": """
         SELECT c_mktsegment,
                array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations,

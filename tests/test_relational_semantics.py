@@ -348,3 +348,57 @@ def test_cte_recursive_doubling_equals_linear_form(spark, sf_dir):
         from financialtransactionmonitoringsystem_spark.tables import (
             register_views)
         register_views(spark, sf_dir, ("orders",))
+
+
+def test_fn_json_tuple_equals_multiprobe_form(spark, sf_dir):
+    """r16 in-window swap insurance: the registered q_fn_json (one
+    json_tuple streaming parse for both paths) must be row-identical to
+    the per-path get_json_object form it replaced (kept module-level as
+    fn_json_multiprobe), on the corpus AND on a planted table of the
+    JSON shapes where single-parse and per-path extraction could
+    plausibly disagree (missing key, malformed JSON, NULL props, extra
+    keys, nested object, k=null)."""
+    from financialtransactionmonitoringsystem_spark.functions import scalar
+
+    old = scalar.fn_json_multiprobe(spark, sf_dir)
+    new = scalar.q_fn_json(spark, sf_dir)
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+    assert new.count() > 0
+
+    planted = [
+        (1, '{"k": 7}'), (2, '{"k": 7, "extra": "x"}'), (3, '{}'),
+        (4, None), (5, 'not json'), (6, '{"k": null}'),
+        (7, '{"missing": "present"}'), (8, '{"a": {"k": 9}}'),
+        (9, ''), (10, '{"k": 0}'),
+    ]
+    df = spark.createDataFrame(planted, "event_id long, props string")
+    got = df.select(
+        "event_id",
+        F.json_tuple(F.col("props"), "k", "missing")
+        .alias("k_raw", "missing_val")).select(
+        "event_id", F.col("k_raw").cast("long").alias("k"), "missing_val",
+        (F.col("k_raw").cast("long") % 10).alias("k_bucket"))
+    ref = df.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+        (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+
+def test_agg_stats_onepass_equals_windowed_form(spark, sf_dir):
+    """r16 in-window swap insurance: the registered q_agg_stats (one
+    groupBy pass, builtin exact percentile()) must produce the same
+    ROUNDED rows as the window-rank + lerp form it replaced (kept
+    module-level as agg_stats_windowed).  The unrounded percentiles
+    legitimately differ by ~1 ulp (two-coefficient interpolation at
+    pos=q*(n-1) vs 1-based lerp at q*(n-1)+1); the contract this test
+    pins is output equality after the 2dp floor-round, and the ORACLE's
+    bit-identity to the builtin is pinned separately by certify (the
+    oracle was rewritten into the builtin's op order with the swap)."""
+    from financialtransactionmonitoringsystem_spark.operators import aggregates
+
+    old = sorted(map(tuple, aggregates.agg_stats_windowed(spark, sf_dir).collect()))
+    new = sorted(map(tuple, aggregates.q_agg_stats(spark, sf_dir).collect()))
+    assert old == new and len(new) >= 3
