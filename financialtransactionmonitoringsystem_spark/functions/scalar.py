@@ -73,6 +73,21 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_props_extract(ev: DataFrame) -> DataFrame:
+    """The q_fn_json projection over any (event_id, props) frame -- one
+    ``json_tuple`` streaming parse for both paths, casts outside the
+    JSON machinery.  Module-level so the planted-shape equality test
+    exercises the SHIPPED projection instead of an inline copy that
+    could drift (the TRY_CAST_INT_SHAPE lesson, re-found in review)."""
+    return (ev.select("event_id",
+                      F.json_tuple(F.col("props"), "k", "missing")
+                      .alias("k_raw", "missing_val"))
+            .select("event_id",
+                    F.col("k_raw").cast("long").alias("k"),
+                    "missing_val",
+                    (F.col("k_raw").cast("long") % 10).alias("k_bucket")))
+
+
 def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O4/O5 JSON extraction (``main.rs:49-52``): typed path extraction,
     missing-path -> NULL, matching serde's unknown/missing tolerance.
@@ -87,18 +102,19 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ``from_json`` single-parse struct form was also measured and
     is WORSE than the multiprobe baseline (0.85-0.93x: it materializes
     an InternalRow per row where both string paths stream) -- recorded
-    in PLANS so it is not re-litigated.  Oracle unchanged (outputs are
-    row-identical).  The string->long casts sit OUTSIDE the JSON
-    machinery, identical both forms, so ANSI edge behavior (a
-    non-integer k would throw) is unchanged by construction."""
-    ev = load_table(spark, sf_dir, "events")
-    return (ev.select("event_id",
-                      F.json_tuple(F.col("props"), "k", "missing")
-                      .alias("k_raw", "missing_val"))
-            .select("event_id",
-                    F.col("k_raw").cast("long").alias("k"),
-                    "missing_val",
-                    (F.col("k_raw").cast("long") % 10).alias("k_bucket")))
+    in PLANS so it is not re-litigated.
+
+    KNOWN edge divergence (review finding, pinned by a planted test,
+    not hidden): on DUPLICATE-KEY JSON (``{"k": 7, "k": 8}``)
+    json_tuple keeps the LAST occurrence (8) while get_json_object and
+    DuckDB's json_extract_string keep the FIRST (7).  Last-wins is
+    what the reference's own serde_json does (``main.rs:49-52``), so
+    the swap moves TOWARD reference semantics; the corpus generator
+    emits single-key props only, so oracle parity is unaffected --
+    but if a future corpus ever hash-fails on this key, check props
+    for duplicate keys FIRST.  On duplicate-free JSON the forms are
+    row-identical (equality-tested at all three SFs)."""
+    return json_props_extract(load_table(spark, sf_dir, "events"))
 
 
 def fn_json_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -237,22 +237,36 @@ def _pct_sql_spark_order(q: str, alias: str) -> str:
     return f"{R(raw)} AS {alias}"
 
 
-# The oracle that rides with the r16 one-pass percentile swap: one
-# grouped pass on the DuckDB side too (no disp/pcts join), percentiles
-# in the builtin's op order.  Referenced by ORACLES["q_agg_stats"].
+# The oracle that rides with the r16 one-pass percentile swap:
+# percentiles in the builtin's op order.  The DISPERSION aggregates
+# deliberately stay on the bare lineitem scan (separate CTE + join,
+# like the pre-swap oracle) rather than the window-sorted ranked CTE:
+# DuckDB's stddev/var accumulation is FP-order-sensitive, and feeding
+# it post-window row order would silently shift the unrounded doubles
+# away from the r13-attested values for no benefit (review finding --
+# oracle cost at certify SFs is irrelevant; ulp drift near a .xx5
+# boundary is not).  Referenced by ORACLES["q_agg_stats"].
 AGG_STATS_ONEPASS_ORACLE = f"""
     WITH ranked AS (
-      SELECT l_returnflag, l_extendedprice AS v, l_quantity,
+      SELECT l_returnflag, l_extendedprice AS v,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
              COUNT(*) OVER (PARTITION BY l_returnflag) AS n
       FROM lineitem
+    ),
+    pcts AS (
+      SELECT l_returnflag,
+             {_pct_sql_spark_order('5e-1', 'median_price')},
+             {_pct_sql_spark_order('9e-1', 'p90_price')}
+      FROM ranked GROUP BY l_returnflag
+    ),
+    disp AS (
+      SELECT l_returnflag,
+             {R('stddev_samp(l_extendedprice)')} AS sd_price,
+             {R('var_samp(l_quantity)')} AS var_qty
+      FROM lineitem GROUP BY l_returnflag
     )
-    SELECT l_returnflag,
-           {R('stddev_samp(v)')} AS sd_price,
-           {R('var_samp(l_quantity)')} AS var_qty,
-           {_pct_sql_spark_order('5e-1', 'median_price')},
-           {_pct_sql_spark_order('9e-1', 'p90_price')}
-    FROM ranked GROUP BY l_returnflag
+    SELECT disp.l_returnflag, sd_price, var_qty, median_price, p90_price
+    FROM disp JOIN pcts ON disp.l_returnflag = pcts.l_returnflag
 """
 
 

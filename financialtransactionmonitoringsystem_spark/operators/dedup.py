@@ -855,7 +855,7 @@ def _band_join(exploded: DataFrame) -> DataFrame:
     # "no earlier shared band" over a.band alone is the pair property.
     # Seeded with lit(False) so n_bands=1 -- a legal width whose only
     # band can never have an earlier twin -- degrades to no residual
-    # instead of a reduce-over-empty TypeError (ADVICE r16); Catalyst's
+    # instead of a reduce-over-empty TypeError (ADVICE r15); Catalyst's
     # BooleanSimplification folds the seed away, so multi-band plans
     # are byte-identical.
     shared_earlier = reduce(operator.or_, [
@@ -1087,7 +1087,7 @@ def _chunk_join(ex: DataFrame, max_hamming: int = 3) -> DataFrame:
     # Min-chunk residual: joined rows agree on `chunk` (equi-key), so
     # "no earlier shared chunk" over a.chunk alone is the pair property.
     # lit(False) seed: n_chunks=1 degrades to no residual instead of a
-    # reduce-over-empty TypeError (ADVICE r16); BooleanSimplification
+    # reduce-over-empty TypeError (ADVICE r15); BooleanSimplification
     # folds the seed, so multi-chunk plans are byte-identical.
     shared_earlier = reduce(operator.or_, [
         (F.col("a.chunk") > j)

@@ -101,7 +101,7 @@ def test_band_join_nondefault_width_exactly_once(spark):
     minhashes can share only late bands at n_bands=8; the pair must
     come out exactly once, and metadata-free band tables must fail
     loudly rather than mis-size the residual.  n_bands=1 pins the
-    ADVICE-r16 degenerate width: a single band has no earlier twin, so
+    ADVICE-r15 degenerate width: a single band has no earlier twin, so
     the residual must degrade to a no-op (the unseeded reduce raised
     TypeError at plan construction)."""
     rows = [(1, "en", "aa bb cc dd ee"), (2, "en", "aa bb cc dd ee"),
@@ -145,7 +145,7 @@ def test_chunk_join_minchunk_equals_distinct_form(spark, sf_dir):
     once-per-shared-chunk + DISTINCT reference form at BOTH signature
     widths, and be duplicate-free as a LIST (a Hamming<=3 pair shares
     >= n_chunks-3 chunks, so the old form emitted it up to n_chunks
-    times before the distinct).  (48, 1) pins the ADVICE-r16 degenerate
+    times before the distinct).  (48, 1) pins the ADVICE-r15 degenerate
     width: a single chunk means candidates are exact-simhash matches
     and the residual must degrade to a no-op (the unseeded reduce
     raised TypeError at plan construction); the corpus's exact text

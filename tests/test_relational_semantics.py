@@ -357,7 +357,14 @@ def test_fn_json_tuple_equals_multiprobe_form(spark, sf_dir):
     fn_json_multiprobe), on the corpus AND on a planted table of the
     JSON shapes where single-parse and per-path extraction could
     plausibly disagree (missing key, malformed JSON, NULL props, extra
-    keys, nested object, k=null)."""
+    keys, nested object, k=null).  The planted half drives the SHIPPED
+    projection (scalar.json_props_extract), not an inline copy that
+    could drift (review finding).  The one KNOWN divergence --
+    duplicate-key JSON, where json_tuple keeps the LAST occurrence
+    (serde_json's behavior, i.e. the reference's) while
+    get_json_object keeps the FIRST -- is pinned explicitly below so a
+    future corpus hash-fail on this key has a signposted first
+    suspect."""
     from financialtransactionmonitoringsystem_spark.functions import scalar
 
     old = scalar.fn_json_multiprobe(spark, sf_dir)
@@ -373,18 +380,22 @@ def test_fn_json_tuple_equals_multiprobe_form(spark, sf_dir):
         (9, ''), (10, '{"k": 0}'),
     ]
     df = spark.createDataFrame(planted, "event_id long, props string")
-    got = df.select(
-        "event_id",
-        F.json_tuple(F.col("props"), "k", "missing")
-        .alias("k_raw", "missing_val")).select(
-        "event_id", F.col("k_raw").cast("long").alias("k"), "missing_val",
-        (F.col("k_raw").cast("long") % 10).alias("k_bucket"))
+    got = scalar.json_props_extract(df)
     ref = df.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("long").alias("k"),
         F.get_json_object("props", "$.missing").alias("missing_val"),
         (F.get_json_object("props", "$.k").cast("long") % 10).alias("k_bucket"))
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+
+    # the duplicate-key divergence, pinned as a DIVERGENCE: last-wins
+    # for the shipped json_tuple form, first-wins for the multiprobe
+    # reference and the DuckDB oracle (json_extract_string)
+    dup = spark.createDataFrame([(1, '{"k": 7, "k": 8}')],
+                                "event_id long, props string")
+    assert scalar.json_props_extract(dup).collect()[0].k == 8
+    assert dup.select(F.get_json_object("props", "$.k").cast("long")
+                      .alias("k")).collect()[0].k == 7
 
 
 def test_agg_stats_onepass_equals_windowed_form(spark, sf_dir):
