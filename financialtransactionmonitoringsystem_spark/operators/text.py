@@ -393,6 +393,54 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def repetition_hashed_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-identical r17 swap candidate for :func:`q_text_repetition`
+    (r11-cohort key -- next legal change window is round 17; this twin
+    stays UNREGISTERED until then, the fn_try_guarded precedent).
+
+    The registered form explodes gram STRINGS (zip_with + concat_ws
+    builds every 2-gram as a new string, and the (doc_id, gram)
+    exchange shuffles those strings) when the gram is only ever a
+    GROUPING KEY: this twin hashes the token pair inside the zip_with
+    (``xxhash64(a, b)`` -- no string is ever built) and shuffles
+    8-byte longs.  Tokens come from a split on space, so the pair
+    (a, b) determines the gram exactly (no boundary ambiguity) and the
+    key change is semantics-preserving up to 64-bit collisions WITHIN
+    one document (two distinct grams of the same doc colliding merges
+    their counts) -- the q_text_linededup / decontam-n_hits caveat
+    class, ~(grams/doc)^2/2^64 per doc.  Interleaved A/B (r16, warm
+    artifacts, min-of-2): 0.88 vs 1.21 s at 1x, 4.57 vs 6.85 at 10x,
+    24.01 vs 28.03 at 50x; output exceptAll-equal at sf0.1 (zero
+    collisions on the corpus, so the key stays hash-oracle-exact in
+    practice).  Hashing the BUILT string instead (transform +
+    xxhash64(gram)) was also measured and is non-monotonic (30.55 at
+    50x, WORSE than current -- the extra whole-array transform pass
+    costs more than the string shuffle saves); do not re-litigate.
+    r17 to-do: swap in-window, re-run equality + oracle MATCH at
+    sf0.01 + sf0.1, keep the string form module-level as the equality
+    reference."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = F.size(toks) - 1
+    hashed = F.when(m >= 1, F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda a, b: F.xxhash64(a, b))).otherwise(
+        F.array().cast("array<bigint>"))
+    grams = docs.select("doc_id", F.explode(hashed).alias("gram"))
+    per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(F.sum("c").alias("n_grams"),
+                                    F.max("c").alias("top_gram_n"))
+    frac = F.coalesce(F.col("top_gram_n") / F.col("n_grams"), F.lit(0.0))
+    return (
+        docs.select("doc_id").join(agg, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("top_gram_n", F.lit(0)).alias("top_gram_n"),
+                rnd(frac, 4).alias("top_gram_frac"),
+                (frac > REPETITION_FRAC).alias("repetitive"))
+    )
+
+
 def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag training documents sharing any
     word 5-gram with the "benchmark" set (stand-in: every 50th doc).

@@ -2073,3 +2073,42 @@ def test_fn_try_guarded_twin_equals_registered_form(spark, sf_dir):
     for r in got:
         assert r.plain == r.guarded, f"guard diverges on {r.s!r}: " \
             f"try_cast={r.plain} guarded={r.guarded}"
+
+
+def test_repetition_hashed_twin_equals_registered_form(spark, sf_dir):
+    """r17 swap insurance, banked in r16: the hashed-gram twin must be
+    row-identical to q_text_repetition on the corpus AND on planted
+    edge docs (gramless 0/1-token docs -> frac 0; a fully repetitive
+    doc; a doc where the top gram ties).  Any corpus divergence would
+    mean a within-doc xxhash64 gram collision (the documented caveat)
+    -- on the generated corpora there are none, which is exactly what
+    keeps the key hash-oracle-exact after the swap."""
+    from financialtransactionmonitoringsystem_spark.operators import text
+
+    reg = text.q_text_repetition(spark, sf_dir)
+    twin = text.repetition_hashed_twin(spark, sf_dir)
+    assert reg.exceptAll(twin).count() == 0
+    assert twin.exceptAll(reg).count() == 0
+    assert reg.count() > 0
+
+    # edge frames drive the MODULE FUNCTIONS via a temp parquet corpus
+    # (the cte_recursive edge-frame pattern), not monkeypatched loaders
+    import shutil
+    import tempfile
+
+    planted = [(1, ""), (2, "one"), (3, "a a a a a"), (4, "x y x y"),
+               (5, "p q r s"), (6, "a b a b c d c d")]
+    tmp = tempfile.mkdtemp(prefix="rep_twin_")
+    try:
+        (spark.createDataFrame(planted, "doc_id long, text string")
+         .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
+        a = sorted(map(tuple, text.q_text_repetition(spark, tmp).collect()))
+        b = sorted(map(tuple,
+                       text.repetition_hashed_twin(spark, tmp).collect()))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    assert a == b
+    by_id = dict((r[0], r) for r in a)
+    assert by_id[1][1] == 0 and by_id[1][3] == 0.0      # gramless
+    assert by_id[3][2] == 4 and by_id[3][4] is True     # 'a a' x4 of 4
+    assert by_id[5][2] == 1                             # all grams distinct
