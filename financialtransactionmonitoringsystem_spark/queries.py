@@ -43,13 +43,12 @@ for _name in ("streaming.batch_twins", "operators.text", "operators.dedup",
 # authoritative full-registry gate regardless of window position, and
 # test_window_rotation pins that every stale key actually fits the window.
 LAST_ATTESTED: dict[str, int] = {
-    # round 13 window (CORRECTNESS_r13.json: 49 hash-green + 1 no_oracle
+    # round 16 window (CORRECTNESS_r16.json: 49 hash-green + 1 no_oracle
     # rows-only verdict (q_agg_approx), all 50 attested, zero errors --
-    # the former r10 cohort re-attested on schedule plus the round-13
-    # registration q_shard_balance, step two of the judge-approved
-    # q_dedup_ngram swap; the retired key's all-pairs ground truth lives
-    # on module-private as dedup._dedup_ngram for the recall tests)
-    **{k: 13 for k in (
+    # the r13 cohort re-attested on schedule, including both round-16
+    # in-window free swaps (q_fn_json json_tuple single-streaming-parse,
+    # q_agg_stats one-pass exact percentile()))
+    **{k: 16 for k in (
         'q_shard_balance',
         'q_agg_approx', 'q_agg_group', 'q_agg_rollup', 'q_agg_salted',
         'q_agg_stats', 'q_cte', 'q_curate_epochs', 'q_dedup',
@@ -118,11 +117,12 @@ LAST_ATTESTED: dict[str, int] = {
 }
 
 # Implementations materially changed this round -> re-attest regardless of
-# history.  Round-16 touches: NONE -- the round-16 window is exactly the
-# 50-key r13 cohort re-attesting on schedule (steady state); any change to
-# an r13-cohort key this round is an in-window free swap needing no
-# TOUCHED slot, and out-of-window changes are deferred to their cohort's
-# window (r14/r11 cohort -> r17, r15/r12 cohort -> r18).
+# history.  Round-17 touches: NONE -- the round-17 window is exactly the
+# 50-key r14-attested cohort (r11 cohort) re-attesting on schedule; both
+# round-17 swaps (q_fn_try -> fn_try_guarded, q_text_repetition ->
+# repetition_hashed_twin) are r14-attested keys, i.e. in-window free swaps
+# needing no TOUCHED slot; out-of-window changes are deferred to their
+# cohort's window (r15/r12 cohort -> r18, r16/r13 cohort -> r19).
 TOUCHED: tuple[str, ...] = ()
 
 # Among equally-stale keys, spread families across the window edge instead of
