@@ -208,24 +208,7 @@ def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANSI-safe error handling: ``try_divide`` / ``try_cast`` return
-    NULL instead of raising -- the semantics a 100 TB batch needs so one
-    malformed row cannot kill a 10-hour job.  Division by zero (every
-    5th customer key) and a non-numeric cast both surface as NULLs the
-    downstream query can count/filter, attested row-for-row against the
-    oracle's NULLIF/TRY_CAST equivalents."""
-    register_views(spark, sf_dir, ("orders",))
-    return spark.sql("""
-        SELECT o_orderkey,
-               try_divide(o_totalprice, o_custkey % 5) AS safe_div,
-               try_cast(o_orderpriority AS INT) AS pri_num,
-               try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit
-        FROM orders
-    """)
-
-
-# The numeric-shape guard for fn_try_guarded, as a SQL-literal regex
+# The numeric-shape guard for q_fn_try, as a SQL-literal regex
 # ('\\xNN' reaches Java regex as \xNN).  Pad class = what the ANSI
 # cast's UTF8String.trimAll strips: ASCII controls + space + DEL.
 # Shared with tests/test_llm_pipeline.py so the planted equality test
@@ -233,42 +216,62 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRY_CAST_INT_SHAPE = r"^[\\x00-\\x20\\x7F]*[+-]?[0-9]+[\\x00-\\x20\\x7F]*$"
 
 
-def fn_try_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Output-identical r17 swap candidate for :func:`q_fn_try`
-    (r11-cohort key -- next legal change window is round 17; this twin
-    stays UNREGISTERED until then, the q_dedup_embed pre-verify
-    precedent).
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error handling: ``try_divide`` / ``try_cast`` return
+    NULL instead of raising -- the semantics a 100 TB batch needs so one
+    malformed row cannot kill a 10-hour job.  Division by zero (every
+    5th customer key) and a non-numeric cast both surface as NULLs the
+    downstream query can count/filter, attested row-for-row against the
+    oracle's NULLIF/TRY_CAST equivalents.
 
-    The r15 full-registry scale audit measured q_fn_try at ~8.7 us/row
-    (1.72/13.61/65.08 s at 1x/10x/50x -- the heaviest per-row cost in
-    the registry) because ``try_cast(o_orderpriority AS INT)``
-    throws-and-catches a SparkNumberFormatException on EVERY row: the
-    column is "1-URGENT"-style non-numerics, so the ANSI cast's
-    exception path -- message + query-context construction included --
-    IS the steady-state path.  The guard makes NULL the computed
-    fast path: a numeric-shape rlike admits exactly the strings an
-    ANSI string->int cast can parse, and only those reach the inner
-    try_cast, which still handles the one failure the shape test
-    cannot see (int overflow) by returning NULL.  Rows that would have
-    thrown now take a regexp reject instead of a JVM exception.
+    r17 in-window swap (banked r15, guard hardened r16, executed in the
+    key's legal window): the previous bare form
+    (:func:`fn_try_unguarded`, retained as the equality reference) ran
+    ``try_cast(o_orderpriority AS INT)`` where the column is
+    "1-URGENT"-style non-numerics, so the ANSI cast's
+    throw-and-catch -- SparkNumberFormatException message +
+    query-context construction included -- was the STEADY-STATE path
+    (~8.7 us/row; 65 s at 50x, the heaviest per-row cost in the
+    registry).  The guard makes NULL the computed fast path: a
+    numeric-shape rlike admits exactly the strings an ANSI string->int
+    cast can parse, and only those reach the inner try_cast, which
+    still handles the one failure the shape test cannot see (int
+    overflow) by returning NULL.  Interleaved A/B on replicas: ~24x at
+    50x.
 
     Pad class (ADVICE r15): the ANSI cast trims via
     ``UTF8String.trimAll``, which strips ASCII controls + space + DEL
     (``[\\x00-\\x20\\x7F]``) -- WIDER than Java regex ``\\s``.  Probed
-    empirically this round: NUL/US/DEL-padded numerics parse (a
+    empirically in r16: NUL/US/DEL-padded numerics parse (a
     ``\\s``-based guard would wrongly reject them) while C1 controls
     (0x85-0x9F) and Unicode spaces (NBSP, EN QUAD, IDEOGRAPHIC) do
-    NOT parse, so the class below is exact, not conservative.
-    Equality is pinned row-for-row against q_fn_try on the corpus AND
-    on a planted edge-case table (control-char pads, whitespace,
-    signs, overflow, decimals, empty, NULL) by
-    tests/test_llm_pipeline.py."""
+    NOT parse, so the class is exact, not conservative.  Equality is
+    pinned row-for-row against the unguarded form on the corpus AND on
+    a planted edge-case table (control-char pads, whitespace, signs,
+    overflow, decimals, empty, NULL) by tests/test_llm_pipeline.py."""
     register_views(spark, sf_dir, ("orders",))
     return spark.sql(f"""
         SELECT o_orderkey,
                try_divide(o_totalprice, o_custkey % 5) AS safe_div,
                CASE WHEN o_orderpriority RLIKE '{TRY_CAST_INT_SHAPE}'
                     THEN try_cast(o_orderpriority AS INT) END AS pri_num,
+               try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit
+        FROM orders
+    """)
+
+
+def fn_try_unguarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r17 q_fn_try, retained module-level as the live equality
+    reference for the regexp-guard swap (the fn_json_multiprobe
+    precedent): the bare ``try_cast`` pays a caught JVM
+    NumberFormatException on every non-numeric row -- correct and
+    linear, but exception-as-control-flow is a real 100 TB cost bug
+    (the r15 audit's lesson this swap records)."""
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT o_orderkey,
+               try_divide(o_totalprice, o_custkey % 5) AS safe_div,
+               try_cast(o_orderpriority AS INT) AS pri_num,
                try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit
         FROM orders
     """)

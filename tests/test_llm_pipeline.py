@@ -2025,14 +2025,15 @@ def test_corpus_contract_doubles_all_finite(spark, sf_dir):
             assert bad == 0, (t, c)
 
 
-def test_fn_try_guarded_twin_equals_registered_form(spark, sf_dir):
-    """r17 swap insurance, banked in r15: the regexp-guarded twin must
-    be row-identical to q_fn_try on the corpus, AND on a planted table
-    of every string shape where an ANSI string->int try_cast and a
-    numeric-shape rlike could plausibly disagree (control-char pads,
+def test_fn_try_guarded_equals_unguarded_reference(spark, sf_dir):
+    """r17 swap EXECUTED (banked r15, hardened r16): the registered
+    q_fn_try is now the regexp-guarded form; it must stay row-identical
+    to the retained unguarded reference on the corpus, AND on a planted
+    table of every string shape where an ANSI string->int try_cast and
+    a numeric-shape rlike could plausibly disagree (control-char pads,
     whitespace, signs, overflow past int range, decimals, empty, NULL,
     embedded text).  Any disagreement here means the guard is NOT a
-    faithful fast path and the r17 swap must not happen.
+    faithful fast path and the swap must be reverted.
 
     The guard pattern is imported from the implementation
     (scalar.TRY_CAST_INT_SHAPE) so this test pins what ships.  The
@@ -2042,8 +2043,8 @@ def test_fn_try_guarded_twin_equals_registered_form(spark, sf_dir):
     from financialtransactionmonitoringsystem_spark.functions import scalar
 
     reg = {tuple(r) for r in scalar.q_fn_try(spark, sf_dir).collect()}
-    twin = {tuple(r) for r in scalar.fn_try_guarded(spark, sf_dir).collect()}
-    assert reg == twin and reg
+    ref = {tuple(r) for r in scalar.fn_try_unguarded(spark, sf_dir).collect()}
+    assert reg == ref and reg
 
     nasty = ["1-URGENT", "42", " 42 ", "+7", "-7", " -0 ", "2147483647",
              "2147483648", "-2147483649", "99999999999999999999",
