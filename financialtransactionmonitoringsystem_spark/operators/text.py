@@ -353,92 +353,96 @@ def _wordgrams(col, n: int):
 REPETITION_FRAC = 0.2  # most-common-2-gram fraction above which a doc is flagged
 
 
+def _hashed_wordgrams2(col) -> F.Column:
+    """Word-2-gram GROUPING KEYS as 8-byte longs: ``xxhash64(a, b)``
+    inside the zip_with, so no gram string is ever built or shuffled.
+    Tokens come from a split on space, so the pair (a, b) determines
+    the gram exactly (no boundary ambiguity).  Module-level so the
+    swap-insurance test pins the exact expression that ships (the
+    TRY_CAST_INT_SHAPE lesson).  Only for key-only uses -- anything
+    that needs the gram TEXT keeps :func:`_wordgrams`."""
+    toks = F.split(col, " ")
+    m = F.size(toks) - 1
+    return F.when(m >= 1, F.zip_with(
+        F.slice(toks, 1, m), F.slice(toks, 2, m),
+        lambda a, b: F.xxhash64(a, b))).otherwise(
+        F.array().cast("array<bigint>"))
+
+
+def _repetition_from_grams(docs: DataFrame, grams: DataFrame) -> DataFrame:
+    """Shared tail of the repetition score: per-doc gram counting as
+    explode + two map-side-combinable aggregations keyed by doc -- no
+    corpus-wide state, no join except the left join back to keep
+    gramless (sub-2-token) docs with frac 0."""
+    per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    agg = per.groupBy("doc_id").agg(F.sum("c").alias("n_grams"),
+                                    F.max("c").alias("top_gram_n"))
+    frac = F.coalesce(F.col("top_gram_n") / F.col("n_grams"), F.lit(0.0))
+    return (
+        docs.select("doc_id").join(agg, "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                F.coalesce("top_gram_n", F.lit(0)).alias("top_gram_n"),
+                rnd(frac, 4).alias("top_gram_frac"),
+                (frac > REPETITION_FRAC).alias("repetitive"))
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition scoring (the Gopher-style repetition
     filter): fraction of a doc's word 2-grams taken by its single most
     frequent 2-gram; high values mean boilerplate/looped text that the
     type-token ratio in ``q_text_quality`` under-penalizes.
 
-    Shape: per-doc gram counting is explode + two map-side-combinable
-    aggregations keyed by doc -- no corpus-wide state, no join except the
-    left join back to keep gramless (sub-2-token) docs with frac 0.
+    r17 in-window swap (banked r16, executed in the key's legal
+    window): the previous form (:func:`repetition_stringgram`, retained
+    as the equality reference) built every 2-gram as a STRING
+    (zip_with + concat_ws) and shuffled those strings, when the gram is
+    only ever a GROUPING KEY.  This form hashes the token pair inside
+    the zip_with (:func:`_hashed_wordgrams2` -- no string is ever
+    built) and shuffles 8-byte longs.  Semantics-preserving up to
+    64-bit collisions WITHIN one document (two distinct grams of the
+    same doc colliding merges their counts) -- the q_text_linededup /
+    decontam-n_hits caveat class, ~(grams/doc)^2/2^64 per doc; zero on
+    the generated corpora (the swap test asserts gram-table
+    cardinality equality directly, per ADVICE r16).  Interleaved A/B
+    (r16, warm artifacts, min-of-2): 0.88 vs 1.21 s at 1x, 4.57 vs
+    6.85 at 10x, 24.01 vs 28.03 at 50x (1.17x).  Hashing the BUILT
+    string instead (transform + xxhash64(gram)) was also measured and
+    is WORSE at 50x (30.55 s -- the extra whole-array transform pass
+    costs more than the string shuffle saves); do not re-litigate.
 
     Measured negative result (round 10, do not re-apply): a zero-shuffle
     in-row rewrite -- array_sort the gram array + a sequential
     ``aggregate`` run-length fold (the simhash precedent) -- was built,
     proven output-identical at two SFs and oracle-green, and MEASURED
-    2x SLOWER at scale (1.56/14.12/60.24 s at 1x/10x/50x vs this form's
-    1.58/8.70/30.69): Catalyst evaluates higher-order lambdas with a
-    per-element interpretation overhead that costs more than the two
-    (doc_id, gram)-keyed exchanges it removes, which are map-side
-    combined and perfectly parallel.  Unlike simhash (whose fold
-    replaced a CORPUS-WIDE reassembly shuffle), these exchanges are
-    doc-local volume -- the fold saves network the operator barely
-    uses.  Reverted; PLANS round 10 records the numbers.
+    2x SLOWER at scale (1.56/14.12/60.24 s at 1x/10x/50x): Catalyst
+    evaluates higher-order lambdas with a per-element interpretation
+    overhead that costs more than the two (doc_id, gram)-keyed
+    exchanges it removes, which are map-side combined and perfectly
+    parallel.  Unlike simhash (whose fold replaced a CORPUS-WIDE
+    reassembly shuffle), these exchanges are doc-local volume -- the
+    fold saves network the operator barely uses.  PLANS round 10
+    records the numbers.
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
-        "doc_id", F.explode(_wordgrams(F.col("text"), 2)).alias("gram"))
-    per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    agg = per.groupBy("doc_id").agg(F.sum("c").alias("n_grams"),
-                                    F.max("c").alias("top_gram_n"))
-    frac = F.coalesce(F.col("top_gram_n") / F.col("n_grams"), F.lit(0.0))
-    return (
-        docs.select("doc_id").join(agg, "doc_id", "left")
-        .select("doc_id",
-                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-                F.coalesce("top_gram_n", F.lit(0)).alias("top_gram_n"),
-                rnd(frac, 4).alias("top_gram_frac"),
-                (frac > REPETITION_FRAC).alias("repetitive"))
-    )
+        "doc_id", F.explode(_hashed_wordgrams2(F.col("text"))).alias("gram"))
+    return _repetition_from_grams(docs, grams)
 
 
-def repetition_hashed_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Output-identical r17 swap candidate for :func:`q_text_repetition`
-    (r11-cohort key -- next legal change window is round 17; this twin
-    stays UNREGISTERED until then, the fn_try_guarded precedent).
-
-    The registered form explodes gram STRINGS (zip_with + concat_ws
-    builds every 2-gram as a new string, and the (doc_id, gram)
-    exchange shuffles those strings) when the gram is only ever a
-    GROUPING KEY: this twin hashes the token pair inside the zip_with
-    (``xxhash64(a, b)`` -- no string is ever built) and shuffles
-    8-byte longs.  Tokens come from a split on space, so the pair
-    (a, b) determines the gram exactly (no boundary ambiguity) and the
-    key change is semantics-preserving up to 64-bit collisions WITHIN
-    one document (two distinct grams of the same doc colliding merges
-    their counts) -- the q_text_linededup / decontam-n_hits caveat
-    class, ~(grams/doc)^2/2^64 per doc.  Interleaved A/B (r16, warm
-    artifacts, min-of-2): 0.88 vs 1.21 s at 1x, 4.57 vs 6.85 at 10x,
-    24.01 vs 28.03 at 50x; output exceptAll-equal at sf0.1 (zero
-    collisions on the corpus, so the key stays hash-oracle-exact in
-    practice).  Hashing the BUILT string instead (transform +
-    xxhash64(gram)) was also measured and is non-monotonic (30.55 at
-    50x, WORSE than current -- the extra whole-array transform pass
-    costs more than the string shuffle saves); do not re-litigate.
-    r17 to-do: swap in-window, re-run equality + oracle MATCH at
-    sf0.01 + sf0.1, keep the string form module-level as the equality
-    reference."""
+def repetition_stringgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r17 q_text_repetition, retained module-level as the live
+    equality reference for the hashed-gram swap (the
+    fn_json_multiprobe / fn_try_unguarded precedent): builds every
+    2-gram as a string via :func:`_wordgrams` and shuffles the strings.
+    Collision-free by construction, so any corpus divergence from the
+    registered form is a within-doc xxhash64 collision -- exactly what
+    the insurance test detects via gram-table cardinality equality."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    m = F.size(toks) - 1
-    hashed = F.when(m >= 1, F.zip_with(
-        F.slice(toks, 1, m), F.slice(toks, 2, m),
-        lambda a, b: F.xxhash64(a, b))).otherwise(
-        F.array().cast("array<bigint>"))
-    grams = docs.select("doc_id", F.explode(hashed).alias("gram"))
-    per = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-    agg = per.groupBy("doc_id").agg(F.sum("c").alias("n_grams"),
-                                    F.max("c").alias("top_gram_n"))
-    frac = F.coalesce(F.col("top_gram_n") / F.col("n_grams"), F.lit(0.0))
-    return (
-        docs.select("doc_id").join(agg, "doc_id", "left")
-        .select("doc_id",
-                F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
-                F.coalesce("top_gram_n", F.lit(0)).alias("top_gram_n"),
-                rnd(frac, 4).alias("top_gram_frac"),
-                (frac > REPETITION_FRAC).alias("repetitive"))
-    )
+    grams = docs.select(
+        "doc_id", F.explode(_wordgrams(F.col("text"), 2)).alias("gram"))
+    return _repetition_from_grams(docs, grams)
 
 
 def q_text_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:

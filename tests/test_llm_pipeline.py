@@ -2076,21 +2076,42 @@ def test_fn_try_guarded_equals_unguarded_reference(spark, sf_dir):
             f"try_cast={r.plain} guarded={r.guarded}"
 
 
-def test_repetition_hashed_twin_equals_registered_form(spark, sf_dir):
-    """r17 swap insurance, banked in r16: the hashed-gram twin must be
-    row-identical to q_text_repetition on the corpus AND on planted
-    edge docs (gramless 0/1-token docs -> frac 0; a fully repetitive
-    doc; a doc where the top gram ties).  Any corpus divergence would
-    mean a within-doc xxhash64 gram collision (the documented caveat)
-    -- on the generated corpora there are none, which is exactly what
-    keeps the key hash-oracle-exact after the swap."""
+def test_repetition_hashed_equals_stringgram_reference(spark, sf_dir):
+    """r17 swap EXECUTED (banked r16): the registered q_text_repetition
+    is now the hashed-gram form; it must stay row-identical to the
+    retained string-gram reference on the corpus AND on planted edge
+    docs (gramless 0/1-token docs -> frac 0; a fully repetitive doc; a
+    doc where the top gram ties).  Any corpus divergence would mean a
+    within-doc xxhash64 gram collision (the documented caveat) -- and
+    per ADVICE r16 the collision check is also made DIRECT, not just
+    via downstream row equality: the distinct (doc_id, gram) table must
+    have the same cardinality under string keys and hash keys (a
+    within-doc collision strictly shrinks the hashed one).  Both gram
+    expressions are imported from the implementation so this pins what
+    ships."""
     from financialtransactionmonitoringsystem_spark.operators import text
+    from financialtransactionmonitoringsystem_spark.tables import load_table
 
     reg = text.q_text_repetition(spark, sf_dir)
-    twin = text.repetition_hashed_twin(spark, sf_dir)
-    assert reg.exceptAll(twin).count() == 0
-    assert twin.exceptAll(reg).count() == 0
+    ref = text.repetition_stringgram(spark, sf_dir)
+    assert reg.exceptAll(ref).count() == 0
+    assert ref.exceptAll(reg).count() == 0
     assert reg.count() > 0
+
+    # ADVICE r16: direct within-doc collision detector -- distinct
+    # (doc_id, gram) cardinality must agree between key representations
+    docs = load_table(spark, sf_dir, "documents")
+    n_str = (docs.select("doc_id",
+                         F.explode(text._wordgrams(F.col("text"), 2))
+                         .alias("gram"))
+             .distinct().count())
+    n_hash = (docs.select("doc_id",
+                          F.explode(text._hashed_wordgrams2(F.col("text")))
+                          .alias("gram"))
+              .distinct().count())
+    assert n_str == n_hash, (
+        f"within-doc xxhash64 gram collision on this corpus: "
+        f"{n_str} string-keyed vs {n_hash} hash-keyed distinct grams")
 
     # edge frames drive the MODULE FUNCTIONS via a temp parquet corpus
     # (the cte_recursive edge-frame pattern), not monkeypatched loaders
@@ -2105,7 +2126,7 @@ def test_repetition_hashed_twin_equals_registered_form(spark, sf_dir):
          .write.mode("overwrite").parquet(f"{tmp}/documents.parquet"))
         a = sorted(map(tuple, text.q_text_repetition(spark, tmp).collect()))
         b = sorted(map(tuple,
-                       text.repetition_hashed_twin(spark, tmp).collect()))
+                       text.repetition_stringgram(spark, tmp).collect()))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     assert a == b
