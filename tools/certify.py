@@ -41,6 +41,32 @@ def _duck(sf_dir: str):
     return con
 
 
+def _probe_json_dupkeys(spark, sf_dir: str) -> None:
+    """ADVICE r16: q_fn_json parity rests on the corpus generator
+    emitting single-key props -- json_tuple (the registered form) is
+    LAST-wins on duplicate JSON keys while the DuckDB oracle's
+    json_extract_string is FIRST-wins.  This probe counts events where
+    json_tuple and get_json_object disagree on $.k, so a future corpus
+    generation with duplicate keys fails HERE with a pointed message
+    instead of as an opaque q_fn_json hash mismatch."""
+    from pyspark.sql import functions as F
+
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    n = (ev.select(F.json_tuple(F.col("props"), "k").alias("jt"),
+                   F.get_json_object("props", "$.k").alias("gjo"))
+         .filter(~F.col("jt").eqNullSafe(F.col("gjo"))).count())
+    assert n == 0, (
+        f"{n} events have duplicate-key props JSON: json_tuple "
+        f"(last-wins, = serde_json/reference semantics) and "
+        f"get_json_object/DuckDB (first-wins) disagree on $.k -- "
+        f"q_fn_json's oracle parity no longer holds on this corpus; "
+        f"see the q_fn_json docstring (functions/scalar.py)")
+    print(f"JSONPROBE: 0 duplicate-key $.k disagreements at {sf_dir}",
+          flush=True)
+
+
 def _sweep(spark, keys, sf_dir: str, label: str) -> None:
     import __spark_entry__ as E
     from tests.compare import assert_frames_match
@@ -79,6 +105,7 @@ def main() -> None:
     keys = list(E.queries())
     print(f"registry: {len(keys)} keys; entry() rows:",
           len(E.entry(spark).collect()), flush=True)
+    _probe_json_dupkeys(spark, args.sf)
     _sweep(spark, keys[:50], args.sf, "WINDOW50")
     if not args.window_only:
         _sweep(spark, keys, args.sf, f"FULL{len(keys)}")
