@@ -353,20 +353,31 @@ def _wordgrams(col, n: int):
 REPETITION_FRAC = 0.2  # most-common-2-gram fraction above which a doc is flagged
 
 
-def _hashed_wordgrams2(col) -> F.Column:
-    """Word-2-gram GROUPING KEYS as 8-byte longs: ``xxhash64(a, b)``
-    inside the zip_with, so no gram string is ever built or shuffled.
-    Tokens come from a split on space, so the pair (a, b) determines
-    the gram exactly (no boundary ambiguity).  Module-level so the
-    swap-insurance test pins the exact expression that ships (the
-    TRY_CAST_INT_SHAPE lesson).  Only for key-only uses -- anything
-    that needs the gram TEXT keeps :func:`_wordgrams`."""
+def _hashed_wordgrams(col, n: int) -> F.Column:
+    """Word-n-gram KEYS as 8-byte longs with NO gram string ever built:
+    the first zip_with hashes the leading token pair (``xxhash64(a,
+    b)``) and each further zip_with folds the next token into the
+    running hash (``xxhash64(h, c)``) -- n-1 vectorized passes over
+    longs, vs :func:`_wordgrams`'s n-1 passes that each MATERIALIZE
+    progressively longer strings plus (for fingerprint uses) one more
+    whole-array hashing pass.  Tokens come from a split on space, so
+    the token tuple determines the gram exactly (no boundary
+    ambiguity); the chained hash is deterministic and
+    collision-equivalent to hashing the gram string (~(grams)^2/2^64
+    within any compared scope) -- the q_text_linededup / decontam
+    caveat class, asserted zero on the corpora by the swap tests'
+    distinct-cardinality checks.  Module-level so those tests pin the
+    exact expression that ships (the TRY_CAST_INT_SHAPE lesson).  Only
+    for key/fingerprint uses -- anything that needs the gram TEXT
+    keeps :func:`_wordgrams`."""
     toks = F.split(col, " ")
-    m = F.size(toks) - 1
-    return F.when(m >= 1, F.zip_with(
-        F.slice(toks, 1, m), F.slice(toks, 2, m),
-        lambda a, b: F.xxhash64(a, b))).otherwise(
-        F.array().cast("array<bigint>"))
+    m = F.size(toks) - n + 1
+    g = F.zip_with(F.slice(toks, 1, m), F.slice(toks, 2, m),
+                   lambda a, b: F.xxhash64(a, b))
+    for k in range(2, n):
+        g = F.zip_with(g, F.slice(toks, 1 + k, m),
+                       lambda h, c: F.xxhash64(h, c))
+    return F.when(m >= 1, g).otherwise(F.array().cast("array<bigint>"))
 
 
 def _repetition_from_grams(docs: DataFrame, grams: DataFrame) -> DataFrame:
@@ -399,7 +410,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     as the equality reference) built every 2-gram as a STRING
     (zip_with + concat_ws) and shuffled those strings, when the gram is
     only ever a GROUPING KEY.  This form hashes the token pair inside
-    the zip_with (:func:`_hashed_wordgrams2` -- no string is ever
+    the zip_with (:func:`_hashed_wordgrams` -- no string is ever
     built) and shuffles 8-byte longs.  Semantics-preserving up to
     64-bit collisions WITHIN one document (two distinct grams of the
     same doc colliding merges their counts) -- the q_text_linededup /
@@ -427,7 +438,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = docs.select(
-        "doc_id", F.explode(_hashed_wordgrams2(F.col("text"))).alias("gram"))
+        "doc_id", F.explode(_hashed_wordgrams(F.col("text"), 2)).alias("gram"))
     return _repetition_from_grams(docs, grams)
 
 
@@ -521,6 +532,57 @@ def _decontam_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("doc_id").alias("bench_id"), F.explode(fps).alias("gram"))
              .distinct())
     train = grams.filter(F.col("doc_id") % 50 != 0).distinct()
+    return (
+        train.join(bench, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"),
+             F.countDistinct("bench_id").alias("n_bench_docs"))
+    )
+
+
+def decontam_hashed_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-identical r19 swap candidate for :func:`q_text_decontam`
+    (r13-cohort key -- next legal change window is round 19; this twin
+    stays UNREGISTERED until then, the fn_try_guarded / repetition
+    banking precedent).
+
+    Identical plan to the registered form except the gram fingerprint:
+    the registered form BUILDS every 5-gram string (:func:`_wordgrams`,
+    four zip_with passes materializing progressively longer strings)
+    and then hashes it in a fifth whole-array pass; this twin chains
+    the token hash (:func:`_hashed_wordgrams` -- four passes over
+    longs, no string ever allocated).  The operator was ALREADY
+    fingerprint-based with the documented ~1e-8 collision caveat, so
+    which hash produces the fingerprint is invisible to the output
+    absent collisions (zero on the corpora -- the banked insurance
+    test asserts distinct-(doc, gram) cardinality equality directly).
+    Interleaved A/B on replicas (r17, warm artifacts, min-of-2):
+    1.93 vs 1.42 s at 1x, 8.89 vs 6.02 at 10x, 42.89 vs 23.49 at 50x
+    (1.83x and DIVERGING -- string build cost grows with the gram
+    stream while the chain stays long-sized).
+
+    r19 execution contract (judge ruling, VERDICT r16 "What's wrong"
+    #3): the composed child q_text_decontam_bylang (r11 cohort,
+    windows r17/r20) inherits this plan change OUT of its own window,
+    so the swap may ride ONLY with (a) a same-session child oracle
+    MATCH at sf0.01 + sf0.1 recorded in PLANS, and (b) formal child
+    re-attestation in its r20 window.  ALSO in lockstep, same session:
+    streaming/pipeline.py's ``decontam_scorer`` duplicates the fps
+    expression (pipeline.py:322) and the stream-vs-batch equality test
+    pins the two derivations together -- swap both or neither."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = _hashed_wordgrams(F.col("text"), DECONTAM_NGRAM)
+    grams = docs.select("doc_id", F.explode(fps).alias("gram"))
+    bench = (docs.filter(F.col("doc_id") % 50 == 0)
+             .select(F.col("doc_id").alias("bench_id"),
+                     F.explode(fps).alias("gram"))
+             .distinct())
+    bench_gram_set = bench.select("gram").distinct()
+    train = (
+        grams.filter(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench_gram_set), "gram", "left_semi")
+        .distinct()
+    )
     return (
         train.join(bench, "gram")
         .groupBy("doc_id")
@@ -641,7 +703,10 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 10: MATCH vs ``NOVELTY_ORACLE`` at sf0.001/0.01/0.1 plus
     planted-fraction tests).  Grams travel as xxhash64 fingerprints --
     the decontam collision caveat (~1e-8 here) applies to
-    n_grams/n_seen alike.
+    n_grams/n_seen alike.  r17 in-window swap: the fingerprint is now
+    the chained token hash (see :func:`_novelty_fps` for the A/B and
+    the retained string-gram reference) -- 1.31x at 50x, plan
+    otherwise unchanged.
     """
     return _novelty_core(load_table(spark, sf_dir, "documents"))
 
@@ -649,7 +714,31 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _novelty_fps():
     """Per-doc distinct word-5-gram fingerprints (the gram identity the
     whole novelty family shares -- one definition for the core, the
-    reference build, and the streaming scorer)."""
+    reference build, and the streaming scorer; no fingerprint is ever
+    persisted across sessions, so the definition can evolve freely as
+    long as every consumer goes through this one function).
+
+    r17 in-window swap (q_text_novelty is r14-attested): fingerprints
+    are now the CHAINED token hash (:func:`_hashed_wordgrams` -- no
+    5-gram string is ever materialized) instead of xxhash64 over the
+    built gram string (:func:`_novelty_fps_stringgram`, retained as
+    the equality reference).  The operator was ALREADY
+    fingerprint-based -- n_grams/n_seen count hashes, with the
+    documented ~(grams)^2/2^64 collision caveat -- so which hash
+    function produces the fingerprint is invisible to the output
+    absent collisions (zero on the corpora, asserted directly by the
+    swap test's distinct-cardinality check).  Interleaved A/B on
+    replicas (r17, warm artifacts, min-of-2): 1.00 vs 0.97 s at 1x,
+    2.05 vs 1.49 at 10x, 5.55 vs 4.24 at 50x (1.31x)."""
+    return F.array_distinct(
+        _hashed_wordgrams(F.col("text"), DECONTAM_NGRAM))
+
+
+def _novelty_fps_stringgram():
+    """Pre-r17 _novelty_fps, retained module-level as the live equality
+    reference for the chained-hash swap (the fn_json_multiprobe /
+    repetition_stringgram precedent): builds every 5-gram string via
+    :func:`_wordgrams`, then hashes it in one more whole-array pass."""
     return F.array_distinct(
         F.transform(_wordgrams(F.col("text"), DECONTAM_NGRAM),
                     lambda g: F.xxhash64(g)))
