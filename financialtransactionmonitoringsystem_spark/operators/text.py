@@ -913,14 +913,52 @@ def q_align_crosslingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides.  The gram checkpoint is corpus-sized (unlike the banded
     one), so the policy is configurable: see ``ALIGN_GRAM_MODE_CONF``
     above for the "rederive" mode a 100 TB object-store run should
-    set, and the decision rule between them."""
+    set, and the decision rule between them.
+
+    r17 in-window swap: grams travel as CHAINED-TOKEN-HASH longs
+    (:func:`_hashed_wordgrams` -- no 8-gram string is ever built;
+    the previous string-gram form is retained as
+    :func:`align_stringgram`, the equality reference).  The gram is
+    key-only here (df aggregate + band self-join), so the change is
+    semantics-preserving up to corpus-level 64-bit collisions (two
+    distinct grams anywhere aliasing merges their df and could
+    fabricate/shift a pair) -- the q_text_linededup caveat class,
+    ~|grams|^2/2^64, zero on the corpora (the swap test asserts
+    corpus-wide distinct-gram cardinality equality directly).
+    Interleaved A/B (r17, min-of-2, both arms paying fresh scoped
+    builds): 2.61 vs 1.89 s at 1x, 21.80 vs 11.64 at 10x, 85.56 vs
+    46.65 at 50x (1.83x) -- 8-gram string construction was the
+    single biggest cost in the build, and the gram checkpoint
+    shrinks to 8-byte keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _align_from_gram_expr(
+        spark, docs, _hashed_wordgrams(F.col("text"), ALIGN_NGRAM))
+
+
+def align_stringgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r17 q_align_crosslingual, retained module-level as the live
+    equality reference for the hashed-gram swap (the
+    repetition_stringgram precedent): explodes 8-gram STRINGS into the
+    df aggregate and band self-join.  Collision-free by construction,
+    so any corpus divergence from the registered form is a
+    corpus-level hash collision."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _align_from_gram_expr(
+        spark, docs, _wordgrams(F.col("text"), ALIGN_NGRAM))
+
+
+def _align_from_gram_expr(spark: SparkSession, docs: DataFrame,
+                          gram_expr) -> DataFrame:
+    """Shared body of the alignment query over any per-doc gram-array
+    expression (string grams or hashed keys): distinct grams per doc,
+    df aggregate, [ALIGN_DF_MIN, ALIGN_DF_MAX] band, bounded self-join,
+    (doc_a, doc_b) rollup -- with the round-8 materialization policy
+    (checkpoint vs rederive) applied identically."""
     from .dedup import _scoped_build
 
-    docs = load_table(spark, sf_dir, "documents")
     g_raw = docs.select(
         "doc_id", "lang",
-        F.explode(F.array_distinct(
-            _wordgrams(F.col("text"), ALIGN_NGRAM))).alias("gram"))
+        F.explode(F.array_distinct(gram_expr)).alias("gram"))
     rederive = spark.conf.get(ALIGN_GRAM_MODE_CONF, "checkpoint") == "rederive"
     g = g_raw if rederive else _scoped_build(g_raw)
     band = (g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))

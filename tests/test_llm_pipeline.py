@@ -2171,6 +2171,36 @@ def test_novelty_hashed_fps_equals_stringgram_reference(spark, sf_dir):
         f"{n_str} string-hashed vs {n_hash} chain-hashed fingerprints")
 
 
+def test_align_hashed_equals_stringgram_reference(spark, sf_dir):
+    """r17 in-window swap (q_align_crosslingual is r14-attested): the
+    alignment gram key is now the chained token hash.  The gram is
+    key-only (df aggregate + band self-join), so equality with the
+    retained string-gram reference holds exactly when no CORPUS-LEVEL
+    collision exists -- wider scope than the per-doc repetition
+    caveat, so the direct detector here is corpus-wide: the number of
+    distinct grams across the whole corpus must agree between
+    representations (any two grams aliasing anywhere shrinks the
+    hashed count)."""
+    from financialtransactionmonitoringsystem_spark.operators import text
+    from financialtransactionmonitoringsystem_spark.tables import load_table
+
+    reg = text.q_align_crosslingual(spark, sf_dir)
+    ref = text.align_stringgram(spark, sf_dir)
+    assert reg.exceptAll(ref).count() == 0
+    assert ref.exceptAll(reg).count() == 0
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_str = (docs.select(F.explode(F.array_distinct(
+        text._wordgrams(F.col("text"), text.ALIGN_NGRAM))).alias("g"))
+        .select("g").distinct().count())
+    n_hash = (docs.select(F.explode(F.array_distinct(
+        text._hashed_wordgrams(F.col("text"), text.ALIGN_NGRAM))).alias("g"))
+        .select("g").distinct().count())
+    assert n_str == n_hash, (
+        f"corpus-level 8-gram hash collision: {n_str} string grams vs "
+        f"{n_hash} hashed keys")
+
+
 def test_decontam_hashed_twin_equals_registered_form(spark, sf_dir):
     """r19 swap insurance, banked in r17: the chained-token-hash
     decontam twin must be row-identical to q_text_decontam on the
