@@ -339,8 +339,16 @@ def _wordgrams(col, n: int):
     (one array copy + concat per gram), while the zip chain is n-1
     vectorized whole-array passes.  Byte-identical output (concat_ws
     associates), measured 3.3x faster for 2-grams and 1.9x for 5-grams
-    at sf0.1 -- this expression sits under q_text_bpe_pairs,
-    q_text_repetition, and both sides of q_text_decontam."""
+    at sf0.1.
+
+    Registered consumers after the r17 hashed-key swaps: gram TEXT
+    users only -- q_text_bpe_pairs and both sides of q_text_decontam
+    (the latter until its banked r19 chained-hash swap executes).
+    Key-only consumers (q_text_repetition, q_text_novelty,
+    q_align_crosslingual) moved to :func:`_hashed_wordgrams`; their
+    string forms survive here only via the retained equality
+    references (repetition_stringgram, _novelty_fps_stringgram,
+    align_stringgram) and the swap tests."""
     toks = F.split(col, " ")
     m = F.size(toks) - n + 1
     g = F.slice(toks, 1, m)
@@ -555,7 +563,15 @@ def decontam_hashed_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint-based with the documented ~1e-8 collision caveat, so
     which hash produces the fingerprint is invisible to the output
     absent collisions (zero on the corpora -- the banked insurance
-    test asserts distinct-(doc, gram) cardinality equality directly).
+    test asserts CORPUS-WIDE distinct-gram cardinality equality, the
+    scope that matters here since train and bench grams join ACROSS
+    docs).  The body deliberately mirrors q_text_decontam line for
+    line instead of factoring a shared function: the parent is
+    OUT-OF-WINDOW in r17, so its body stays untouched this round;
+    factor the two over the fps expression AT THE r19 SWAP (the
+    _align_from_gram_expr pattern), when the parent is legally
+    changeable -- until then the twin-equality test pins the copies
+    together on every run.
     Interleaved A/B on replicas (r17, warm artifacts, min-of-2):
     1.93 vs 1.42 s at 1x, 8.89 vs 6.02 at 10x, 42.89 vs 23.49 at 50x
     (1.83x and DIVERGING -- string build cost grows with the gram

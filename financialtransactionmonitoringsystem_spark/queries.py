@@ -118,11 +118,15 @@ LAST_ATTESTED: dict[str, int] = {
 
 # Implementations materially changed this round -> re-attest regardless of
 # history.  Round-17 touches: NONE -- the round-17 window is exactly the
-# 50-key r14-attested cohort (r11 cohort) re-attesting on schedule; both
-# round-17 swaps (q_fn_try -> fn_try_guarded, q_text_repetition ->
-# repetition_hashed_twin) are r14-attested keys, i.e. in-window free swaps
-# needing no TOUCHED slot; out-of-window changes are deferred to their
-# cohort's window (r15/r12 cohort -> r18, r16/r13 cohort -> r19).
+# 50-key r14-attested cohort (r11 cohort) re-attesting on schedule; all
+# FOUR round-17 swaps are r14-attested keys, i.e. in-window free swaps
+# needing no TOUCHED slot: q_fn_try (regexp-guarded try_cast, old form
+# scalar.fn_try_unguarded), q_text_repetition (hashed-gram keys, old form
+# text.repetition_stringgram), q_text_novelty (chained-hash fps, old form
+# text._novelty_fps_stringgram), q_align_crosslingual (chained-hash gram
+# keys, old form text.align_stringgram).  Out-of-window changes are
+# deferred to their cohort's window (r15/r12 cohort -> r18, r16/r13
+# cohort -> r19 incl. the banked text.decontam_hashed_twin).
 TOUCHED: tuple[str, ...] = ()
 
 # Among equally-stale keys, spread families across the window edge instead of

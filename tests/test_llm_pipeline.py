@@ -2161,13 +2161,24 @@ def test_novelty_hashed_fps_equals_stringgram_reference(spark, sf_dir):
     finally:
         text._novelty_fps = orig
 
+    # CORPUS-WIDE detector (review r17): novelty's collision exposure
+    # is cross-doc (a candidate gram aliasing a distinct reference
+    # gram fabricates n_seen), so the distinct-fingerprint count is
+    # compared over the whole corpus, not per doc -- ANY two distinct
+    # grams aliasing anywhere shrinks the hashed count.
+    # ... and against TRUE gram strings, so collisions in EITHER hash
+    # definition (old string-hash included) are caught, not just
+    # disagreements between the two.
     docs = load_table(spark, sf_dir, "documents")
-    n_hash = (docs.select("doc_id", F.explode(text._novelty_fps())
-                          .alias("g")).distinct().count())
-    n_str = (docs.select("doc_id", F.explode(text._novelty_fps_stringgram())
-                         .alias("g")).distinct().count())
-    assert n_str == n_hash, (
-        f"within-doc chained-hash collision on this corpus: "
+    n_true = (docs.select(F.explode(F.array_distinct(
+        text._wordgrams(F.col("text"), text.DECONTAM_NGRAM))).alias("g"))
+        .select("g").distinct().count())
+    n_hash = (docs.select(F.explode(text._novelty_fps()).alias("g"))
+              .select("g").distinct().count())
+    n_str = (docs.select(F.explode(text._novelty_fps_stringgram())
+                         .alias("g")).select("g").distinct().count())
+    assert n_true == n_hash == n_str and n_true > 0, (
+        f"corpus-level collision: {n_true} true grams vs "
         f"{n_str} string-hashed vs {n_hash} chain-hashed fingerprints")
 
 
@@ -2188,6 +2199,7 @@ def test_align_hashed_equals_stringgram_reference(spark, sf_dir):
     ref = text.align_stringgram(spark, sf_dir)
     assert reg.exceptAll(ref).count() == 0
     assert ref.exceptAll(reg).count() == 0
+    assert reg.count() > 0  # 20 pairs at sf0.001 -- never vacuous
 
     docs = load_table(spark, sf_dir, "documents")
     n_str = (docs.select(F.explode(F.array_distinct(
@@ -2196,7 +2208,7 @@ def test_align_hashed_equals_stringgram_reference(spark, sf_dir):
     n_hash = (docs.select(F.explode(F.array_distinct(
         text._hashed_wordgrams(F.col("text"), text.ALIGN_NGRAM))).alias("g"))
         .select("g").distinct().count())
-    assert n_str == n_hash, (
+    assert n_str == n_hash and n_str > 0, (
         f"corpus-level 8-gram hash collision: {n_str} string grams vs "
         f"{n_hash} hashed keys")
 
@@ -2221,17 +2233,24 @@ def test_decontam_hashed_twin_equals_registered_form(spark, sf_dir):
     assert twin.exceptAll(reg).count() == 0
     assert reg.count() > 0
 
+    # CORPUS-WIDE detector (review r17): decontam joins grams ACROSS
+    # docs (train vs bench), so a collision between a train gram and a
+    # distinct bench gram fabricates a hit -- compare distinct gram
+    # counts over the whole corpus, where ANY aliasing shrinks the
+    # hashed side.
     docs = load_table(spark, sf_dir, "documents")
+    n_true = (docs.select(F.explode(
+        text._wordgrams(F.col("text"), text.DECONTAM_NGRAM)).alias("g"))
+        .select("g").distinct().count())
     str_fps = F.transform(text._wordgrams(F.col("text"),
                                           text.DECONTAM_NGRAM),
                           lambda g: F.xxhash64(g))
-    n_str = (docs.select("doc_id", F.explode(str_fps).alias("g"))
-             .distinct().count())
+    n_str = (docs.select(F.explode(str_fps).alias("g"))
+             .select("g").distinct().count())
     n_hash = (docs.select(
-        "doc_id",
         F.explode(text._hashed_wordgrams(F.col("text"),
                                          text.DECONTAM_NGRAM)).alias("g"))
-        .distinct().count())
-    assert n_str == n_hash, (
-        f"within-doc 5-gram hash collision on this corpus: "
+        .select("g").distinct().count())
+    assert n_true == n_str == n_hash and n_true > 0, (
+        f"corpus-level 5-gram collision: {n_true} true grams vs "
         f"{n_str} string-hashed vs {n_hash} chain-hashed")
