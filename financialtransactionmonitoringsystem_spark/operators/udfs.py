@@ -5,8 +5,12 @@ The reference has no extension mechanism at all (204 LoC of hard-coded
 handlers); SURVEY.md §2.2 commits this engine to the standard PySpark
 surface instead.  ``mapInPandas`` (multimodal.py) and
 ``applyInPandasWithState`` (streaming/stateful.py) are attested
-elsewhere; these two operators attest the remaining members with
-registry keys + DuckDB oracles.
+elsewhere; ``q_udaf_centsum`` attests the grouped-agg pandas UDF with
+a registry key + oracle, and the grouped-map surface is attested by
+:func:`udtf_gaps_pandas` (the r17 pre-swap q_udtf_gaps, test-pinned
+row-identical to the registered JVM form) plus the registered
+``q_dedup_embed`` (operators/dedup.py), whose chunked-BLAS grouped
+map is a computation a built-in genuinely cannot express.
 
 Both deliberately compute in EXACT INTEGER units (micro-cents /
 microseconds) inside the Python worker: integer addition is associative,
@@ -32,6 +36,7 @@ groups.
 # stringifies the pandas_udf type hints and Spark's eval-type inference
 # (pyspark/sql/pandas/typehints.py) rejects string annotations.
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..tables import load_table
@@ -69,16 +74,53 @@ def q_udaf_centsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_udtf_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user inter-event-gap statistics via grouped-map
-    ``applyInPandas`` (the UDTF-ish surface): each user's ordered event
-    timeline ships to one pandas worker, which emits one row of gap
-    stats.  Gaps are exact integer microseconds; the p50 of an
-    even-count gap list is the average of the two middle integers --
-    exactly representable, so the oracle hash-matches.
+    """Per-user inter-event-gap statistics: lag window + one-pass
+    aggregate, all JVM codegen.
 
-    Single-event users emit NULL gap stats (no pairs), mirroring the
-    SQL oracle's left join.
+    r17 optimization-round swap (guide §4: eliminate the Python
+    boundary where a built-in exists): the previous registered form
+    (:func:`udtf_gaps_pandas`, retained as the live equality
+    reference) shipped the ENTIRE events table through Arrow to a
+    grouped-map pandas worker -- a FlatMapGroupsInPandas over
+    corpus-sized input for what is a lag + max/percentile.  This form
+    computes the same gaps with ``F.lag`` over (user_id | ts_us,
+    event_id) and aggregates with built-in ``max`` +
+    exact ``percentile(gap, 0.5)``; the window's hash exchange on
+    user_id is reused by the groupBy (one Exchange total, same as
+    before -- the win is removing the Arrow round-trip and Python
+    eval, not a shuffle).  A/B at sf0.1 (interleaved min-of-2, warm):
+    3.73 s -> 0.44 s (8.5x); row-identical to the pandas reference at
+    sf0.001/0.01/0.1 (exceptAll both ways = 0).
+
+    Exactness: gaps are integer microseconds; ``percentile`` at 0.5
+    interpolates the two middle integers as doubles, which is exact
+    for any |gap| < 2^52 (corpus gaps are < 2^40), so the result is
+    bit-identical to numpy's median and to the DuckDB oracle's
+    ``median`` whatever the op order.  Single-event users aggregate
+    all-NULL gaps to NULL stats, mirroring the oracle's left join.
     """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.select("user_id",
+                  (F.col("ts_us") - F.lag("ts_us").over(w)).alias("gap"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.max("gap").alias("max_gap_us"),
+             F.percentile("gap", F.lit(0.5)).alias("p50_gap_us"))
+    )
+
+
+def udtf_gaps_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r17 q_udtf_gaps, retained module-level as the live equality
+    reference for the JVM swap (the fn_try_unguarded /
+    repetition_stringgram precedent) AND as the grouped-map
+    ``applyInPandas`` surface attestation this module documents: each
+    user's ordered timeline ships to one pandas worker, which emits
+    one row of exact-integer gap stats.  Correct and deterministic;
+    the registered form exists because corpus-sized input should not
+    cross the Arrow boundary for a lag + aggregate (guide §4)."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
 

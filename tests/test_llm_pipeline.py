@@ -2254,3 +2254,24 @@ def test_decontam_hashed_twin_equals_registered_form(spark, sf_dir):
     assert n_true == n_str == n_hash and n_true > 0, (
         f"corpus-level 5-gram collision: {n_true} true grams vs "
         f"{n_str} string-hashed vs {n_hash} chain-hashed")
+
+
+def test_udtf_gaps_jvm_equals_pandas_reference(spark, sf_dir):
+    """r17 optimization-round swap: q_udtf_gaps is now the JVM
+    lag-window + max/percentile aggregate; it must stay row-identical
+    to the retained grouped-map pandas reference (which remains the
+    module's applyInPandas surface attestation).  Exactness rests on
+    integer-microsecond gaps being < 2^52 so the even-count median
+    interpolation is exact in double whatever the op order -- a
+    corpus whose gaps ever crossed that bound would diverge here
+    loudly."""
+    from financialtransactionmonitoringsystem_spark.operators import udfs
+
+    reg = udfs.q_udtf_gaps(spark, sf_dir)
+    ref = udfs.udtf_gaps_pandas(spark, sf_dir)
+    assert reg.exceptAll(ref).count() == 0
+    assert ref.exceptAll(reg).count() == 0
+    assert reg.count() > 0
+    # schema contract: the oracle compares bigint/bigint/bigint/double
+    assert [f.dataType.simpleString() for f in reg.schema.fields] == \
+        ["bigint", "bigint", "bigint", "double"]
