@@ -124,9 +124,16 @@ LAST_ATTESTED: dict[str, int] = {
 # scalar.fn_try_unguarded), q_text_repetition (hashed-gram keys, old form
 # text.repetition_stringgram), q_text_novelty (chained-hash fps, old form
 # text._novelty_fps_stringgram), q_align_crosslingual (chained-hash gram
-# keys, old form text.align_stringgram).  Out-of-window changes are
-# deferred to their cohort's window (r15/r12 cohort -> r18, r16/r13
-# cohort -> r19 incl. the banked text.decontam_hashed_twin).
+# keys, old form text.align_stringgram).
+# Round-17 OPTIMIZATION-round swaps (the driver re-oracles the FULL
+# registry after an optimization round, so every key is attested this
+# round regardless of window position; each swap is additionally
+# pinned row-identical to its retained reference by a test and was
+# oracle-MATCHed at sf0.01 + sf0.1 at swap time): q_udtf_gaps (JVM
+# lag-window aggregate, old form udfs.udtf_gaps_pandas),
+# q_text_decontam (chained-hash fps via text._decontam_fps, old form
+# text.decontam_stringgram -- the banked r19 swap executed early under
+# the judge's composed-child contract, child verified same-session).
 TOUCHED: tuple[str, ...] = ()
 
 # Among equally-stale keys, spread families across the window edge instead of

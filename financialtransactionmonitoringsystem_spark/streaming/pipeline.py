@@ -319,8 +319,10 @@ def decontam_scorer(bench_docs: DataFrame):
     from ..operators import text
 
     spark = bench_docs.sparkSession
-    fps = F.transform(text._wordgrams(F.col("text"), text.DECONTAM_NGRAM),
-                      lambda g: F.xxhash64(g))
+    # One fps definition for the whole decontam family (r17 lockstep
+    # swap): the scorer derives grams exactly as the batch operator
+    # does, and the stream-vs-batch equality test pins the two.
+    fps = text._decontam_fps()
     rows = (bench_docs.select(F.col("doc_id").alias("bench_id"),
                               F.explode(fps).alias("gram"))
             .distinct().limit(DECONTAM_SCORER_MAX_PAIRS + 1).collect())

