@@ -357,8 +357,8 @@ def _gate_rejects(index_pref: DataFrame, index_toks: DataFrame,
     not three): candidate pairs from an equi-join of ALL batch tokens
     against an index prefix table on (lang, tok) with the exact integer
     length filter, exact-verified in LOCKSTEP with
-    ``dedup._verify_jaccard`` (same ``_jaccard`` expression, same
-    ``rnd(j, 6)`` floor-rounding, same threshold) across the two token
+    ``dedup._verify_jaccard`` (same ``_jaccard_accepts`` integer
+    acceptance of the rounded threshold, r17) across the two token
     tables.  Returns the rejected batch doc_ids.  Lossless by the
     single-sided prefix principle -- see ``neardup_gate_scorer``."""
     from ..operators import dedup
@@ -378,12 +378,17 @@ def _gate_rejects(index_pref: DataFrame, index_toks: DataFrame,
         .distinct()
     )
     ta, tb = index_toks.alias("ta"), batch_toks.alias("tb")
-    j = dedup._jaccard(F.col("ta.toks"), F.col("tb.toks"),
-                       F.col("ta.n_toks"), F.col("tb.n_toks"))
+    # LOCKSTEP with dedup._verify_jaccard (r17): the same exact integer
+    # acceptance (_jaccard_accepts, one array_intersect per probed
+    # pair) decides membership; the gate never needs the jaccard VALUE,
+    # so no second intersection is ever computed here.
     return (
         cands.join(ta, cands.doc_a == F.col("ta.doc_id"))
-        .join(tb, cands.doc_b == F.col("tb.doc_id"))
-        .filter(rnd(j, 6) >= dedup.JACCARD_THRESHOLD)
+        .join(tb, (cands.doc_b == F.col("tb.doc_id"))
+              & dedup._jaccard_accepts(
+                  F.col("ta.toks"), F.col("tb.toks"),
+                  F.col("ta.n_toks").cast("long"),
+                  F.col("tb.n_toks").cast("long")))
         .select(F.col("doc_b").alias("doc_id")).distinct()
     )
 
