@@ -554,9 +554,22 @@ def _prefix_probe(index: DataFrame, probe: DataFrame,
     to run on every one of the ~2x-more matched rows.  Opposite
     economics from the band join, where duplication spans bands that
     hash to different partitions and the residual is three fixed long
-    comparisons.  Full measurements in PLANS.md (round 15)."""
+    comparisons.  Full measurements in PLANS.md (round 15).
+
+    r17 optimization round: the index side rides
+    :func:`_pinned_repartition` on the join keys, the exact guard the
+    band/chunk joins have carried since r15 and this join was missing.
+    Without it the pair ENUMERATION runs at the parallelism of the
+    prefix-artifact FILE SCAN -- a few-hundred-KB parquet = ONE task
+    emitting all 3.2M matched rows at sf0.1 (measured: the join-only
+    stage is 1.45 s single-task vs 0.38 s pinned; q_dedup_prefix
+    end-to-end 3.22 -> 1.94 s, q_dedup_incremental 1.05 -> ~0.6-0.9 s).
+    At cluster scale an SMJ on
+    (tok, lang) requires this same hash partitioning, so the exchange
+    is absorbed into ENSURE_REQUIREMENTS, exactly as documented on
+    :func:`_pinned_repartition`."""
     p, q = PRUNE_NUM, PRUNE_DEN
-    a = index.alias("a")
+    a = _pinned_repartition(index, "tok", "lang").alias("a")
     b = probe.alias("b")
     # widened to long: with the million-scale PRUNE rationals an int32
     # product q * n_toks wraps for any doc past ~1.3k tokens
