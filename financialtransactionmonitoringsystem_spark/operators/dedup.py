@@ -557,19 +557,37 @@ def _prefix_probe(index: DataFrame, probe: DataFrame,
     comparisons.  Full measurements in PLANS.md (round 15).
 
     r17 optimization round: the index side rides
-    :func:`_pinned_repartition` on the join keys, the exact guard the
-    band/chunk joins have carried since r15 and this join was missing.
-    Without it the pair ENUMERATION runs at the parallelism of the
-    prefix-artifact FILE SCAN -- a few-hundred-KB parquet = ONE task
-    emitting all 3.2M matched rows at sf0.1 (measured: the join-only
-    stage is 1.45 s single-task vs 0.38 s pinned; q_dedup_prefix
-    end-to-end 3.22 -> 1.94 s, q_dedup_incremental 1.05 -> ~0.6-0.9 s).
-    At cluster scale an SMJ on
-    (tok, lang) requires this same hash partitioning, so the exchange
-    is absorbed into ENSURE_REQUIREMENTS, exactly as documented on
-    :func:`_pinned_repartition`."""
+    :func:`_pinned_repartition` ON ``doc_id``, NOT on the join keys.
+    Without any pin the pair ENUMERATION runs at the parallelism of
+    the prefix-artifact FILE SCAN -- a few-hundred-KB parquet = ONE
+    task emitting all 3.2M matched rows at sf0.1 (measured: the
+    join-only stage is 1.45 s single-task vs 0.38 s pinned;
+    q_dedup_prefix end-to-end 3.22 -> 1.94 s).  The pin key matters,
+    and differs from the band/chunk joins' join-key pin for a measured
+    reason: prefix-token posting lists are Zipfian, so hashing on
+    (tok, lang) lands every hot token's whole posting in ONE partition
+    -- the enumeration work per streamed row is |posting(tok)|, so
+    join-key partitioning concentrates exactly the heaviest rows
+    (replica sweep: 14.62 s at 10x / 64.87 s at 50x vs the unpinned
+    5.14 / 25.78 record) -- AND a user repartition is ineligible for
+    AQE skew-join splitting, which only rewrites ENSURE_REQUIREMENTS
+    exchanges.  Hashing on ``doc_id`` spreads each posting across all
+    partitions (each doc contributes a few prefix rows), keeps the
+    local BHJ enumeration balanced, and at cluster scale leaves the
+    SMJ's own (tok, lang) exchange to ENSURE_REQUIREMENTS where AQE's
+    skew splitter can still operate on it.  The band/chunk joins keep
+    their join-key pin because their keys are uniform HASHES (no
+    Zipfian postings to concentrate).
+
+    The pin is GATED on the index scan actually being narrower than
+    the target width: once the artifact spans >= width input splits
+    (the 50x replicas and any production corpus), the scan itself
+    provides the parallelism and the extra exchange is pure cost --
+    the controlled 4-variant A/B (PLANS r17-opt record) measured
+    pin-wins at 1x/10x (1.59/3.39 vs 3.64/3.93 unpinned) and pin-loses
+    at 50x (20.9 vs 17.8), exactly the crossover this gate encodes."""
     p, q = PRUNE_NUM, PRUNE_DEN
-    a = _pinned_repartition(index, "tok", "lang").alias("a")
+    a = _pinned_repartition_if_narrow(index, "doc_id").alias("a")
     b = probe.alias("b")
     # widened to long: with the million-scale PRUNE rationals an int32
     # product q * n_toks wraps for any doc past ~1.3k tokens
@@ -858,6 +876,27 @@ def _pinned_repartition(df: DataFrame, *keys: str) -> DataFrame:
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except (TypeError, ValueError):
         n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(k) for k in keys])
+
+
+def _pinned_repartition_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
+    """:func:`_pinned_repartition`, skipped when ``df``'s physical scan
+    already spans at least the target width (r17 optimization round).
+
+    The pin exists to rescue a fan-out join from file-scan-width
+    parallelism (one task on a few-hundred-KB artifact); once the
+    input genuinely has >= width splits the scan provides the
+    parallelism and the exchange is pure cost.  The partition count is
+    read from the frame's physical plan (no job runs); the decision is
+    deterministic for a given file set + split config, so retried
+    stages replan identically."""
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n, *[F.col(k) for k in keys])
 
 
