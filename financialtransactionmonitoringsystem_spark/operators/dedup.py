@@ -575,9 +575,13 @@ def _prefix_probe(index: DataFrame, probe: DataFrame,
     partitions (each doc contributes a few prefix rows), keeps the
     local BHJ enumeration balanced, and at cluster scale leaves the
     SMJ's own (tok, lang) exchange to ENSURE_REQUIREMENTS where AQE's
-    skew splitter can still operate on it.  The band/chunk joins keep
-    their join-key pin because their keys are uniform HASHES (no
-    Zipfian postings to concentrate).
+    skew splitter can still operate on it.  The band join adopted the
+    same doc_id key later in the round once its buckets were measured
+    to be duplicate-CLUSTER-sized rather than uniform (see
+    :func:`_band_join`); the chunk join keeps its join-key pin because
+    the same A/B measured no difference there (smaller buckets, and
+    its per-matched-row residual is three fixed bit ops, not an
+    array intersection).
 
     The pin is GATED on the index scan actually being narrower than
     the target width: once the artifact spans >= width input splits
@@ -920,7 +924,26 @@ def _band_join(exploded: DataFrame) -> DataFrame:
     reference) with zero post-join exchange on the PAIR table.
 
     The probe side rides :func:`_pinned_repartition` (rationale and
-    both measured hazards documented there); the residual width comes
+    both measured hazards documented there) ON ``doc_id``, NOT on the
+    join keys -- the same key choice as :func:`_prefix_probe`, reached
+    by the same measurement in the r17 optimization round.  Band
+    buckets are NOT uniform just because band hashes are: a
+    duplicate CLUSTER of d near-identical docs shares one band hash,
+    so the hottest bucket is cluster-sized (sf0.1: 1082 docs in one
+    (band, bh, lang) bucket; ~29% of all 1.25M candidate pairs landed
+    in ONE task), and because the downstream verify joins are
+    broadcast probes PIPELINED into this stage, that one task also ran
+    ~29% of the array_intersect verify work.  Hashing the probe side
+    on ``doc_id`` spreads every bucket's rows (and therefore its pair
+    fan-out AND its share of the fused verify) uniformly: full
+    q_dedup_minhash 2.18 -> 0.69 s at sf0.1 (interleaved A/B min-of-3,
+    exceptAll both ways = 0).  At cluster scale the SMJ's own
+    (band, bh, lang) exchange comes from ENSURE_REQUIREMENTS, where
+    AQE's skew splitter can still operate on it -- a user repartition
+    on the join keys is exactly the exchange that splitter cannot
+    rewrite (the :func:`_prefix_probe` argument, verbatim).
+
+    The residual width comes
     from the {n_bands} column metadata :func:`_band_table` stamps on
     ``band``, so a non-default-width table cannot silently run under
     the default residual (review-confirmed bug: ``lsh_candidates(sig,
@@ -934,7 +957,7 @@ def _band_join(exploded: DataFrame) -> DataFrame:
             "build_band_table re-creates it (the artifact fingerprint's "
             "layout param forces this).")
     n_bands = int(meta["n_bands"])
-    a = _pinned_repartition(exploded, "band", "bh", "lang").alias("a")
+    a = _pinned_repartition(exploded, "doc_id").alias("a")
     b = exploded.alias("b")
     # Length filter as a join residual (same exact bound as the prefix
     # join, integer rational): J >= t forces t*|B| <= |A| <= |B|/t, and
@@ -1163,7 +1186,12 @@ def _chunk_join(ex: DataFrame, max_hamming: int = 3) -> DataFrame:
     pair, and exactly one chunk is the pair's minimum.
 
     The probe side rides :func:`_pinned_repartition` (rationale and
-    both measured hazards documented there)."""
+    both measured hazards documented there) on the JOIN KEYS, unlike
+    the band join's doc_id pin: the r17 doc_id A/B measured no
+    difference here (0.356 vs 0.349 s at sf0.1 -- chunk buckets top
+    out ~2x smaller than band buckets and the per-matched-row work is
+    three fixed bit ops, not an array intersection), and the join-key
+    pin is the one the SMJ absorbs at cluster scale."""
     meta = ex.schema["chunk"].metadata
     if "bits" not in meta or "n_chunks" not in meta:
         raise ValueError(
