@@ -869,41 +869,22 @@ ALIGN_NGRAM = 8
 ALIGN_DF_MIN, ALIGN_DF_MAX = 2, 6
 ALIGN_MIN_SHARED = 2
 
-# Gram-table materialization policy (VERDICT r8 design note: the gram
-# checkpoint is CORPUS-sized -- larger than the corpus, ~one row per
-# distinct 8-gram occurrence -- so at 100 TB the materialization is
-# itself a major IO bill).  Modes:
-#
-# * "checkpoint" (default): materialize the gram table once and serve
-#   both consumers (df aggregate + band join) from it.  One corpus
-#   explode total; costs one gram-table write + two reads against the
-#   scoped-build store.  Wins whenever that store is executor memory /
-#   local disk (local mode, memory-rich clusters) -- the round-8
-#   measured -35% at sf0.1 and -4.5x at 10x.
-# * "rederive": never materialize the corpus-sized table.  The df
-#   aggregate consumes the explode lazily (partial aggregation fuses
-#   into the scan stage); only the TINY band table (rare grams only,
-#   O(|band|)) is checkpointed, and the posting build re-derives the
-#   explode fused with the band join.  Two corpus explodes total, zero
-#   corpus-sized writes.  The 100 TB setting whenever the scoped-build
-#   store is a remote object store (scopedBuild.mode=reliable): one
-#   extra columnar scan + codegen explode is CPU-bound and
-#   embarrassingly parallel, while writing+reading a >100 TB temp
-#   table through the store is bandwidth-bound and billed.
-#
-# Policy: checkpoint iff the gram table fits the cluster's fast
-# materialization tier (executor memory x spark.memory.storageFraction;
-# estimate |corpus tokens| x ~1.1 rows x ~90 B/row).  Local bench scale
-# fits trivially -> default "checkpoint"; a 100 TB run with reliable
-# checkpointing should set "rederive".  Both modes are output-identical
-# (tests pin this).  Measured (round 9, interleaved 3-run mins on a
-# quiet host): checkpoint wins at sf0.1 (3.3 s vs 4.9 s, the r8 -35%
-# reproduced) but is already at PARITY on the 10x prefix-salted
-# replica corpus (6.0 s vs 5.6 s) -- the write+read of the 10x gram
-# table cancels the saved explode even on local NVMe, so the crossover
-# sits near the fast-tier capacity exactly as the rule predicts, and
-# an object-store round-trip at 100 TB only moves it further toward
-# "rederive".
+# Gram-table materialization policy -- OBSOLETE as of the r17
+# optimization round, retained for conf compatibility.  The policy
+# existed because the gram table had TWO consumers (the df aggregate
+# and the band join), so one had to choose between materializing the
+# corpus-sized table ("checkpoint", the r8 -35% at sf0.1) and running
+# the corpus explode twice ("rederive", the 100 TB object-store
+# setting; full decision rule and round-8/9 measurements in the git
+# history of this block).  The r17 form computes the df band as a
+# WINDOW COUNT over the single exploded gram stream -- one consumer,
+# one corpus-gram exchange, nothing corpus-sized ever materialized --
+# so both modes now produce the identical plan and the conf is
+# accepted and ignored.  At cluster scale the window's
+# hashpartitioning(gram) exchange is the same exchange the old
+# rederive-mode df aggregate + SMJ band join needed anyway; the
+# window's per-partition sort replaces the SMJ's, and the second
+# corpus explode and the df join disappear outright.
 ALIGN_GRAM_MODE_CONF = "spark.fintxmon.align.gramMaterialize"
 
 
@@ -922,18 +903,14 @@ def q_align_crosslingual(spark: SparkSession, sf_dir: str) -> DataFrame:
     are capped at ALIGN_DF_MAX regardless of corpus size, so pair
     volume is O(|rare grams| x 15), not O(n^2).
 
-    Materialization (both measured, round 8): the gram table feeds the
-    df aggregate AND the band join, so under the default "checkpoint"
-    policy it is checkpointed FIRST -- otherwise the build runs the
-    corpus explode twice (Catalyst re-evaluates shared subtrees per
-    consumer) and an interleaved A/B at sf0.1 reads 3.8-4.1 s vs
-    2.5-2.6 s with the checkpoint (-35%, the linededup lesson again).
-    The banded posting table is then checkpointed too (the tfidf
-    pattern) so the self-join reads a band-pruned artifact on both
-    sides.  The gram checkpoint is corpus-sized (unlike the banded
-    one), so the policy is configurable: see ``ALIGN_GRAM_MODE_CONF``
-    above for the "rederive" mode a 100 TB object-store run should
-    set, and the decision rule between them.
+    Materialization (r17 optimization round): the df band is a WINDOW
+    COUNT over the single exploded gram stream, so the gram table has
+    ONE consumer and nothing corpus-sized is ever materialized -- only
+    the TINY banded posting table (<= ALIGN_DF_MAX rows per rare gram)
+    is checkpointed for the self-join's two sides.  This obsoleted the
+    round-8 checkpoint/rederive policy (``ALIGN_GRAM_MODE_CONF``, kept
+    for conf compatibility); measured 1.87 -> 1.07 s at sf0.1 vs the
+    checkpointed df-join form, row-identical.
 
     r17 in-window swap: grams travel as CHAINED-TOKEN-HASH longs
     (:func:`_hashed_wordgrams` -- no 8-gram string is ever built;
@@ -971,22 +948,26 @@ def _align_from_gram_expr(spark: SparkSession, docs: DataFrame,
                           gram_expr) -> DataFrame:
     """Shared body of the alignment query over any per-doc gram-array
     expression (string grams or hashed keys): distinct grams per doc,
-    df aggregate, [ALIGN_DF_MIN, ALIGN_DF_MAX] band, bounded self-join,
-    (doc_a, doc_b) rollup -- with the round-8 materialization policy
-    (checkpoint vs rederive) applied identically."""
-    from .dedup import _scoped_build
+    df band via a WINDOW COUNT over the exploded gram stream
+    (r17 optimization round -- see the ALIGN_GRAM_MODE_CONF note for
+    why this obsoleted the checkpoint/rederive policy), bounded
+    self-join, (doc_a, doc_b) rollup.
 
-    g_raw = docs.select(
+    The docs scan rides :func:`_pinned_repartition_if_narrow` keyed by
+    doc_id: the sf-scale documents parquet is a single split (one row
+    group), so without the pin the gram hashing of the whole corpus
+    runs as ONE task (measured 0.65 s single-task at sf0.1); at real
+    input widths the guard sees >= width splits and skips the
+    exchange."""
+    from .dedup import _pinned_repartition_if_narrow, _scoped_build
+
+    g = _pinned_repartition_if_narrow(docs, "doc_id").select(
         "doc_id", "lang",
         F.explode(F.array_distinct(gram_expr)).alias("gram"))
-    rederive = spark.conf.get(ALIGN_GRAM_MODE_CONF, "checkpoint") == "rederive"
-    g = g_raw if rederive else _scoped_build(g_raw)
-    band = (g.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df").between(ALIGN_DF_MIN, ALIGN_DF_MAX))
-            .select("gram"))
-    if rederive:
-        band = _scoped_build(band)
-    post = _scoped_build(g.join(band, "gram"))
+    post = _scoped_build(
+        g.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("gram")))
+        .filter(F.col("df").between(ALIGN_DF_MIN, ALIGN_DF_MAX))
+        .drop("df"))
     a, b = post.alias("a"), post.alias("b")
     return (
         a.join(b, (F.col("a.gram") == F.col("b.gram"))
