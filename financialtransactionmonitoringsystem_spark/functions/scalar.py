@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..tables import load_table, register_views
+from ..tables import load_table, register_views, scan_wide
 from ..util import rnd, sql_round as R
 
 
@@ -45,7 +45,7 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ISO-8601 event-time derivations (SURVEY §1.2 temporal mapping)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = scan_wide(load_table(spark, sf_dir, "events"), "event_id")
     return ev.select(
         "event_id", "ts",
         F.year("ts").alias("y"),
@@ -60,6 +60,10 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r17 measured NO-GUARD verdict: sqrt/pow/floor per row are too
+    # cheap for the scan_wide exchange of 30M lineitem rows to pay for
+    # itself (interleaved A/B: 0.26 vs 0.53 s at 1x, 0.83 vs 2.66 at
+    # 10x, ~tied at 50x) -- the q_fn_try/q_fn_decimal verdict class.
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey", "l_linenumber",
@@ -113,8 +117,13 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits single-key props only, so oracle parity is unaffected --
     but if a future corpus ever hash-fails on this key, check props
     for duplicate keys FIRST.  On duplicate-free JSON the forms are
-    row-identical (equality-tested at all three SFs)."""
-    return json_props_extract(load_table(spark, sf_dir, "events"))
+    row-identical (equality-tested at all three SFs).
+
+    r17 optimization round: the events scan rides
+    :func:`tables.scan_wide` so the per-row Jackson parse does not run
+    at one-row-group scan width (no-op at real input widths)."""
+    return json_props_extract(
+        scan_wide(load_table(spark, sf_dir, "events"), "event_id"))
 
 
 def fn_json_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,13 +194,98 @@ def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The integer-cents ingress expressions for q_fn_decimal -- ONE copy
+# shared with the swap-insurance test (the TRY_CAST_INT_SHAPE lesson:
+# impl and test must not be able to drift).  The decimal hop makes the
+# double -> cents mapping value-identical to the double -> decimal(18,2)
+# cast the reference form uses (HALF_UP on the shortest decimal
+# representation), which a direct round(x * 100) would NOT be (the
+# pre-round multiply can cross a half-way boundary in double).
+CENTS_PRICE_EXPR = "cast(cast(l_extendedprice as decimal(13,2)) * 100 as bigint)"
+CENTS_DISC_EXPR = "cast(cast(l_discount as decimal(3,2)) * 100 as bigint)"
+
+
 def q_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-money arithmetic on DecimalType(18,2) -- the production
-    variant of the reference's float64 money (``main.go:13``/``main.rs:11``;
-    SURVEY.md §1.2 note).  All sums/products are exact in decimal; the
-    final cast to double only converts the already-exact result, so both
-    engines agree bit-for-bit with no rounding formula at all.
+    """Exact-money arithmetic -- the production variant of the
+    reference's float64 money (``main.go:13``/``main.rs:11``; SURVEY.md
+    §1.2 note).  Every sum/product is exact and the final cast to
+    double only converts the already-exact result, so both engines
+    agree bit-for-bit with no rounding formula at all.
+
+    r17 optimization-round swap (the pre-swap DecimalType(18,2) body
+    is retained as :func:`fn_decimal_decimal_types`, the live equality
+    reference): money enters through the SAME double->decimal cast
+    (HALF_UP on the double's shortest decimal representation), is
+    converted ONCE per row to integer cents, and all per-row
+    arithmetic is 64-bit integer -- Spark's Decimal multiply always
+    routes through java.math.BigDecimal and the (18,2)x(18,2) product
+    is precision 37, off the compact-long representation entirely, so
+    the decimal form paid per-row BigDecimal allocation for what is
+    integer math.  Two-level aggregation (guide-class "partial by
+    (key, partition), merge by key"): long sums per (l_returnflag,
+    spark_partition_id()) -- collapsed map-side to O(groups x
+    partitions) rows -- then an exact DECIMAL(38,0) merge, an exact
+    scale-restoring division (quotient scale 6 > the 2/4 true scales),
+    and one correctly-rounded cast to double.
+
+    Exactness / envelope: cast(x AS DECIMAL(13,2)) has the same VALUE
+    as the (18,2) cast for every |x| < 10^11 (identical rounding;
+    wider headroom differs only in overflow, which ANSI raises loudly
+    rather than diverging); cents and the per-row revenue
+    pc*(100-dc) are exact longs (|pc| <= 10^13, |100-dc| <= 10^3);
+    a PARTIAL sum only spans one scan partition, so the 2^63 window
+    needs ~9.2e18/(P*1e4) rows of price ~P in ONE partition (> 10^8
+    rows at P=10^6 -- far beyond any sane split, and a breach is a
+    loud ANSI error); the cross-partition merge is decimal(38,0),
+    exact to 10^38.  The REJECTED variants, measured (do not
+    re-litigate without new data): narrowed decimal types
+    (decimal(13,2)/(3,2), product fits precision 18) are a NO-OP
+    (20.00 vs 17.22 s at 50x -- Decimal.* is BigDecimal at any
+    precision); single-level long sums are fastest (9.23 at 50x) but
+    their 2^63 window is the whole per-group total (~2.4e10 rows at
+    realistic prices -- INSIDE the 100 TB envelope); summing per-row
+    longs as decimal(18,0) is far worse than the baseline (25.24 at
+    50x -- per-row long->Decimal boxing into a non-compact buffer).
+    Shipped two-level A/B vs the decimal form (interleaved min-of-2,
+    warm): 1.11 vs 0.77 s at 1x (fixed extra-stage cost; key is not
+    in HEADLINE), 4.55 vs 5.28 at 10x, **11.84 vs 17.22 at 50x
+    (1.45x)** -- the q_agg_stats-swap trade: slower at 1x, the
+    scale-correct shape.  Value-identical at sf0.1 and 10x replicas
+    (all six aggregates, bit-for-bit) and oracle MATCH at sf0.01 +
+    sf0.1 at swap time.
     """
+    li = load_table(spark, sf_dir, "lineitem")
+    pc = F.expr(CENTS_PRICE_EXPR)
+    dc = F.expr(CENTS_DISC_EXPR)
+    part = (
+        li.select(F.col("l_returnflag"), pc.alias("pc"), dc.alias("dc"),
+                  F.spark_partition_id().alias("__pid"))
+        .groupBy("l_returnflag", "__pid")
+        .agg(F.sum("pc").alias("spc"),
+             F.sum(F.col("pc") * (F.lit(100) - F.col("dc"))).alias("src"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        part.groupBy("l_returnflag")
+        .agg(F.sum(F.col("spc").cast("decimal(38,0)")).alias("__spc"),
+             F.sum(F.col("src").cast("decimal(38,0)")).alias("__src"),
+             F.sum("n").alias("n"))
+        .select("l_returnflag",
+                (F.col("__spc") / F.lit(100).cast("decimal(3,0)"))
+                .cast("double").alias("sum_price"),
+                (F.col("__src") / F.lit(10000).cast("decimal(5,0)"))
+                .cast("double").alias("sum_revenue"),
+                "n")
+    )
+
+
+def fn_decimal_decimal_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-r17 q_fn_decimal, retained module-level as the live equality
+    reference for the integer-cents swap (the fn_json_multiprobe /
+    fn_try_unguarded precedent): all arithmetic on DecimalType(18,2),
+    exact but per-row BigDecimal.  Any corpus divergence from the
+    registered form means the cents ingress is NOT value-faithful to
+    the double->decimal(18,2) cast and the swap must be reverted."""
     li = load_table(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice").cast("decimal(18,2)")
     disc = F.col("l_discount").cast("decimal(18,2)")
@@ -248,16 +342,24 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
     NOT parse, so the class is exact, not conservative.  Equality is
     pinned row-for-row against the unguarded form on the corpus AND on
     a planted edge-case table (control-char pads, whitespace, signs,
-    overflow, decimals, empty, NULL) by tests/test_llm_pipeline.py."""
-    register_views(spark, sf_dir, ("orders",))
-    return spark.sql(f"""
-        SELECT o_orderkey,
-               try_divide(o_totalprice, o_custkey % 5) AS safe_div,
-               CASE WHEN o_orderpriority RLIKE '{TRY_CAST_INT_SHAPE}'
-                    THEN try_cast(o_orderpriority AS INT) END AS pri_num,
-               try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit
-        FROM orders
-    """)
+    overflow, decimals, empty, NULL) by tests/test_llm_pipeline.py.
+
+    r17 optimization round, measured NO-GUARD verdict: with the rlike
+    guard making NULL the computed fast path, per-row cost is too
+    cheap for the narrow-scan exchange to pay for itself --
+    :func:`tables.scan_wide` was A/B'd at 0.71 vs 0.92 s (10x) and
+    2.31 vs 3.40 s (50x) AGAINST the plain scan and reverted; the
+    ``selectExpr`` form (needed so a guard could apply without
+    mutating the shared ``orders`` view) is kept -- expression-
+    identical to the previous SQL text."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.selectExpr(
+        "o_orderkey",
+        "try_divide(o_totalprice, o_custkey % 5) AS safe_div",
+        f"CASE WHEN o_orderpriority RLIKE '{TRY_CAST_INT_SHAPE}' "
+        "THEN try_cast(o_orderpriority AS INT) END AS pri_num",
+        "try_cast(substring(o_orderpriority, 1, 1) AS INT) AS pri_digit",
+    )
 
 
 def fn_try_unguarded(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, scan_wide
 from ..util import rnd, sql_round as R
 
 
@@ -179,8 +179,12 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1x (per-row map upkeep costs more than a 3-partition sort of small
     data), 0.93x at 10x, 1.63x at 50x and diverging -- the windowed
     form's parallelism ceiling is the structural bug this swap
-    removes."""
-    li = load_table(spark, sf_dir, "lineitem")
+    removes.  The scan rides :func:`tables.scan_wide` (r17
+    optimization round): the partial (value -> count) map upkeep fuses
+    into the scan stage, which is ONE task on the one-row-group
+    testdata file."""
+    li = scan_wide(load_table(spark, sf_dir, "lineitem"),
+                   "l_orderkey", "l_linenumber")
     return li.groupBy("l_returnflag").agg(
         rnd(F.stddev_samp("l_extendedprice")).alias("sd_price"),
         rnd(F.var_samp("l_quantity")).alias("var_qty"),
@@ -329,8 +333,12 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     countDistinct plans through one Expand (rows x |cols|); the 100 TB
     variant swaps in approx_count_distinct / HLL sketches (q_agg_hll) --
     same single-pass shape without the Expand.
+
+    The scan rides :func:`tables.scan_wide` (r17 optimization round):
+    the Expand (rows x |cols|) and the partial distinct aggregate fuse
+    into the scan stage, ONE task on the one-row-group testdata file.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = scan_wide(load_table(spark, sf_dir, "events"), "event_id")
     cells = [
         F.struct(
             F.lit(c).alias("column"),

@@ -890,18 +890,14 @@ def _pinned_repartition_if_narrow(df: DataFrame, *keys: str) -> DataFrame:
     The pin exists to rescue a fan-out join from file-scan-width
     parallelism (one task on a few-hundred-KB artifact); once the
     input genuinely has >= width splits the scan provides the
-    parallelism and the exchange is pure cost.  The partition count is
-    read from the frame's physical plan (no job runs); the decision is
-    deterministic for a given file set + split config, so retried
-    stages replan identically."""
-    spark = df.sparkSession
-    try:
-        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):
-        n = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
-        return df
-    return df.repartition(n, *[F.col(k) for k in keys])
+    parallelism and the exchange is pure cost.  Since the guard turned
+    out to be the general cure for the one-row-group testdata scans
+    (not just artifact scans), the single copy of the logic and the
+    full rationale now live in :func:`tables.scan_wide`; this name is
+    kept for the band/chunk/prefix call sites and their tests."""
+    from ..tables import scan_wide
+
+    return scan_wide(df, *keys)
 
 
 def _band_join(exploded: DataFrame) -> DataFrame:

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..tables import load_table, register_views
+from ..tables import load_table, register_views, scan_wide
 from ..util import rnd, sql_round as R
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -421,9 +421,15 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure filter -- stable under any partitioning, identical on any
     engine, and trivially stratifiable by putting the stratum in the key.
     This is how a training pipeline carves held-out slices at 100 TB: the
-    predicate pushes to the scan and no shuffle happens at all.
+    sample is a pure filter, stable under any partitioning, and at real
+    input widths no shuffle happens at all.  (r17 optimization round:
+    the md5 evaluation fuses into the scan stage, so the scan rides
+    :func:`tables.scan_wide` -- on the one-row-group testdata file the
+    whole corpus hashed in ONE task; the guard no-ops at real widths,
+    keeping the zero-shuffle production plan.)
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = scan_wide(load_table(spark, sf_dir, "lineitem"),
+                   "l_orderkey", "l_linenumber")
     h = F.md5(F.concat_ws("-", F.col("l_orderkey"), F.col("l_linenumber")))
     # Project-then-filter (VERDICT r7 #2b) -- applied, then MEASURED:
     # Catalyst's PushPredicateThroughNonJoin re-substitutes the alias
@@ -431,15 +437,20 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pushes back under it), and the generated code carries two
     # DigestUtils.md5Hex sites in either formulation -- this shape and
     # the old filter-then-project produce the IDENTICAL physical plan.
-    # The true cost is therefore not "twice per surviving row" but
-    # 1 eval/row in the filter + 1 eval per SURVIVING row (12.5%) in
-    # the projection = 1.125 evals/row.  A genuine single-eval needs a
-    # pushdown barrier (a nondeterministic sibling column, an explode
-    # wrapper, or a shuffle), each of which costs more in plan clarity
-    # or runtime than 12.5% of one md5; documented in PLANS.md round 8.
+    # That alias re-substitution is also why the scan_wide guard alone
+    # is not enough here: the pushed-back md5 filter re-fuses into the
+    # one-task scan BELOW the guard's exchange.  The always-true
+    # nondeterministic wrapper (spark_partition_id() >= 0 on every
+    # row) pins the md5 evaluation ABOVE the exchange -- the guide's
+    # "mark it nondeterministic so the optimizer cannot move it" play,
+    # applied to a builtin: value unchanged (equality-tested), md5 now
+    # 1 eval/row at full width instead of 1.125 evals at scan width.
+    # At real input widths the guard no-ops and the plan is the
+    # documented pure filter again (test pins both widths).
+    hb = F.substring(h, 1, 2)
     return (
         li.select("l_orderkey", "l_linenumber", "l_quantity",
-                  F.substring(h, 1, 2).alias("hb"))
+                  F.when(F.spark_partition_id() >= 0, hb).alias("hb"))
         .filter(F.col("hb") < SAMPLE_HEX_CEIL)
     )
 

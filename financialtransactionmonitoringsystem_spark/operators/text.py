@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..tables import load_table
+from ..tables import load_table, scan_wide
 from ..util import rnd, sql_round as R
 
 # The pretraining quality gate, shared with curate.q_pipeline_curate
@@ -37,7 +37,10 @@ def _toks(col: str = "text"):
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 tokens by frequency (tokenize -> explode -> count)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # scan_wide: the split/explode CPU must not run at one-row-group
+    # scan width (no-op at real input widths) -- same for every text
+    # key below whose per-row work is fused into the docs scan.
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select(F.explode(_toks()).alias("tok"))
         .filter(F.length("tok") > 0)
@@ -64,7 +67,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_tokencount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish regex token classes."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         F.size(_toks()).alias("n_tokens"),
@@ -79,7 +82,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword list; classify 'en' above a threshold.  (A real system uses
     char n-gram profiles; the operator shape -- per-doc token-level
     scoring against a broadcast marker set -- is identical.)"""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = _toks()
     sw_hits = F.size(F.filter(toks, lambda x: x.isin(*EN_STOPWORDS)))
     ratio = sw_hits.cast("double") / F.size(toks)
@@ -108,7 +111,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length, type-token ratio, mean token length,
     digit ratio, and a composite keep/drop flag (the pretraining-filter
     shape)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     n_tokens, ttr, keep = _quality_metrics()
     # single-spaced text: total token chars = length - (n_tokens - 1)
     avg_tok_len = (F.length("text") - n_tokens + 1).cast("double") / n_tokens
@@ -127,7 +130,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over the sorted distinct token set
     (an order-insensitive content signature; the planted near-duplicates
     in the corpus collide here)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(_toks())))
     fp = F.md5(canon)
     return docs.select(
@@ -157,7 +160,7 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from .dedup import _corpus_scoped_build
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     # tf feeds BOTH the document-frequency aggregate and the score join;
     # materialize it once so the token explode runs once -- measured 30%
     # off the query at the 50k-doc replica scale.  The tf table is
@@ -221,7 +224,7 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     negligible at test vocabularies, worth knowing at multi-million-
     token ones; review finding against the earlier blanket claim).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     tok = (docs.select("doc_id", F.explode(_toks()).alias("tok"))
            .filter(F.length("tok") > 0))
     doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -316,7 +319,7 @@ def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     the redacted text is fingerprinted so the check stays compact.
     Patterns are deliberately RE2-safe (no backrefs/lookarounds) so Java
     regex and DuckDB RE2 agree."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     redacted = F.regexp_replace(
         F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
         PII_LONGNUM, "<NUM>")
@@ -445,7 +448,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold saves network the operator barely uses.  PLANS round 10
     records the numbers.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     grams = docs.select(
         "doc_id", F.explode(_hashed_wordgrams(F.col("text"), 2)).alias("gram"))
     return _repetition_from_grams(docs, grams)
@@ -459,7 +462,7 @@ def repetition_stringgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     Collision-free by construction, so any corpus divergence from the
     registered form is a within-doc xxhash64 collision -- exactly what
     the insurance test detects via gram-table cardinality equality."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     grams = docs.select(
         "doc_id", F.explode(_wordgrams(F.col("text"), 2)).alias("gram"))
     return _repetition_from_grams(docs, grams)
@@ -539,7 +542,7 @@ def _decontam_from_fps(spark: SparkSession, sf_dir: str,
     and the string-gram equality reference -- the
     _align_from_gram_expr factoring the r19 banking note called for,
     executed at swap time)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     grams = docs.select("doc_id", F.explode(fps).alias("gram"))
     # The bench table feeds BOTH the broadcast gram set and the final
     # join, and Catalyst re-executes the shared subtree (plan read: two
@@ -847,6 +850,7 @@ def _novelty_core(docs: DataFrame) -> DataFrame:
     pieces above -- the plan is unchanged by the round-11 extraction
     (the streaming scorer in streaming/pipeline.py reuses the pieces
     with a build-once reference)."""
+    docs = scan_wide(docs, "doc_id")
     is_ref = F.col("doc_id") % NOVELTY_REF_MOD == NOVELTY_REF_REM
     ref = _novelty_ref_grams(docs.filter(is_ref))
     # adaptive sizing: one tiny count of the ref gram table the query
@@ -1007,7 +1011,7 @@ def q_text_linededup(spark: SparkSession, sf_dir: str) -> DataFrame:
     trades a second fused split+explode for zero corpus-sized writes
     on object-store-checkpointed runs.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = _toks()
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
                         F.lit(CHUNK_TOKENS))
@@ -1050,7 +1054,7 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver-side pair table.  (n_pairs, pair) is a total order, so the
     LIMIT is deterministic.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     pairs = docs.select(F.explode(_wordgrams(F.col("text"), 2)).alias("pair"))
     return (
         pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -71,3 +71,42 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register temp views (used by SQL-form queries and notebooks)."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def scan_wide(df: DataFrame, *keys: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``keys`` up to the session's shuffle
+    width IF its physical plan is narrower than that width -- the
+    shared narrow-input parallelism guard (r17 optimization round;
+    generalizes ``dedup._pinned_repartition_if_narrow``, which now
+    delegates here so there is exactly one copy of the rationale).
+
+    Why it exists: a parquet ROW GROUP is the unit of scan parallelism
+    (the vectorized reader cannot split one), and the sf-scale testdata
+    tables are each written as ONE row group -- so ANY per-row work
+    fused into a scan stage (gram hashing, JSON parsing, decimal
+    arithmetic, a partial aggregate) runs as ONE task no matter how
+    many cores the session has.  This is the classic "one huge
+    unsplittable input" skew: the fix is to repartition immediately
+    after the read, paying one narrow exchange of only the scanned
+    columns to unlock full-width parallelism for the per-row work.
+
+    Why gated, and why this survives 100 TB: the partition count is
+    read from the frame's physical plan (no job runs -- deterministic
+    for a given file set + split config, so retried stages replan
+    identically).  At real input widths (a 100 TB table arrives as
+    many thousands of splits) the guard sees >= width partitions and
+    returns ``df`` unchanged -- the production plan has no extra
+    exchange.  The width is the session's shuffle parallelism, never a
+    constant.  Callers pass a UNIFORM key (row identity like doc_id /
+    event_id, or a hash), never a Zipfian payload key -- the
+    q_dedup_prefix lesson: hashing a skewed key concentrates, not
+    spreads (PLANS r17).
+    """
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, *[F.col(k) for k in keys])

@@ -173,11 +173,30 @@ def test_pack_sequences_spreads_langs_over_partitions(spark, sf_dir):
 
 
 def test_stratified_sample_has_no_shuffle(spark, sf_dir):
-    """Hash sampling is a pure filter -- zero exchanges in the plan."""
+    """Hash sampling is a pure filter: zero exchanges at production
+    input widths.  On narrow (one-row-group) input, q_sample_hash's
+    scan_wide guard adds EXACTLY the one parallelism exchange, and the
+    nondeterministic pin keeps the md5 filter above it (r17
+    optimization round) -- without the pin, alias re-substitution
+    pushes the md5 back into the one-task scan."""
     from financialtransactionmonitoringsystem_spark.operators import curate, extras
 
     assert P.n_shuffles(curate.q_sample_stratified(spark, sf_dir)) == 0
-    assert P.n_shuffles(extras.q_sample_hash(spark, sf_dir)) == 0
+    # production-width contract: scan_wide is a plan-time no-op (the
+    # SAME object back) once the input already spans the session width,
+    # so the wide-input q_sample_hash plan is the pure filter.  (The
+    # conf cannot be toggled around the query itself: load_table
+    # re-applies the engine's runtime confs.)
+    from financialtransactionmonitoringsystem_spark.tables import load_table, scan_wide
+
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    wide = load_table(spark, sf_dir, "lineitem").repartition(width)
+    assert scan_wide(wide, "l_orderkey") is wide
+    # narrow-input contract: one guard exchange, md5 above it
+    plan = P.plan_str(extras.q_sample_hash(spark, sf_dir), "simple")
+    assert P.n_shuffles(extras.q_sample_hash(spark, sf_dir)) == 1
+    # simple mode prints consumers above producers: md5 first = above
+    assert plan.index("md5") < plan.index("Exchange "), plan
 
 
 def test_decontam_join_is_gram_keyed_not_pairwise(spark, sf_dir):

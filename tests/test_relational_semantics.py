@@ -398,6 +398,49 @@ def test_fn_json_tuple_equals_multiprobe_form(spark, sf_dir):
                       .alias("k")).collect()[0].k == 7
 
 
+def test_fn_decimal_cents_equals_decimal_types_reference(spark, sf_dir):
+    """r17 optimization-round swap insurance: the registered
+    q_fn_decimal (integer-cents ingress, two-level long-then-decimal
+    aggregation) must be row-identical -- all six aggregate doubles
+    bit-for-bit -- to the retained DecimalType(18,2) form
+    (scalar.fn_decimal_decimal_types), on the corpus AND on a planted
+    table of every money shape where the cents ingress and the
+    decimal(18,2) cast could plausibly disagree: >2-decimal values,
+    the classic half-way float traps (1.005, 2.675 -- whose doubles sit
+    BELOW the half-way point a naive round(x*100) would see after the
+    multiply), negatives, zero, NULL, and values near the 10^9 money
+    scale.  The planted half drives the SHIPPED ingress expressions
+    (scalar.CENTS_PRICE_EXPR / CENTS_DISC_EXPR), not an inline copy
+    that could drift (the TRY_CAST_INT_SHAPE lesson)."""
+    from financialtransactionmonitoringsystem_spark.functions import scalar
+
+    new = scalar.q_fn_decimal(spark, sf_dir)
+    old = scalar.fn_decimal_decimal_types(spark, sf_dir)
+    assert new.exceptAll(old).count() == 0
+    assert old.exceptAll(new).count() == 0
+    assert new.count() > 0
+
+    prices = [0.0, 0.01, -0.01, 1.005, 2.675, 1.0049999, 123.456,
+              123.454, 99999.99, 1234567.891, 999999999.995, -4.35,
+              4.35, 0.005, None]
+    planted = [(f"f{i % 3}", p, d)
+               for i, p in enumerate(prices)
+               for d in (0.0, 0.05, 0.1, None)]
+    df = spark.createDataFrame(
+        planted, "l_returnflag string, l_extendedprice double, l_discount double")
+    # per-row ingress equality: cents == 100 * decimal(18,2) value
+    diverge = df.selectExpr(
+        "l_extendedprice", "l_discount",
+        f"{scalar.CENTS_PRICE_EXPR} AS pc",
+        f"{scalar.CENTS_DISC_EXPR} AS dc",
+        "cast(l_extendedprice as decimal(18,2)) AS p18",
+        "cast(l_discount as decimal(18,2)) AS d18",
+    ).where(
+        "(pc is distinct from cast(p18 * 100 as bigint)) or "
+        "(dc is distinct from cast(d18 * 100 as bigint))")
+    assert diverge.count() == 0, diverge.collect()
+
+
 def test_agg_stats_onepass_equals_windowed_form(spark, sf_dir):
     """r16 in-window swap insurance: the registered q_agg_stats (one
     groupBy pass, builtin exact percentile()) must produce the same
