@@ -36,11 +36,15 @@ def _toks(col: str = "text"):
 
 
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-50 tokens by frequency (tokenize -> explode -> count)."""
-    # scan_wide: the split/explode CPU must not run at one-row-group
-    # scan width (no-op at real input widths) -- same for every text
-    # key below whose per-row work is fused into the docs scan.
-    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
+    """Top-50 tokens by frequency (tokenize -> explode -> count).
+
+    r17 measured NO-GUARD verdict: unlike the rest of the text family
+    (which rides tables.scan_wide -- the one-row-group scan-width
+    guard), this key's split+explode is light and its map-side partial
+    count collapses to vocabulary size before the exchange, so the
+    guard LOST at 1x (0.66 vs 0.27 s) and 10x (0.88 vs 0.65) for a
+    modest 1.7x at 50x -- reverted per the cheap-per-row rule."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(_toks()).alias("tok"))
         .filter(F.length("tok") > 0)
