@@ -114,7 +114,13 @@ def _doc_fingerprint(sf_dir: str, params: dict) -> str:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact text dedup keeping the first doc (lowest doc_id) per text."""
+    """Exact text dedup keeping the first doc (lowest doc_id) per text.
+
+    r17 measured NO-GUARD verdict: scan-side work is only shipping
+    text into the window exchange, so tables.scan_wide was A/B'd
+    marginal-to-negative (0.67 vs 0.93 s at 10x, 1.90 vs 1.54 at 50x
+    -- inside the noise of an extra exchange of the text payload) and
+    not applied; q_dedup_keep_best is the scale path here anyway."""
     docs = load_table(spark, sf_dir, "documents")
     w = W.partitionBy("text").orderBy("doc_id")
     return (
@@ -138,8 +144,14 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shuffle carries 32-byte fingerprints + packed longs, never
     text.  At 100 TB this is strictly cheaper than the row_number()
     window (which must sort within groups); same pattern as
-    q_agg_argmax."""
-    docs = load_table(spark, sf_dir, "documents")
+    q_agg_argmax.
+
+    The scan rides :func:`tables.scan_wide` (r17 optimization round):
+    the per-row md5 + distinct-token count fuse into the scan stage
+    (A/B: 4.16 -> 2.11 s at 50x, flat at 10x)."""
+    from ..tables import scan_wide
+
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
     scored = docs.select(
         "doc_id", F.md5("text").alias("fp"),
         F.size(F.array_distinct(F.split("text", " "))).alias("d"))
@@ -255,8 +267,15 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles the distinct raw-URL set; if variant counts are not worth
     that, drop ``n_variants`` (or approx_count_distinct it) and the
     plan collapses to one map-side-combinable aggregation.  No UDFs,
-    no window over the full corpus."""
-    urls = _doc_urls(load_table(spark, sf_dir, "documents"))
+    no window over the full corpus.
+
+    The scan rides :func:`tables.scan_wide` (r17 optimization round):
+    URL construction + canonicalization regexes fuse into the scan
+    stage (A/B: 3.47 -> 1.82 s at 50x, 1.12 -> 0.98 at 10x)."""
+    from ..tables import scan_wide
+
+    urls = _doc_urls(scan_wide(load_table(spark, sf_dir, "documents"),
+                               "doc_id"))
     return (
         urls.select("doc_id", "url", canonical_url(F.col("url")).alias("canon"))
         .groupBy(F.col("canon").alias("canonical_url"))

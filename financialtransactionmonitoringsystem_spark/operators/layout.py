@@ -52,6 +52,11 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests (each partition then spans a bounded window of both
     dimensions, where an hour-sorted layout scatters users across every
     partition).
+
+    r17 measured NO-GUARD verdict: the bit-interleave projection is
+    too cheap for tables.scan_wide to pay (A/B: 0.40 vs 0.78 s at 10x,
+    1.33 vs 3.06 at 50x AGAINST the guard) -- the pure-projection
+    zero-shuffle claim above stays literal at every width.
     """
     ev = load_table(spark, sf_dir, "events")
     mask = (1 << Z_BITS) - 1

@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..artifacts import corpus_slug
-from ..tables import load_table
+from ..tables import load_table, scan_wide
 from ..util import rnd, sql_round as R
 from .dedup import SQL_COSINE, dot_fold, norm_fold
 
@@ -79,8 +79,14 @@ def _lsh_params(n_vecs: int) -> tuple[int, int]:
 def _queries_and_corpus(spark: SparkSession, sf_dir: str):
     """(broadcast queries, corpus), each carrying its precomputed L2 norm
     so the per-pair cosine is one fold, not three (norm_fold hoisting --
-    identical doubles, the per-pair work is the whole cost here)."""
-    emb = load_table(spark, sf_dir, "embeddings") \
+    identical doubles, the per-pair work is the whole cost here).
+
+    The corpus scan rides :func:`tables.scan_wide` (r17 optimization
+    round): the broadcast-join probe stage -- where EVERY per-pair
+    dot fold runs -- is fused into this scan, so at one-row-group
+    width the entire cosine workload was ONE task (A/B: q_sim_cosine
+    11.33 -> 1.81 s at 50x, 2.79 -> 0.93 at 10x)."""
+    emb = scan_wide(load_table(spark, sf_dir, "embeddings"), "vec_id") \
         .withColumn("nrm", norm_fold(F.col("embedding")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -172,8 +178,12 @@ def q_sim_lsh(spark: SparkSession, sf_dir: str, *,
     # The count is a parquet-metadata job (a catalog statistic on a real
     # deployment), skipped entirely when dims is forced (review
     # finding); the default radius follows the RESOLVED width, so a
-    # dims override alone still gets its sanctioned pairing.
-    d = dims if dims is not None else _lsh_params(emb.count())[0]
+    # dims override alone still gets its sanctioned pairing.  Counted
+    # on a bare scan, not the scan_wide'd corpus frame (r17): a count
+    # through the guard's exchange would execute the shuffle and lose
+    # the metadata-count property this comment promises.
+    d = (dims if dims is not None
+         else _lsh_params(load_table(spark, sf_dir, "embeddings").count())[0])
     r = radius if radius is not None else _radius_for(d)
     # Compute the bucket ONCE and XOR the resulting column: inlining the
     # d-term sign expression into every probe element multiplies the
@@ -354,8 +364,13 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     An all-zero vector has no scale -- nullif keeps the whole summary
     row NULL instead of raising or folding Inf*0 NaNs (none in the
     testdata; the guard is for the operator's contract).
+
+    The scan rides :func:`tables.scan_wide` (r17): the higher-order
+    array folds are the whole cost and fuse into the scan stage (A/B:
+    4.43 -> 0.75 s at 50x, 0.92 -> 0.40 at 10x); at real input widths
+    the guard no-ops and the parquet-read-speed claim above stands.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scan_wide(load_table(spark, sf_dir, "embeddings"), "vec_id")
     v = F.transform("embedding", lambda x: x.cast("double"))
     amax = F.array_max(F.transform(v, F.abs))
     scale = F.lit(127.0) / F.nullif(amax, F.lit(0.0))
@@ -390,7 +405,7 @@ def q_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive exactly, avg is rounded to 4 places (cross-engine
     summation-order noise is ~1e-15 relative).
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = scan_wide(load_table(spark, sf_dir, "embeddings"), "vec_id")
     # the shared fold, not a local re-implementation: two copies of a
     # bit-identical-determinism-critical expression drift (review)
     norm = norm_fold(F.col("embedding"))

@@ -375,11 +375,15 @@ def test_url_dedup_and_shard_card_are_single_pass_jvm_plans(spark, sf_dir):
     assert not P.has_cartesian(df)
     # q_dedup_url carries a count(DISTINCT url), which Catalyst expands
     # to the standard two-phase distinct-agg plan: exchange on
-    # (canon, url) then on canon -- exactly 2 exchanges, never more,
-    # and still no Python eval anywhere.
+    # (canon, url) then on canon.  On narrow (one-row-group) input the
+    # r17 scan_wide guard adds EXACTLY one more exchange, keyed by
+    # doc_id, below the projection (no-op at production widths --
+    # pinned once for the guard in test_stratified_sample_has_no_
+    # shuffle); still no Python eval anywhere.
     df = dedup.q_dedup_url(spark, sf_dir)
     s = P.plan_str(df, "simple")
-    assert s.count("Exchange") == 2, s
+    assert s.count("Exchange") == 3, s
+    assert s.count("hashpartitioning(doc_id") == 1, s
     assert "count(distinct url" in s, s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
     assert not P.has_cartesian(df)
@@ -432,10 +436,16 @@ def test_linededup_is_chunk_keyed_not_pairwise(spark, sf_dir):
 
 
 def test_embed_quantize_is_narrow_scan_projection(spark, sf_dir):
-    """Quantization is a pure per-row projection: zero exchanges."""
+    """Quantization is a pure per-row projection: on narrow
+    (one-row-group) input the only exchange is the r17 scan_wide
+    parallelism guard (keyed by vec_id, a no-op at production widths);
+    the quantization math itself adds none."""
     from financialtransactionmonitoringsystem_spark.operators import similarity
 
-    assert P.n_shuffles(similarity.q_embed_quantize(spark, sf_dir)) == 0
+    df = similarity.q_embed_quantize(spark, sf_dir)
+    assert P.n_shuffles(df) == 1
+    s = P.plan_str(df, "simple")
+    assert s.count("hashpartitioning(vec_id") == 1, s
 
 
 def test_agg_corr_is_partial_before_shuffle(spark, sf_dir):
