@@ -43,7 +43,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..artifacts import corpus_slug
-from ..tables import load_table
+from ..tables import load_table, scan_wide
 from ..util import rnd, sql_round as R
 
 N_MINHASH = 16
@@ -328,7 +328,8 @@ def build_token_table(spark: SparkSession, sf_dir: str) -> str:
 
     return ensure_parquet_artifact(
         _tok_base(sf_dir), "tok_sets", _tokens_fingerprint(sf_dir),
-        lambda: _tok_sets(load_table(spark, sf_dir, "documents")))
+        lambda: _tok_sets(
+            scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")))
 
 
 def corpus_tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,7 +341,8 @@ def corpus_tok_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return parquet_artifact_or(
         spark, _tok_base(sf_dir), "tok_sets", _tokens_fingerprint(sf_dir),
-        lambda: _tok_sets(load_table(spark, sf_dir, "documents")))
+        lambda: _tok_sets(
+            scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")))
 
 
 def _prefix_fingerprint(sf_dir: str) -> str:
@@ -365,7 +367,8 @@ def build_prefix_index(spark: SparkSession, sf_dir: str) -> str:
 
     return ensure_parquet_artifact(
         _prefix_base(sf_dir), "prefix", _prefix_fingerprint(sf_dir),
-        lambda: _prefix_table(corpus_tok_sets(spark, sf_dir)))
+        lambda: _prefix_table(
+            scan_wide(corpus_tok_sets(spark, sf_dir), "doc_id")))
 
 
 def corpus_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,7 +380,8 @@ def corpus_prefix_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return parquet_artifact_or(
         spark, _prefix_base(sf_dir), "prefix", _prefix_fingerprint(sf_dir),
-        lambda: _scoped_build(_prefix_table(corpus_tok_sets(spark, sf_dir))))
+        lambda: _scoped_build(_prefix_table(
+            scan_wide(corpus_tok_sets(spark, sf_dir), "doc_id"))))
 
 
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1051,7 +1055,8 @@ def build_band_table(spark: SparkSession, sf_dir: str) -> str:
 
     return ensure_parquet_artifact(
         _band_base(sf_dir), "bands", _band_fingerprint(sf_dir),
-        lambda: _band_table(minhash_signatures(corpus_tok_sets(spark, sf_dir))))
+        lambda: _band_table(minhash_signatures(
+            scan_wide(corpus_tok_sets(spark, sf_dir), "doc_id"))))
 
 
 def corpus_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1064,7 +1069,8 @@ def corpus_band_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parquet_artifact_or(
         spark, _band_base(sf_dir), "bands", _band_fingerprint(sf_dir),
         lambda: _scoped_build(
-            _band_table(minhash_signatures(corpus_tok_sets(spark, sf_dir)))))
+            _band_table(minhash_signatures(
+                scan_wide(corpus_tok_sets(spark, sf_dir), "doc_id")))))
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1316,7 +1322,9 @@ def build_simhash_table(spark: SparkSession, sf_dir: str) -> str:
     def derive():
         docs = load_table(spark, sf_dir, "documents")
         bits, n_chunks = _simhash_width(docs.count())
-        return _chunk_table(simhash_signatures(docs, bits), bits, n_chunks)
+        return _chunk_table(
+            simhash_signatures(scan_wide(docs, "doc_id"), bits),
+            bits, n_chunks)
 
     return ensure_parquet_artifact(
         _simhash_base(sf_dir), "chunks", _simhash_fingerprint(sf_dir), derive)
@@ -1330,8 +1338,9 @@ def corpus_simhash_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     def fallback():
         docs = load_table(spark, sf_dir, "documents")
         bits, n_chunks = _simhash_width(docs.count())
-        return _scoped_build(_chunk_table(simhash_signatures(docs, bits),
-                                          bits, n_chunks))
+        return _scoped_build(_chunk_table(
+            simhash_signatures(scan_wide(docs, "doc_id"), bits),
+            bits, n_chunks))
 
     return parquet_artifact_or(
         spark, _simhash_base(sf_dir), "chunks", _simhash_fingerprint(sf_dir),
