@@ -58,6 +58,10 @@ def main() -> None:
     ap.add_argument("--steal-max", type=float, default=0.01)
     ap.add_argument("--retries", type=int, default=10)
     ap.add_argument("--retry-wait", type=float, default=60.0)
+    ap.add_argument("--require-clean", type=float, default=None,
+                    metavar="FRAC", help="re-run (still recording the "
+                    "stolen attempt) until the run-long steal fraction "
+                    "is below FRAC; attempts share the --retries budget")
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -66,20 +70,17 @@ def main() -> None:
         with open(args.out) as fh:
             records = json.load(fh)
 
-    for run in range(args.runs):
-        ok = False
-        for attempt in range(args.retries):
-            ld, sf = load1(), steal_frac()
-            if ld < args.load_max and sf < args.steal_max:
-                ok = True
-                break
+    run = 0
+    budget = args.retries
+    while run < args.runs and budget > 0:
+        ld, sf = load1(), steal_frac()
+        if not (ld < args.load_max and sf < args.steal_max):
+            budget -= 1
             print(f"[gate] run {run}: load={ld:.2f} steal={sf:.4f} "
-                  f"-- waiting {args.retry_wait}s", flush=True)
+                  f"-- waiting {args.retry_wait}s "
+                  f"({budget} retries left)", flush=True)
             time.sleep(args.retry_wait)
-        if not ok:
-            print(f"[gate] run {run}: window never quiet; giving up",
-                  flush=True)
-            break
+            continue
         t0, s0 = _stat()
         proc = subprocess.run(
             [sys.executable, os.path.join(repo, "bench.py")],
@@ -99,6 +100,17 @@ def main() -> None:
             json.dump(records, fh, indent=1)
         print(f"[gate] run {run}: total={rec['value']} "
               f"steal_during={rec['steal_frac']}", flush=True)
+        if (args.require_clean is not None
+                and rec["steal_frac"] >= args.require_clean):
+            budget -= 1
+            print(f"[gate] run {run}: stolen mid-run "
+                  f"(>= {args.require_clean}); re-running "
+                  f"({budget} retries left)", flush=True)
+            continue
+        run += 1
+    if run < args.runs:
+        print(f"[gate] stopped with {run}/{args.runs} accepted runs",
+              flush=True)
 
 
 if __name__ == "__main__":
