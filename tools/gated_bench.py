@@ -34,7 +34,10 @@ import time
 def _stat() -> tuple[int, int]:
     with open("/proc/stat") as fh:
         f = fh.readline().split()
-    vals = [int(x) for x in f[1:]]
+    # Fields 1..8 are user..steal; guest/guest_nice are already folded
+    # into user/nice by the kernel, so including them double-counts and
+    # understates the steal fraction.
+    vals = [int(x) for x in f[1:9]]
     return sum(vals), vals[7]  # total ticks, steal ticks
 
 
@@ -69,6 +72,10 @@ def main() -> None:
     if os.path.exists(args.out):
         with open(args.out) as fh:
             records = json.load(fh)
+        if not isinstance(records, list):
+            sys.exit(f"{args.out} holds a {type(records).__name__}, "
+                     "not a JSON list of run records -- refusing to "
+                     "append (did you pass BENCH_latest_full.json?)")
 
     run = 0
     budget = args.retries
@@ -89,9 +96,11 @@ def main() -> None:
         line = [ln for ln in proc.stdout.splitlines()
                 if ln.startswith('{"metric"')]
         if proc.returncode != 0 or not line:
+            budget -= 1
             print(f"[gate] run {run}: bench rc={proc.returncode}; "
-                  f"stderr tail: {proc.stderr[-500:]}", flush=True)
-            break
+                  f"stderr tail: {proc.stderr[-500:]} "
+                  f"({budget} retries left)", flush=True)
+            continue
         rec = json.loads(line[-1])
         rec["load_at_launch"] = ld
         rec["steal_frac"] = round((s1 - s0) / max(1, t1 - t0), 5)
@@ -111,6 +120,7 @@ def main() -> None:
     if run < args.runs:
         print(f"[gate] stopped with {run}/{args.runs} accepted runs",
               flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
