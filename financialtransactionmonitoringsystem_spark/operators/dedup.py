@@ -271,11 +271,15 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The scan rides :func:`tables.scan_wide` (r17 optimization round):
     URL construction + canonicalization regexes fuse into the scan
-    stage (A/B: 3.47 -> 1.82 s at 50x, 1.12 -> 0.98 at 10x)."""
-    from ..tables import scan_wide
+    stage (A/B: 3.47 -> 1.82 s at 50x, 1.12 -> 0.98 at 10x).  r18:
+    declared LIGHT_WORK -- regex projection over a (doc_id, source)
+    payload is cheap per row, and at sf0.1 the guard's extra stage
+    cost -0.15 s for nothing (VERDICT r17 #1); the 10x/50x wins sit
+    above the size threshold."""
+    from ..tables import LIGHT_WORK, scan_wide
 
     urls = _doc_urls(scan_wide(load_table(spark, sf_dir, "documents"),
-                               "doc_id"))
+                               "doc_id", min_bytes=LIGHT_WORK))
     return (
         urls.select("doc_id", "url", canonical_url(F.col("url")).alias("canon"))
         .groupBy(F.col("canon").alias("canonical_url"))
@@ -554,8 +558,55 @@ def _prefix_table(toksets: DataFrame, freq: DataFrame | None = None) -> DataFram
 def _prefix_join(pref: DataFrame) -> DataFrame:
     """The prefix self-join with its length + positional residuals, as a
     lazy plan over the given prefix table (see :func:`prefix_candidates`
-    for the bounds derivation)."""
-    return _prefix_probe(pref, pref, F.col("a.doc_id") < F.col("b.doc_id"))
+    for the bounds derivation).
+
+    r18 optimization round -- the PPJoin ASYMMETRIC (indexing) prefix
+    (VERDICT r17 #2, candidate-count reduction; lossless by the same
+    first-common-token argument as the base prefix filter): order each
+    pair by size (ties by doc_id) and give the pair's SMALLER side a
+    SHORTER prefix.  For a qualifying pair with na <= nb the overlap
+    satisfies i >= p/(p+q)*(na+nb) >= 2p/(p+q)*na, and the first
+    common token in the global canonical (gf, tok) order lies within
+    the first |X| - i + 1 tokens of EACH doc X (its i-1 other common
+    tokens all rank behind it), hence within the smaller doc's first
+    na - ceil(2p*na/(p+q)) + 1 rows AND the larger doc's stored
+    probing prefix (nb - ceil(p*nb/q) + 1 rows, the length-filter
+    bound nb <= (q/p)*na giving i >= p/(p+q)*(1+p/q)*nb = (p/q)*nb).
+    At t=0.8 the indexing prefix is ~11.1% of tokens vs the stored
+    20%, shrinking the hot posting lists on the join's index side; the
+    artifact stores ``pos``, so the shorter prefix is a pure filter
+    over the persisted table -- no artifact or fingerprint change.
+    Candidates come out (smaller, larger); the final select restores
+    the (doc_a < doc_b by id) orientation the verify and oracle
+    expect.
+
+    Measured at sf0.1 (OPTIMIZATION_r18.md): index rows 26,103 ->
+    15,987 and raw (tok, lang) hash hits 22,940,687 -> 15,244,254
+    (-34%) -- but matched rows (3,229,006) and distinct candidates
+    (1,564,479) are UNCHANGED, because the positional residual already
+    kills every row the shorter prefix removes (a row with a.pos past
+    the indexing prefix has ub = 1 + na - a.pos < 2p/(p+q)*na <=
+    p/(p+q)*(na+nb), on either side of the old id-ordering).  I.e. on
+    this join formulation the asymmetric prefix cannot reduce the
+    candidate count (VERDICT r17 #2's hoped-for lever) -- what it
+    saves is the residual evaluation on the ~7.7M hash hits that used
+    to be enumerated and then rejected, plus 39% of the index-side
+    exchange.  Output byte-identical (exceptAll both ways = 0 on
+    candidates AND on the 758,890-pair verify output) and oracle
+    MATCH at sf0.01 + sf0.1."""
+    p, q = PRUNE_NUM, PRUNE_DEN
+    k_idx = _ceil_div(F.lit(2 * p).cast("long") * F.col("n_toks").cast("long"),
+                      p + q)
+    short = pref.filter(
+        F.col("pos") <= F.col("n_toks").cast("long") - k_idx + 1)
+    size_order = (F.col("a.n_toks") < F.col("b.n_toks")) | (
+        (F.col("a.n_toks") == F.col("b.n_toks"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")))
+    return (
+        _prefix_probe(short, pref, size_order)
+        .select(F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"))
+    )
 
 
 def _prefix_probe(index: DataFrame, probe: DataFrame,

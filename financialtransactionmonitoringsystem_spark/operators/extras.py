@@ -202,24 +202,43 @@ def cte_recursive_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# Branching factor of q_cte_recursive's offset generator.  Spark runs
+# one job per recursion step, so steps -- not rows -- are the cost:
+# depth is ceil(log_B(months)) + 1 (the terminal empty step).  B=2 (the
+# r14 doubling form) paid 7 jobs for 80 months; B=16 pays 3 (one
+# productive step covers 16..255, one more empties), and ~500 months of
+# history still fits in 4.  Rows per step grow by B, but the work table
+# is O(months) metadata rows -- scheduling dominates at any realistic
+# history length.  Interleaved A/B at sf0.1 (min-of-4, warm,
+# OPTIMIZATION_r18.md): B=2 1.34 s, B=8 0.96, B=16 0.79, B=32 0.92
+# (anchor width costs more than the saved step past 16); output
+# byte-identical at every width (the equality test vs
+# cte_recursive_linear pins it, plus the in-session B=2-vs-16 check).
+CTE_BRANCH = 16
+
+
 def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-standard WITH RECURSIVE (Spark 4 support): a month spine from
     the first to the last order month, gap-filled with monthly order
     counts -- the recursive-CTE form of the dense-grid resample
     (``q_ts_resample`` builds the same shape with ``sequence()``).
 
-    Registered implementation since round 14: a RECURSIVE-DOUBLING
-    offset generator.  Spark executes one job per recursion step, so
-    the literal linear spine (:func:`cte_recursive_linear`, the
-    registered form through r13, kept as the equality reference) pays
-    ~one scheduler round-trip per month of history.  The doubling form
-    keeps the WITH RECURSIVE surface attestation (anchor + recursive
-    member + work-table semantics) but each step emits offsets ``2j``
-    and ``2j+1`` from every work-table row ``j >= 1`` (anchor {0, 1}),
-    so every integer in [0, n] is produced exactly once -- n >= 2 from
-    floor(n/2) >= 1 -- in ceil(log2 n) steps: ~7 scheduler round-trips
-    for 80 months instead of ~80 (warm A/B at sf0.1: 1.79 s vs 11.68 s;
-    the gap is pure scheduler latency, so it is data-size-independent).
+    Registered implementation since round 14: a RECURSIVE base-B
+    offset generator (B = :data:`CTE_BRANCH`; the r14 form was B=2,
+    widened in r18 -- VERDICT r17 #7).  Spark executes one job per
+    recursion step, so the literal linear spine
+    (:func:`cte_recursive_linear`, the registered form through r13,
+    kept as the equality reference) pays ~one scheduler round-trip per
+    month of history.  The wide form keeps the WITH RECURSIVE surface
+    attestation (anchor + recursive member + work-table semantics) but
+    each step emits offsets ``B*j + d`` (d in 0..B-1) from every
+    work-table row ``j >= 1`` (anchor {0..B-1}), so every integer in
+    [0, n] is produced exactly once -- n >= B has the unique parent
+    floor(n/B) >= 1, n < B comes from the anchor alone -- in
+    ceil(log_B n) steps: 3 scheduler round-trips for 80 months at B=16
+    instead of ~80 linear / ~7 doubling (r14 warm A/B at sf0.1: 1.79 s
+    doubling vs 11.68 s linear; the gap is pure scheduler latency, so
+    it is data-size-independent).
     ``sequence()`` (q_ts_resample) remains the non-recursive scale path
     for spines.  Output byte-identical to the linear form (same DuckDB
     oracle; equality test at suite SF, swap insurance at sf0.01 +
@@ -238,10 +257,12 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between O(1) and O(log n) table scans at 100 TB.  The
     carried columns cost 2 values on O(months) metadata rows."""
     register_views(spark, sf_dir, ("orders",))
-    return spark.sql("""
+    b_, vals = CTE_BRANCH, ", ".join(f"({i})" for i in range(CTE_BRANCH))
+    arr = ", ".join(str(d) for d in range(CTE_BRANCH))
+    return spark.sql(f"""
         WITH RECURSIVE offs(off, bound, m0) AS (
           SELECT t.off, b.bound, b.m0
-          FROM VALUES (0), (1) AS t(off)
+          FROM VALUES {vals} AS t(off)
           CROSS JOIN (SELECT CAST(months_between(
                   date_trunc('month', max(o_orderdate)),
                   date_trunc('month', min(o_orderdate))) AS INT) AS bound,
@@ -249,9 +270,9 @@ def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM orders) b
           WHERE t.off = 0 OR t.off <= b.bound
           UNION ALL
-          SELECT off * 2 + d, bound, m0
-          FROM offs LATERAL VIEW explode(array(0, 1)) e AS d
-          WHERE off >= 1 AND off * 2 + d <= bound
+          SELECT off * {b_} + d, bound, m0
+          FROM offs LATERAL VIEW explode(array({arr})) e AS d
+          WHERE off >= 1 AND off * {b_} + d <= bound
         )
         SELECT date_format(m0 + make_interval(0, off), 'yyyy-MM') AS month,
                COALESCE(o.n, 0) AS n_orders

@@ -85,7 +85,20 @@ def _queries_and_corpus(spark: SparkSession, sf_dir: str):
     round): the broadcast-join probe stage -- where EVERY per-pair
     dot fold runs -- is fused into this scan, so at one-row-group
     width the entire cosine workload was ONE task (A/B: q_sim_cosine
-    11.33 -> 1.81 s at 50x, 2.79 -> 0.93 at 10x)."""
+    11.33 -> 1.81 s at 50x, 2.79 -> 0.93 at 10x).
+
+    r18 NO-CHANGE verdict (measured, do not re-apply): the LIGHT_WORK
+    size gate that reclaimed the other VERDICT r17 #1 keys was applied
+    here, measured, and REVERTED.  At sf0.1 the guard is a wash
+    (interleaved min-of-3: q_sim_lsh 0.95 guarded vs 1.00 gated-off,
+    q_sim_cosine 0.64 vs 0.60 -- the driver's r17 lsh regression does
+    not reproduce), so there is nothing to reclaim; and the gate's
+    on-disk-size proxy is BROKEN for this table: embedding vectors
+    dictionary/RLE-compress so well that the 50x replica is 1.9 MB on
+    disk (under the 4 MiB threshold), which silently turned the guard
+    off at scale and regressed q_sim_cosine 50x from 1.8 s to 10.2 s
+    in the A/B.  Per-row work here is heavy anyway (every probe-stage
+    dot fold), so the unconditional r17 guard is the correct shape."""
     emb = scan_wide(load_table(spark, sf_dir, "embeddings"), "vec_id") \
         .withColumn("nrm", norm_fold(F.col("embedding")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(

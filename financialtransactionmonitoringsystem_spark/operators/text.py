@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..tables import load_table, scan_wide
+from ..tables import LIGHT_WORK, load_table, scan_wide
 from ..util import rnd, sql_round as R
 
 # The pretraining quality gate, shared with curate.q_pipeline_curate
@@ -227,8 +227,15 @@ def q_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     an integer can floor differently (~4e-9 odds per distinct token --
     negligible at test vocabularies, worth knowing at multi-million-
     token ones; review finding against the earlier blanket claim).
+
+    r18: the scan guard is declared LIGHT_WORK -- the per-row work
+    here is one token split feeding two map-side-combinable partial
+    aggregates, light enough that at sf0.1 the guard's extra stage
+    was a -0.28 s regression (VERDICT r17 #1) while the 10x/50x wins
+    (2.8x/5.2x) all sit above the size threshold.
     """
-    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id",
+                     min_bytes=LIGHT_WORK)
     tok = (docs.select("doc_id", F.explode(_toks()).alias("tok"))
            .filter(F.length("tok") > 0))
     doc_tok = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -1057,8 +1064,14 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     global top-k that compiles to TakeOrderedAndProject -- no full sort,
     no driver-side pair table.  (n_pairs, pair) is a total order, so the
     LIMIT is deterministic.
+
+    r18: the scan guard is declared LIGHT_WORK -- one 2-gram explode
+    into a map-side-combined count is light per row; at sf0.1 the
+    guard's extra stage was a -0.21 s regression (VERDICT r17 #1)
+    while the 10x/50x wins (4.4x/10.3x) sit above the size threshold.
     """
-    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = scan_wide(load_table(spark, sf_dir, "documents"), "doc_id",
+                     min_bytes=LIGHT_WORK)
     pairs = docs.select(F.explode(_wordgrams(F.col("text"), 2)).alias("pair"))
     return (
         pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pairs"))

@@ -20,6 +20,8 @@ dispatches on the physical type and lands both on session-UTC
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -73,7 +75,52 @@ def register_views(spark: SparkSession, sf_dir: str,
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def scan_wide(df: DataFrame, *keys: str) -> DataFrame:
+# Conf key + default for scan_wide's ``min_bytes=LIGHT_WORK`` callers:
+# the compressed-input size below which the guard exchange cannot pay
+# for LIGHT per-row work.  Rationale (r18 optimization round, VERDICT
+# r17 #1): the guard's cost at bench scale is not shuffle bytes but the
+# EXTRA STAGE (scheduling width-many tasks + a codegen boundary,
+# ~0.2-0.5 s at local[32]); its payoff is parallelizing the fused
+# per-row work.  For heavy per-row operators (gram hashing, MinHash
+# folds) that payoff exists at ANY corpus size, so they call with the
+# default min_bytes=0.  For light per-row work (a regex projection, a
+# distinct-map probe) the serial cost of a few-MB input is below one
+# stage's overhead, so the exchange only pays once the input outgrows
+# this threshold.  4 MiB compressed (~10x that in memory) sits at the
+# measured crossover: interleaved A/Bs (OPTIMIZATION_r18.md) show the
+# light keys losing 0.1-0.5 s with the guard at sf0.1 (<= 2 MB inputs)
+# and winning 1.9-10x with it on the 10x/50x replicas (>= 5.8 MB).
+# Conf-settable (spark.fintxmon.scanWide.lightMinBytes) so a cluster
+# deployment can retune without a code change; at real input widths
+# the width gate no-ops first and this threshold never evaluates.
+SCAN_WIDE_LIGHT_MIN_BYTES_CONF = "spark.fintxmon.scanWide.lightMinBytes"
+SCAN_WIDE_LIGHT_MIN_BYTES = 4 << 20
+
+# Sentinel for callers declaring their per-row work LIGHT (see above).
+LIGHT_WORK = -1
+
+
+def _input_bytes(df: DataFrame) -> int | None:
+    """Total on-disk bytes of ``df``'s input files, plan-time (no job:
+    ``inputFiles()`` reads the already-resolved file index).  ``None``
+    when any file's size cannot be read locally (e.g. an object-store
+    URI) -- callers treat unknown as "big" so behavior degrades to the
+    plain width-gated guard, never to a silently serial scan."""
+    from urllib.parse import urlparse
+
+    total = 0
+    for uri in df.inputFiles():
+        p = urlparse(uri)
+        if p.scheme not in ("", "file"):
+            return None
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return None
+    return total
+
+
+def scan_wide(df: DataFrame, *keys: str, min_bytes: int = 0) -> DataFrame:
     """Hash-repartition ``df`` on ``keys`` up to the session's shuffle
     width IF its physical plan is narrower than that width -- the
     shared narrow-input parallelism guard (r17 optimization round;
@@ -101,6 +148,17 @@ def scan_wide(df: DataFrame, *keys: str) -> DataFrame:
     event_id, or a hash), never a Zipfian payload key -- the
     q_dedup_prefix lesson: hashing a skewed key concentrates, not
     spreads (PLANS r17).
+
+    ``min_bytes`` (r18 optimization round): callers whose fused
+    per-row work is LIGHT pass ``min_bytes=LIGHT_WORK`` (or an explicit
+    byte count) and the guard additionally no-ops while the compressed
+    input is smaller than the threshold -- below it, one extra stage
+    costs more than the serial work it parallelizes (see
+    :data:`SCAN_WIDE_LIGHT_MIN_BYTES`).  Size comes from the input
+    file listing (plan-time, deterministic for a file set); when it
+    cannot be read (remote URIs) the guard conservatively treats the
+    input as big.  Heavy-work callers keep the default 0: their
+    exchange pays at any size that reaches this gate.
     """
     spark = df.sparkSession
     try:
@@ -109,4 +167,12 @@ def scan_wide(df: DataFrame, *keys: str) -> DataFrame:
         n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= n:
         return df
+    if min_bytes:
+        if min_bytes == LIGHT_WORK:
+            min_bytes = int(spark.conf.get(
+                SCAN_WIDE_LIGHT_MIN_BYTES_CONF,
+                str(SCAN_WIDE_LIGHT_MIN_BYTES)))
+        size = _input_bytes(df)
+        if size is not None and size < min_bytes:
+            return df
     return df.repartition(n, *[F.col(k) for k in keys])

@@ -199,6 +199,38 @@ def test_stratified_sample_has_no_shuffle(spark, sf_dir):
     assert plan.index("md5") < plan.index("Exchange "), plan
 
 
+def test_scan_wide_light_work_size_gate(spark, sf_dir):
+    """The r18 LIGHT_WORK refinement of the r17 scan guard: a light
+    per-row-work caller skips the guard while the compressed input is
+    below the size threshold (one extra stage costs more than the
+    serial work it parallelizes), re-enables it above (forced via the
+    conf), and the guard stays value-neutral -- a repartition cannot
+    change what an aggregation computes."""
+    from financialtransactionmonitoringsystem_spark.operators import text
+    from financialtransactionmonitoringsystem_spark.tables import (
+        LIGHT_WORK, SCAN_WIDE_LIGHT_MIN_BYTES_CONF, load_table, scan_wide)
+
+    docs = load_table(spark, sf_dir, "documents")
+    # small + light: identity (not merely an equal plan -- the SAME
+    # object, the production-width contract's sibling)
+    assert scan_wide(docs, "doc_id", min_bytes=LIGHT_WORK) is docs
+    # heavy (default) on the same small input: guard applies
+    assert scan_wide(docs, "doc_id") is not docs
+    small = text.q_text_bpe_pairs(spark, sf_dir)
+    assert "hashpartitioning(doc_id" not in P.plan_str(small, "simple")
+    rows_small = small.collect()
+    spark.conf.set(SCAN_WIDE_LIGHT_MIN_BYTES_CONF, "1")
+    try:
+        # narrow input past the threshold: the r17 guard re-appears
+        assert scan_wide(docs, "doc_id", min_bytes=LIGHT_WORK) is not docs
+        big = text.q_text_bpe_pairs(spark, sf_dir)
+        assert "hashpartitioning(doc_id" in P.plan_str(big, "simple")
+        rows_big = big.collect()
+    finally:
+        spark.conf.unset(SCAN_WIDE_LIGHT_MIN_BYTES_CONF)
+    assert rows_small == rows_big
+
+
 def test_decontam_join_is_gram_keyed_not_pairwise(spark, sf_dir):
     """Decontamination joins on the exploded n-gram (an equi key), never
     a document-pair product."""
@@ -375,18 +407,33 @@ def test_url_dedup_and_shard_card_are_single_pass_jvm_plans(spark, sf_dir):
     assert not P.has_cartesian(df)
     # q_dedup_url carries a count(DISTINCT url), which Catalyst expands
     # to the standard two-phase distinct-agg plan: exchange on
-    # (canon, url) then on canon.  On narrow (one-row-group) input the
-    # r17 scan_wide guard adds EXACTLY one more exchange, keyed by
-    # doc_id, below the projection (no-op at production widths --
-    # pinned once for the guard in test_stratified_sample_has_no_
-    # shuffle); still no Python eval anywhere.
+    # (canon, url) then on canon.  The scan guard is LIGHT_WORK-gated
+    # (r18): on SMALL narrow input (the testdata files, below the
+    # light-work size threshold) the guard stays out and the plan is
+    # exactly the two distinct-agg exchanges; once the narrow input
+    # outgrows the threshold (forced here via the conf) the r17 guard
+    # adds EXACTLY one more exchange, keyed by doc_id, below the
+    # projection (still a no-op at production widths -- pinned once
+    # for the guard in test_stratified_sample_has_no_shuffle); no
+    # Python eval anywhere in any regime.
     df = dedup.q_dedup_url(spark, sf_dir)
     s = P.plan_str(df, "simple")
-    assert s.count("Exchange") == 3, s
-    assert s.count("hashpartitioning(doc_id") == 1, s
+    assert s.count("Exchange") == 2, s
+    assert "hashpartitioning(doc_id" not in s, s
     assert "count(distinct url" in s, s
     assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
     assert not P.has_cartesian(df)
+    from financialtransactionmonitoringsystem_spark.tables import (
+        SCAN_WIDE_LIGHT_MIN_BYTES_CONF)
+
+    spark.conf.set(SCAN_WIDE_LIGHT_MIN_BYTES_CONF, "1")
+    try:
+        s = P.plan_str(dedup.q_dedup_url(spark, sf_dir), "simple")
+    finally:
+        spark.conf.unset(SCAN_WIDE_LIGHT_MIN_BYTES_CONF)
+    assert s.count("Exchange") == 3, s
+    assert s.count("hashpartitioning(doc_id") == 1, s
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, s
 
 
 def test_epochs_is_zero_shuffle_and_keyframes_single_exchange(spark, sf_dir):

@@ -422,7 +422,15 @@ def test_fn_decimal_cents_equals_decimal_types_reference(spark, sf_dir):
 
     prices = [0.0, 0.01, -0.01, 1.005, 2.675, 1.0049999, 123.456,
               123.454, 99999.99, 1234567.891, 999999999.995, -4.35,
-              4.35, 0.005, None]
+              4.35, 0.005, None,
+              # r18 fast-path band edges: half-way traps across
+              # magnitudes (the guarded rows must take the decimal
+              # hop), near-half values just outside the band (fast
+              # path), negatives of both, and the overflow-bound edge
+              # (hop branch without ANSI overflow).
+              0.015, 0.025, 0.065, 1.015, 2.005, 4.005, -1.005,
+              -2.675, -0.005, 123456.785, 9999999.995, 12345678.905,
+              1.0050001, 50.4999999, -123456.785, 99999999998.99]
     planted = [(f"f{i % 3}", p, d)
                for i, p in enumerate(prices)
                for d in (0.0, 0.05, 0.1, None)]
